@@ -1,0 +1,139 @@
+"""Model architecture and run configuration.
+
+Single unified config schema replacing the reference's three config styles
+(hardcoded dict registries, argparse CLIs, generated JSON pruning configs —
+see reference `quantization.py:42-90`, `pruning_and_storing_as_sparse.py:590-604`,
+`gradient_sensitivity_test.py:1010-1118`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class WhisperArch:
+    """Static Whisper architecture hyperparameters.
+
+    Matches HF `WhisperConfig` semantics (reference loads
+    `WhisperForConditionalGeneration` at `model_utils.py:116-123`); here it is
+    a frozen dataclass so it can be closed over by jitted functions.
+    """
+
+    name: str = "tiny"
+    vocab_size: int = 51865
+    num_mel_bins: int = 80
+    d_model: int = 384
+    encoder_layers: int = 4
+    encoder_heads: int = 6
+    decoder_layers: int = 4
+    decoder_heads: int = 6
+    ffn_dim: int = 1536
+    max_source_positions: int = 1500  # encoder frames after conv stride-2
+    max_target_positions: int = 448
+    layer_norm_eps: float = 1e-5
+
+    # Special token ids (multilingual Whisper vocab).
+    bos_token_id: int = 50257  # <|endoftext|> used as pad in HF
+    eos_token_id: int = 50257
+    decoder_start_token_id: int = 50258  # <|startoftranscript|>
+    no_timestamps_token_id: int = 50363
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.encoder_heads
+
+    def replace(self, **kw: Any) -> "WhisperArch":
+        return dataclasses.replace(self, **kw)
+
+
+def _arch(name: str, mels: int, d: int, el: int, eh: int, dl: int, dh: int,
+          vocab: int = 51865) -> WhisperArch:
+    return WhisperArch(
+        name=name, vocab_size=vocab, num_mel_bins=mels, d_model=d,
+        encoder_layers=el, encoder_heads=eh, decoder_layers=dl,
+        decoder_heads=dh, ffn_dim=4 * d,
+    )
+
+
+# Official OpenAI Whisper family dimensions.
+ARCHS: dict[str, WhisperArch] = {
+    "tiny": _arch("tiny", 80, 384, 4, 6, 4, 6),
+    "base": _arch("base", 80, 512, 6, 8, 6, 8),
+    "small": _arch("small", 80, 768, 12, 12, 12, 12),
+    "medium": _arch("medium", 80, 1024, 24, 16, 24, 16),
+    "large-v2": _arch("large-v2", 80, 1280, 32, 20, 32, 20),
+    "large-v3": _arch("large-v3", 128, 1280, 32, 20, 32, 20, vocab=51866),
+    # Tiny test-only config (random weights, fast tests).
+    "test2l": WhisperArch(
+        name="test2l", vocab_size=1000, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_heads=4, decoder_layers=2, decoder_heads=4,
+        ffn_dim=128, max_source_positions=64, max_target_positions=32,
+        bos_token_id=997, eos_token_id=997, decoder_start_token_id=998,
+        no_timestamps_token_id=999,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Audio frontend constants (Whisper's fixed STFT/log-mel recipe; the reference
+# delegates these to `WhisperProcessor` at `data_utils.py:56-58`).
+# ---------------------------------------------------------------------------
+SAMPLE_RATE = 16_000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_SECONDS = 30
+N_SAMPLES = SAMPLE_RATE * CHUNK_SECONDS      # 480_000
+N_FRAMES = N_SAMPLES // HOP_LENGTH           # 3000 mel frames
+
+
+@dataclass
+class DecodeConfig:
+    """Generation settings (reference relies on HF `generate` defaults at
+    `data_utils.py:152`)."""
+
+    max_new_tokens: int = 445
+    beam_size: int = 1  # 1 = greedy
+    language_token_id: int | None = 50259     # <|en|>
+    task_token_id: int | None = 50359         # <|transcribe|>
+    suppress_tokens: tuple[int, ...] = ()
+    begin_suppress_tokens: tuple[int, ...] = ()
+    notimestamps: bool = True
+    length_penalty: float = 1.0
+
+
+@dataclass
+class EvalConfig:
+    """Evaluation harness settings (≈ reference `evaluation.py:12-134` args)."""
+
+    split: str = "test.clean"
+    num_samples: int = 100
+    batch_size: int = 8
+    warmup_batches: int = 1
+    compute_cer: bool = True
+    save_path: str | None = None
+
+
+@dataclass
+class RunConfig:
+    """One experiment = model + compression + eval. Serialisable to JSON."""
+
+    model: str = "tiny"
+    dtype: str = "float32"
+    quantization: dict[str, Any] | None = None
+    pruning: dict[str, Any] | None = None
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "RunConfig":
+        d = json.loads(s)
+        d["decode"] = DecodeConfig(**d.get("decode", {}))
+        d["eval"] = EvalConfig(**d.get("eval", {}))
+        return RunConfig(**d)

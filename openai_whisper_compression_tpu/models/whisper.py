@@ -1,0 +1,238 @@
+"""Functional JAX Whisper encoder/decoder.
+
+TPU-native re-design of the model the reference consumes from HF
+`WhisperForConditionalGeneration` (reference `model_utils.py:116-123`,
+`data_utils.py:152`): pure functions over a parameter pytree, everything
+static-shape and jit-traceable, all matmuls routed through `ops.linear`
+(which dispatches dense vs Pallas-quantized weights).
+
+Numerical semantics match HF exactly (pre-LN, q scaled by head_dim**-0.5,
+k_proj without bias, exact-erf GELU, layer_norm eps 1e-5, sin|cos concat
+encoder positions, learned decoder positions, proj_out tied to embed_tokens)
+— verified by tests/test_model_parity.py against random-weight torch models.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import WhisperArch
+from ..ops.linear import linear
+from ..ops.qtensor import QTensor
+
+Params = dict[str, Any]
+
+NEG_INF = -1e9  # finite mask value: keeps softmax well-defined in bf16
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _num_heads(attn_p: Params, head_dim: int) -> int:
+    w = attn_p["q"]["w"]
+    out_dim = w.shape[1] if isinstance(w, QTensor) else w.shape[-1]
+    return out_dim // head_dim
+
+
+def split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    """(B, T, H*Dh) -> (B, H, T, Dh)"""
+    b, t, _ = x.shape
+    return x.reshape(b, t, n_heads, -1).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, T, Dh) -> (B, T, H*Dh)"""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              mask: jax.Array | None = None) -> jax.Array:
+    """Scaled dot-product attention over (B, H, T, Dh) tensors.
+
+    Softmax accumulates in fp32 for bf16 stability; the two matmuls ride the
+    MXU with fp32 accumulation.
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q * (dh ** -0.5), k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def self_attention(p: Params, x: jax.Array, head_dim: int,
+                   mask: jax.Array | None = None,
+                   head_mask: jax.Array | None = None) -> jax.Array:
+    h = _num_heads(p, head_dim)
+    q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)
+    k = split_heads(linear(x, p["k"]["w"]), h)
+    v = split_heads(linear(x, p["v"]["w"], p["v"].get("b")), h)
+    o = attention(q, k, v, mask)
+    if head_mask is not None:  # (H,) mask for head-importance analyses
+        o = o * head_mask[None, :, None, None].astype(o.dtype)
+    return linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
+
+
+def cross_attention(p: Params, x: jax.Array, kv: tuple[jax.Array, jax.Array],
+                    head_dim: int, head_mask: jax.Array | None = None) -> jax.Array:
+    h = _num_heads(p, head_dim)
+    q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)
+    k, v = kv  # (B, H, S, Dh) precomputed from encoder output
+    o = attention(q, k, v)
+    if head_mask is not None:
+        o = o * head_mask[None, :, None, None].astype(o.dtype)
+    return linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
+
+
+def mlp(p: Params, x: jax.Array) -> jax.Array:
+    return linear(gelu(linear(x, p["fc1"]["w"], p["fc1"].get("b"))),
+                  p["fc2"]["w"], p["fc2"].get("b"))
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
+    """x: (B, C_in, T); w: torch-layout (C_out, C_in, width)."""
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(stride,), padding=((1, 1),),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    return y + b.astype(y.dtype)[None, :, None]
+
+
+def encoder_layer(p: Params, x: jax.Array, head_dim: int,
+                  head_mask: jax.Array | None = None) -> jax.Array:
+    x = x + self_attention(p["attn"], layer_norm(x, p["attn_ln"]), head_dim,
+                           head_mask=head_mask)
+    x = x + mlp(p, layer_norm(x, p["mlp_ln"]))
+    return x
+
+
+def encode(params: Params, arch: WhisperArch, mel: jax.Array,
+           head_masks: jax.Array | None = None) -> jax.Array:
+    """mel: (B, n_mels, 3000) -> encoder states (B, 1500, d_model).
+
+    head_masks: optional (L, H) per-layer attention-head mask for
+    head-importance scoring (reference `attention_head_pruning.py:40-165`).
+    """
+    enc = params["encoder"]
+    x = gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], stride=1))
+    x = gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
+    x = x.transpose(0, 2, 1)  # (B, T, d)
+    x = x + enc["pos"][: x.shape[1]].astype(x.dtype)
+    for i, layer in enumerate(enc["layers"]):
+        hm = None if head_masks is None else head_masks[i]
+        x = encoder_layer(layer, x, arch.head_dim, head_mask=hm)
+    return layer_norm(x, enc["ln"])
+
+
+# ---------------------------------------------------------------------------
+# Decoder (full-sequence path — scoring / sensitivity / teacher-forced loss)
+# ---------------------------------------------------------------------------
+
+def precompute_cross_kv(params: Params, arch: WhisperArch,
+                        enc_out: jax.Array) -> list[tuple[jax.Array, jax.Array]]:
+    """Per-layer cross-attention K/V from encoder states (computed once per
+    utterance; the decode loop then only reads them)."""
+    kvs = []
+    for layer in params["decoder"]["layers"]:
+        p = layer["cross"]
+        h = _num_heads(p, arch.head_dim)
+        k = split_heads(linear(enc_out, p["k"]["w"]), h)
+        v = split_heads(linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
+        kvs.append((k, v))
+    return kvs
+
+
+def decoder_layer(p: Params, x: jax.Array, cross_kv, head_dim: int,
+                  self_mask: jax.Array | None,
+                  head_mask: jax.Array | None = None,
+                  cross_head_mask: jax.Array | None = None) -> jax.Array:
+    x = x + self_attention(p["attn"], layer_norm(x, p["attn_ln"]), head_dim,
+                           mask=self_mask, head_mask=head_mask)
+    x = x + cross_attention(p["cross"], layer_norm(x, p["cross_ln"]), cross_kv,
+                            head_dim, head_mask=cross_head_mask)
+    x = x + mlp(p, layer_norm(x, p["mlp_ln"]))
+    return x
+
+
+def decode_logits(params: Params, arch: WhisperArch, tokens: jax.Array,
+                  enc_out: jax.Array,
+                  self_head_masks: jax.Array | None = None,
+                  cross_head_masks: jax.Array | None = None) -> jax.Array:
+    """Teacher-forced decoder: tokens (B, L) -> logits (B, L, vocab)."""
+    dec = params["decoder"]
+    b, l = tokens.shape
+    x = embed_tokens(dec, tokens.reshape(-1)).reshape(b, l, -1)
+    x = x + dec["pos"][:l].astype(x.dtype)
+    causal = jnp.triu(jnp.full((l, l), NEG_INF, jnp.float32), k=1)[None, None]
+    cross_kvs = precompute_cross_kv(params, arch, enc_out)
+    for i, layer in enumerate(dec["layers"]):
+        hm = None if self_head_masks is None else self_head_masks[i]
+        chm = None if cross_head_masks is None else cross_head_masks[i]
+        x = decoder_layer(layer, x, cross_kvs[i], arch.head_dim, causal,
+                          head_mask=hm, cross_head_mask=chm)
+    x = layer_norm(x, dec["ln"])
+    return project_out(dec, x)
+
+
+def embed_tokens(dec: Params, flat_tokens: jax.Array) -> jax.Array:
+    """Token-embedding lookup; dequantizes a QTensor embed table."""
+    embed = dec["embed"]
+    if isinstance(embed, QTensor):
+        from ..ops.qtensor import dequantize
+
+        embed = dequantize(embed, jnp.float32)
+    return embed[flat_tokens]
+
+
+def project_out(dec: Params, x: jax.Array) -> jax.Array:
+    """proj_out tied to embed_tokens (HF `proj_out.weight = embed_tokens.weight`).
+
+    Embedding lookups need a dense table, so a quantized embed is dequantized
+    here (embed quantization saves disk/HBM, not matmul time)."""
+    embed = dec["embed"]
+    if isinstance(embed, QTensor):
+        from ..ops.qtensor import dequantize
+
+        embed = dequantize(embed, x.dtype)
+    return linear(x, embed.T)
+
+
+def forward(params: Params, arch: WhisperArch, mel: jax.Array,
+            tokens: jax.Array) -> jax.Array:
+    """Full encoder+decoder teacher-forced forward -> logits."""
+    return decode_logits(params, arch, tokens, encode(params, arch, mel))
+
+
+def nll_loss(params: Params, arch: WhisperArch, mel: jax.Array,
+             tokens: jax.Array, labels: jax.Array,
+             label_mask: jax.Array | None = None) -> jax.Array:
+    """Cross-entropy used by the sensitivity scorers (reference computes the
+    same via `model(..., labels=...).loss`,
+    `gradient_sensitivity_test.py:229-262`)."""
+    logits = forward(params, arch, mel, tokens).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    if label_mask is not None:
+        return jnp.sum(nll * label_mask) / jnp.maximum(jnp.sum(label_mask), 1.0)
+    return jnp.mean(nll)

@@ -1,0 +1,167 @@
+"""QTensor — a quantized-weight pytree node.
+
+The compression layer of the reference swaps `nn.Linear` modules for
+quanto/bnb/hqq quantized modules (reference `model_utils.py:126-134`,
+`bnb_implementation.py:1093-1119`). TPU-native design: weights are plain
+pytree leaves, so a *quantized weight* is just a different pytree node that
+`ops.linear` knows how to contract with. Quantization is then a pure function
+`params -> params'` and the same model code runs unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# NF4 codebook (the 16 NormalFloat4 levels used by bitsandbytes-style 4-bit
+# blockwise quantization; reference consumes it via `BitsAndBytesConfig`
+# `bnb_4bit_quant_type="nf4"` at `model_utils.py:44-49`). Values are the
+# standard published NF4 quantiles.
+NF4_CODE = np.array(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+        0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    dtype=np.float32,
+)
+
+# FP4 (e2m1) codebook as used by bnb fp4 quant type.
+FP4_CODE = np.array(
+    [0.0, 0.0052083334, 0.6666667, 1.0, 0.3333333, 0.5, 0.16666667, 0.25,
+     -0.0, -0.0052083334, -0.6666667, -1.0, -0.3333333, -0.5, -0.16666667,
+     -0.25],
+    dtype=np.float32,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QTensor:
+    """A quantized 2-D weight of logical shape (in_dim, out_dim).
+
+    kind (static):
+      - "int8_pc": per-output-channel symmetric int8. data:(K,N) int8,
+        scale:(1,N).
+      - "int4_pack": per-channel symmetric int4 packed 2/byte along K.
+        data:(K//2,N) int8 (low nibble = even k, high nibble = odd k),
+        scale:(1,N).
+      - "int2_pack": per-channel symmetric int2 packed 4/byte along K.
+      - "nf4" / "fp4": blockwise codebook 4-bit. data:(K*N//2,) uint8 packed
+        over the flattened (K,N) order, scale: per-block absmax
+        (num_blocks,). With double-quant, scale is itself int8 with
+        scale2/offset2 second-level params.
+      - "group_asym": group-wise asymmetric int (HQQ-style, reference
+        `model_utils.py:52-73`). data:(K,N) int8 storing b-bit values,
+        scale/zero:(K//G, N).
+      - "fp8": float8_e4m3 weights with per-channel scale.
+    """
+
+    data: jax.Array
+    scale: jax.Array
+    zero: jax.Array | None = None
+    scale2: jax.Array | None = None   # double-quant second-level scale
+    offset2: jax.Array | None = None  # double-quant second-level offset
+    kind: str = dataclasses.field(default="int8_pc", metadata=dict(static=True))
+    bits: int = dataclasses.field(default=8, metadata=dict(static=True))
+    shape: tuple = dataclasses.field(default=(), metadata=dict(static=True))
+    block_size: int = dataclasses.field(default=64, metadata=dict(static=True))
+    meta: Any = dataclasses.field(default=None, metadata=dict(static=True))
+
+    @property
+    def in_dim(self) -> int:
+        return self.shape[0]
+
+    @property
+    def out_dim(self) -> int:
+        return self.shape[1]
+
+    def nbytes(self) -> int:
+        n = self.data.size * self.data.dtype.itemsize
+        for t in (self.scale, self.zero, self.scale2, self.offset2):
+            if t is not None:
+                n += t.size * t.dtype.itemsize
+        return n
+
+
+def is_qtensor(x: Any) -> bool:
+    return isinstance(x, QTensor)
+
+
+def dequantize(q: QTensor, dtype=jnp.float32) -> jax.Array:
+    """Reference (XLA, non-Pallas) dequantization to a dense (K, N) array."""
+    k, n = q.shape
+    if q.kind == "int8_pc":
+        w = q.data.astype(dtype) * q.scale.astype(dtype)
+    elif q.kind in ("int4_pack", "int2_pack"):
+        w = unpack_int_sub8(q.data, q.bits, k).astype(dtype) * q.scale.astype(dtype)
+    elif q.kind in ("nf4", "fp4"):
+        code = jnp.asarray(NF4_CODE if q.kind == "nf4" else FP4_CODE, dtype)
+        idx = unpack_nibbles_flat(q.data)  # (K*N,) int32 in [0,16)
+        vals = code[idx]
+        scale = _effective_block_scale(q, dtype)  # (num_blocks,)
+        vals = vals.reshape(-1, q.block_size) * scale[:, None]
+        w = vals.reshape(k, n)
+    elif q.kind == "group_asym":
+        g = q.block_size
+        w = q.data.astype(dtype).reshape(k // g, g, n)
+        w = (w - q.zero.astype(dtype)[:, None, :]) * q.scale.astype(dtype)[:, None, :]
+        w = w.reshape(k, n)
+    elif q.kind == "fp8":
+        w = q.data.astype(dtype) * q.scale.astype(dtype)
+    else:
+        raise ValueError(f"unknown QTensor kind {q.kind!r}")
+    return w
+
+
+def _effective_block_scale(q: QTensor, dtype) -> jax.Array:
+    """Per-block absmax scale, undoing double-quant if present."""
+    scale = q.scale
+    if q.scale2 is not None:
+        scale = scale.astype(dtype) * q.scale2.astype(dtype) + q.offset2.astype(dtype)
+    return scale.astype(dtype)
+
+
+def pack_int_sub8(w_int: jax.Array, bits: int) -> jax.Array:
+    """Pack sub-byte signed ints along axis 0 into int8.
+
+    int4: 2 values/byte; int2: 4 values/byte. Values must fit in `bits`
+    signed range.
+    """
+    per = 8 // bits
+    k, n = w_int.shape
+    assert k % per == 0, f"K={k} not divisible by {per}"
+    u = (w_int.astype(jnp.int32) & ((1 << bits) - 1)).reshape(k // per, per, n)
+    shifts = jnp.arange(per, dtype=jnp.int32) * bits
+    packed = jnp.sum(u << shifts[None, :, None], axis=1)
+    return packed.astype(jnp.uint8).view(jnp.int8)
+
+
+def unpack_int_sub8(packed: jax.Array, bits: int, k: int) -> jax.Array:
+    """Inverse of pack_int_sub8 → (K, N) int32 with sign extension."""
+    per = 8 // bits
+    u = packed.view(jnp.uint8).astype(jnp.int32)  # (K//per, N)
+    shifts = jnp.arange(per, dtype=jnp.int32) * bits
+    vals = (u[:, None, :] >> shifts[None, :, None]) & ((1 << bits) - 1)
+    # sign-extend
+    sign_bit = 1 << (bits - 1)
+    vals = jnp.where(vals >= sign_bit, vals - (1 << bits), vals)
+    return vals.reshape(k, -1)
+
+
+def pack_nibbles_flat(idx: jax.Array) -> jax.Array:
+    """Pack a flat (M,) array of 4-bit indices into (M//2,) uint8."""
+    idx = idx.astype(jnp.uint32).reshape(-1, 2)
+    return (idx[:, 0] | (idx[:, 1] << 4)).astype(jnp.uint8)
+
+
+def unpack_nibbles_flat(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_nibbles_flat → (M,) int32 in [0, 16)."""
+    u = packed.astype(jnp.int32)
+    return jnp.stack([u & 0xF, (u >> 4) & 0xF], axis=1).reshape(-1)
