@@ -1,0 +1,93 @@
+"""Headline benchmark: whisper-small greedy transcription throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: whisper-small architecture (random weights — no egress for real
+checkpoints), bf16 (or int8 weight-only via --quant), batch B of 30 s-padded
+synthetic utterances, fused-Pallas log-mel frontend, jitted greedy decode for
+a fixed 25 new tokens (EOT suppressed so every run does identical work; the
+reference's GFLOPs model assumes a 25-token decode,
+`unstructured_L1_baseline.py:100-177`).
+
+Metric: RTFx = audio-seconds transcribed per wall-second, counting 7.42 s of
+audio per utterance (LibriSpeech test-clean mean ≈ 5.4 h / 2620 utts).
+Baseline: the reference's recorded 0.528 s/sample (whisper-small FP32 greedy,
+Apple MPS, batch 1 — BASELINE.md) → RTFx ≈ 14.05.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+AVG_UTT_SECONDS = 7.42
+BASELINE_RTFX = AVG_UTT_SECONDS / 0.528  # ≈ 14.05
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="small")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--tokens", type=int, default=25)
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8", "int4", "nf4"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.evaluation.harness import make_transcribe_fn
+    from openai_whisper_compression_tpu.evaluation.memory import device_memory_stats
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS[args.model]
+    params = P.init_params(arch, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if args.quant != "none":
+        from openai_whisper_compression_tpu.quant import api as quant_api
+
+        params = quant_api.quantize_params(params, method=args.quant)
+    print(f"# model={args.model} quant={args.quant} "
+          f"params_mb={P.size_in_mb(params):.1f} backend={jax.default_backend()}",
+          file=sys.stderr)
+
+    cfg = DecodeConfig(max_new_tokens=args.tokens,
+                       suppress_tokens=(arch.eos_token_id,))
+    fn = make_transcribe_fn(arch, cfg)
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((args.batch, 480_000)) * 0.1,
+                      jnp.float32)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(params, wav))
+    print(f"# compile+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(params, wav))
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+    rtfx = args.batch * AVG_UTT_SECONDS / wall
+
+    hbm = device_memory_stats().get("hbm_peak_mb", 0.0)
+    print(f"# wall_per_batch={wall * 1e3:.1f}ms times={[f'{t*1e3:.0f}' for t in times]} "
+          f"peak_hbm={hbm:.0f}MB", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"whisper-{args.model}-{args.quant} greedy RTFx "
+                  f"(batch {args.batch}, 25 tok, audio=7.42s/utt)",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

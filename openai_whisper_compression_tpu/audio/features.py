@@ -1,0 +1,145 @@
+"""Whisper log-mel audio frontend (pad/trim → STFT → mel → log), TPU-native.
+
+The reference delegates feature extraction to `WhisperProcessor`
+(`data_utils.py:56-58`), i.e. HF `WhisperFeatureExtractor`: hann(400) window,
+hop 160, power spectrogram, slaney-scale/slaney-norm mel filterbank, log10,
+per-utterance clamp to max-8, then (x+4)/4.
+
+TPU design: the STFT is expressed as two matmuls against fixed windowed
+cos/sin DFT bases — (frames @ cosB)² + (frames @ sinB)² — so the whole
+frontend is matmul-shaped and rides the MXU. `log_mel` uses XLA (fully
+fused); `audio.mel_pallas.log_mel_pallas` runs the same math as a single
+Pallas kernel. Both match HF within fp32 tolerance (tests/test_audio.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import HOP_LENGTH, N_FFT, N_SAMPLES, SAMPLE_RATE
+
+
+def hann_window_periodic(n: int) -> np.ndarray:
+    """Periodic Hann window (matches HF `window_function(n, 'hann')`)."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float64)
+
+
+def mel_filter_bank(n_freq: int = N_FFT // 2 + 1, n_mels: int = 80,
+                    f_min: float = 0.0, f_max: float = 8000.0,
+                    sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Slaney-scale, slaney-normalized triangular mel filterbank, (n_freq, n_mels).
+
+    Same recipe as HF `mel_filter_bank(..., norm="slaney", mel_scale="slaney")`
+    which itself matches librosa / Whisper's published filters.
+    """
+    def hz_to_mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz * 3.0 / 200.0
+        logstep = np.log(6.4) / 27.0
+        mel = f * 3.0 / 200.0
+        return np.where(f >= min_log_hz,
+                        min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+                        mel)
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        min_log_hz = 1000.0
+        min_log_mel = min_log_hz * 3.0 / 200.0
+        logstep = np.log(6.4) / 27.0
+        hz = m * 200.0 / 3.0
+        return np.where(m >= min_log_mel,
+                        min_log_hz * np.exp(logstep * (m - min_log_mel)), hz)
+
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_freq)
+    mel_pts = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    hz_pts = mel_to_hz(mel_pts)
+
+    fdiff = np.diff(hz_pts)
+    slopes = hz_pts[None, :] - fft_freqs[:, None]  # (n_freq, n_mels+2)
+    lower = -slopes[:, :-2] / fdiff[None, :-1]
+    upper = slopes[:, 2:] / fdiff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(lower, upper))
+
+    # slaney norm: scale each filter to constant energy per channel
+    enorm = 2.0 / (hz_pts[2:n_mels + 2] - hz_pts[:n_mels])
+    fb *= enorm[None, :]
+    return fb.astype(np.float32)  # (n_freq, n_mels)
+
+
+@functools.lru_cache(maxsize=4)
+def dft_mel_bases(n_mels: int = 80) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Windowed DFT cos/sin bases and mel matrix.
+
+    Returns (cos_basis, sin_basis, mel_fb): cos/sin are (N_FFT, n_freq) with
+    the hann window folded in, so power[f] = (frame·cosB)² + (frame·sinB)².
+    """
+    n_freq = N_FFT // 2 + 1
+    window = hann_window_periodic(N_FFT)
+    t = np.arange(N_FFT)[:, None]
+    k = np.arange(n_freq)[None, :]
+    ang = 2.0 * np.pi * t * k / N_FFT
+    cos_b = (np.cos(ang) * window[:, None]).astype(np.float32)
+    sin_b = (-np.sin(ang) * window[:, None]).astype(np.float32)
+    return cos_b, sin_b, mel_filter_bank(n_freq, n_mels)
+
+
+def pad_or_trim(wav: jax.Array, length: int = N_SAMPLES) -> jax.Array:
+    """Pad with zeros / trim to exactly `length` samples (last axis)."""
+    n = wav.shape[-1]
+    if n > length:
+        return wav[..., :length]
+    if n < length:
+        pad = [(0, 0)] * (wav.ndim - 1) + [(0, length - n)]
+        return jnp.pad(wav, pad)
+    return wav
+
+
+def frame_waveform(wav: jax.Array) -> jax.Array:
+    """Reflect-pad and slice into overlapping frames: (B, T) -> (B, F, N_FFT).
+
+    F = 1 + T // HOP (the trailing frame is dropped downstream, matching HF's
+    `log_spec[:, :-1]`).
+    """
+    half = N_FFT // 2
+    x = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(half, half)], mode="reflect")
+    num_frames = 1 + wav.shape[-1] // HOP_LENGTH
+    starts = np.arange(num_frames) * HOP_LENGTH
+    idx = starts[:, None] + np.arange(N_FFT)[None, :]
+    return x[..., idx]  # gather -> (B, F, N_FFT)
+
+
+def log_mel(wav: jax.Array, n_mels: int = 80) -> jax.Array:
+    """Waveform batch (B, N_SAMPLES) float32 -> log-mel (B, n_mels, 3000).
+
+    XLA path; fully jit-compatible, static shapes.
+    """
+    cos_b, sin_b, mel_fb = dft_mel_bases(n_mels)
+    frames = frame_waveform(wav)  # (B, F, 400)
+    re = jnp.dot(frames, jnp.asarray(cos_b), preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(sin_b), preferred_element_type=jnp.float32)
+    power = re * re + im * im  # (B, F, n_freq)
+    mel = jnp.dot(power, jnp.asarray(mel_fb), preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = log_spec[:, :-1, :]  # drop trailing frame -> 3000
+    log_spec = jnp.maximum(
+        log_spec, jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0)
+    log_spec = (log_spec + 4.0) / 4.0
+    return log_spec.transpose(0, 2, 1)  # (B, n_mels, F)
+
+
+def preprocess(wav: jax.Array, n_mels: int = 80, use_pallas: bool = False,
+               length: int = N_SAMPLES) -> jax.Array:
+    """Full frontend: pad/trim to `length` samples (default 30 s) then
+    log-mel. Replaces the reference's `processor(audio, sampling_rate=16000,
+    return_tensors=...)` call (`data_utils.py:56-58`)."""
+    wav = pad_or_trim(jnp.atleast_2d(wav), length)
+    if use_pallas:
+        from .mel_pallas import log_mel_pallas
+
+        return log_mel_pallas(wav, n_mels)
+    return log_mel(wav, n_mels)

@@ -1,0 +1,188 @@
+"""Evaluation engine: warmup → batched transcription → WER/CER/RTF roll-up.
+
+Single source of truth replacing the ~20 cloned copies of the reference's
+eval scaffold (`evaluation.py:12-134` and its clones, SURVEY.md §0). The hot
+path — features → encoder → greedy/beam decode — is one jit-compiled function
+with static shapes (fixed 3000-frame mel), so there are no per-batch
+recompiles; timing uses `block_until_ready` for honest RTF accounting
+(replacing `torch.cuda.synchronize` at `data_utils.py:154`).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio import features
+from ..config import DecodeConfig, EvalConfig, WhisperArch
+from ..models import decode as decode_mod
+from ..models.whisper import encode
+from . import metrics
+from .data import Utterance, batch_iterator
+from .memory import MemoryTracker
+
+logger = logging.getLogger("whisper_eval")
+
+
+def samples_for_arch(arch: WhisperArch) -> int:
+    """Waveform samples the encoder consumes: max_source_positions frames
+    after the stride-2 conv (= 480_000 for the real Whisper family)."""
+    from ..config import HOP_LENGTH
+
+    return arch.max_source_positions * 2 * HOP_LENGTH
+
+
+def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
+                       n_mels: int | None = None, use_pallas_mel: bool = True):
+    """Build the jitted end-to-end transcription function
+    (waveform batch -> token ids + lengths)."""
+    n_mels = n_mels or arch.num_mel_bins
+    n_samples = samples_for_arch(arch)
+
+    @jax.jit
+    def fn(params, wav):
+        mel = features.preprocess(wav, n_mels=n_mels, use_pallas=use_pallas_mel,
+                                  length=n_samples).astype(
+            jax.tree.leaves(params["encoder"]["ln"])[0].dtype)
+        enc = encode(params, arch, mel)
+        if cfg.beam_size > 1:
+            return decode_mod.beam_decode(params, arch, enc, cfg)
+        return decode_mod.greedy_decode(params, arch, enc, cfg)
+
+    return fn
+
+
+def transcribe_batch(transcribe_fn, params, batch: Sequence[Utterance],
+                     tokenizer, batch_size: int,
+                     n_samples: int = 30 * 16000) -> tuple[list[str], float]:
+    """Pad the utterance batch to `batch_size` (static shapes → one compile),
+    run the jitted fn, decode to text. Returns (texts, device_seconds)."""
+    wavs = np.zeros((batch_size, n_samples), np.float32)
+    for i, utt in enumerate(batch):
+        n = min(len(utt.audio), wavs.shape[1])
+        wavs[i, :n] = utt.audio[:n]
+    t0 = time.perf_counter()
+    tokens, lengths = transcribe_fn(params, jnp.asarray(wavs))
+    jax.block_until_ready((tokens, lengths))
+    dt = time.perf_counter() - t0
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+    texts = [tokenizer.decode(tokens[i, : lengths[i]])
+             for i in range(len(batch))]
+    return texts, dt
+
+
+def evaluate_model(params, arch: WhisperArch, dataset: list[Utterance],
+                   tokenizer, eval_cfg: EvalConfig | None = None,
+                   decode_cfg: DecodeConfig | None = None,
+                   memory_tracker: MemoryTracker | None = None,
+                   transcribe_fn=None) -> tuple[dict[str, Any], list[dict]]:
+    """Full evaluation loop → (scores, transcriptions).
+
+    Matches the reference contract (`evaluation.py:12-134`): warmup batches,
+    batched transcription, corpus WER/CER, RTF = processing_time / audio_dur,
+    per-batch memory logging.
+    """
+    eval_cfg = eval_cfg or EvalConfig()
+    decode_cfg = decode_cfg or DecodeConfig()
+    bs = eval_cfg.batch_size
+    n_samples = samples_for_arch(arch)
+    if transcribe_fn is None:
+        transcribe_fn = make_transcribe_fn(arch, decode_cfg)
+
+    # Warmup (compile + cache) — reference warms up via dataset.map
+    # (`evaluation.py:33-63`).
+    if eval_cfg.warmup_batches and dataset:
+        warm = dataset[:bs]
+        for _ in range(eval_cfg.warmup_batches):
+            transcribe_batch(transcribe_fn, params, warm, tokenizer, bs,
+                             n_samples)
+
+    refs: list[str] = []
+    hyps: list[str] = []
+    records: list[dict] = []
+    total_proc = 0.0
+    total_audio = 0.0
+    batch_rtfs: list[float] = []
+    batch_latencies: list[float] = []
+
+    for bi, batch in enumerate(batch_iterator(dataset, bs)):
+        texts, dt = transcribe_batch(transcribe_fn, params, batch, tokenizer,
+                                     bs, n_samples)
+        audio_dur = sum(u.duration for u in batch)
+        total_proc += dt
+        total_audio += audio_dur
+        batch_rtfs.append(dt / max(audio_dur, 1e-9))
+        batch_latencies.append(dt)
+        for utt, hyp in zip(batch, texts):
+            refs.append(utt.text)
+            hyps.append(hyp)
+            records.append({"id": utt.uid, "reference": utt.text,
+                            "hypothesis": hyp, "duration": utt.duration})
+        if memory_tracker is not None:
+            memory_tracker.log_memory(split=eval_cfg.split, batch_idx=bi,
+                                      batch_size=len(batch),
+                                      audio_duration=audio_dur, latency=dt)
+
+    scores: dict[str, Any] = {
+        "num_samples": len(refs),
+        "wer": metrics.wer(refs, hyps) if refs else None,
+        "cer": metrics.cer(refs, hyps) if (refs and eval_cfg.compute_cer) else None,
+        "total_processing_time_s": total_proc,
+        "total_audio_duration_s": total_audio,
+        "rtf": total_proc / max(total_audio, 1e-9),
+        "rtfx": total_audio / max(total_proc, 1e-9),
+        "avg_latency_per_batch_s": float(np.mean(batch_latencies)) if batch_latencies else None,
+        "batch_rtf": {
+            "mean": float(np.mean(batch_rtfs)) if batch_rtfs else None,
+            "min": float(np.min(batch_rtfs)) if batch_rtfs else None,
+            "max": float(np.max(batch_rtfs)) if batch_rtfs else None,
+            "std": float(np.std(batch_rtfs)) if batch_rtfs else None,
+        },
+        "batch_size": bs,
+        "split": eval_cfg.split,
+    }
+    if memory_tracker is not None:
+        scores["memory"] = memory_tracker.get_memory_summary()
+    return scores, records
+
+
+def save_evaluation_results(scores: dict, records: list[dict],
+                            model_name: str, save_path: str) -> dict[str, str]:
+    """JSON artifacts mirroring reference `save_evaluation_results`
+    (`evaluation.py:137-158`): {model}_results.json with metrics +
+    transcriptions."""
+    os.makedirs(save_path, exist_ok=True)
+    metrics_path = os.path.join(save_path, f"{model_name}_results.json")
+    with open(metrics_path, "w") as f:
+        json.dump({"model": model_name, "metrics": scores}, f, indent=2,
+                  default=str)
+    tr_path = os.path.join(save_path, f"{model_name}_transcriptions.json")
+    with open(tr_path, "w") as f:
+        json.dump(records, f, indent=2)
+    return {"metrics": metrics_path, "transcriptions": tr_path}
+
+
+def print_evaluation_summary(all_scores: dict[str, dict]) -> str:
+    """Console summary table (≈ reference `print_evaluation_summary`,
+    `evaluation.py:161-178`)."""
+    lines = [f"{'config':<40} {'WER':>8} {'CER':>8} {'RTFx':>8} {'HBM peak MB':>12}"]
+    for name, s in all_scores.items():
+        wer = f"{s['wer']:.4f}" if s.get("wer") is not None else "-"
+        cer = f"{s['cer']:.4f}" if s.get("cer") is not None else "-"
+        rtfx = f"{s['rtfx']:.2f}" if s.get("rtfx") else "-"
+        hbm = "-"
+        mem = s.get("memory") or {}
+        if mem.get("hbm_peak_mb"):
+            hbm = f"{mem['hbm_peak_mb']['max']:.0f}"
+        lines.append(f"{name:<40} {wer:>8} {cer:>8} {rtfx:>8} {hbm:>12}")
+    out = "\n".join(lines)
+    logger.info("\n%s", out)
+    print(out)
+    return out

@@ -1,0 +1,257 @@
+"""Jittable autoregressive decoding (greedy + beam) with persistent KV cache.
+
+TPU-native replacement for HF `model.generate()` (the reference's hot loop,
+`data_utils.py:152`): a `lax.while_loop` over decode steps with static
+shapes, early exit when every sequence has emitted EOT, suppress-token
+masking, and a forced decoder prefix — all inside one jit compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import DecodeConfig, WhisperArch
+from . import cache as kv_cache
+from .whisper import (NEG_INF, attention, cross_attention, embed_tokens,
+                      layer_norm, linear, merge_heads, mlp, precompute_cross_kv,
+                      project_out, split_heads, _num_heads)
+
+Params = dict[str, Any]
+
+
+def forced_prefix(arch: WhisperArch, cfg: DecodeConfig) -> list[int]:
+    """[<|sot|>, lang, task, <|notimestamps|>] — the prompt HF builds from
+    `forced_decoder_ids` (reference relies on the model's generation config)."""
+    ids = [arch.decoder_start_token_id]
+    if cfg.language_token_id is not None:
+        ids.append(cfg.language_token_id)
+    if cfg.task_token_id is not None:
+        ids.append(cfg.task_token_id)
+    if cfg.notimestamps and arch.no_timestamps_token_id < arch.vocab_size:
+        ids.append(arch.no_timestamps_token_id)
+    return [i for i in ids if i < arch.vocab_size]
+
+
+def _suppress_bias(arch: WhisperArch, ids: tuple[int, ...]) -> np.ndarray:
+    bias = np.zeros((arch.vocab_size,), np.float32)
+    for i in ids:
+        if 0 <= i < arch.vocab_size:
+            bias[i] = NEG_INF
+    return bias
+
+
+# ---------------------------------------------------------------------------
+# Single decode step through the cache
+# ---------------------------------------------------------------------------
+
+def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
+                 pos: jax.Array, cache: list, cross_kvs: list,
+                 max_len: int) -> tuple[jax.Array, list]:
+    """tok: (B,) int32 current tokens; pos: scalar step index.
+
+    Returns (logits (B, V), updated cache)."""
+    dec = params["decoder"]
+    b = tok.shape[0]
+    x = embed_tokens(dec, tok)[:, None, :]  # (B, 1, d)
+    x = x + lax.dynamic_slice_in_dim(dec["pos"], pos, 1, axis=0)[None].astype(x.dtype)
+
+    # mask over cache positions: attend to <= pos
+    valid = (jnp.arange(max_len) <= pos)
+    mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, None, None, :]
+
+    new_cache = []
+    for i, layer in enumerate(dec["layers"]):
+        p = layer["attn"]
+        h = _num_heads(p, arch.head_dim)
+        hs = layer_norm(x, layer["attn_ln"])
+        q = split_heads(linear(hs, p["q"]["w"], p["q"].get("b")), h)
+        k = split_heads(linear(hs, p["k"]["w"]), h)
+        v = split_heads(linear(hs, p["v"]["w"], p["v"].get("b")), h)
+        entry = kv_cache.update(cache[i], k, v, pos)
+        new_cache.append(entry)
+        o = attention(q, entry["k"].astype(q.dtype), entry["v"].astype(q.dtype), mask)
+        x = x + linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
+
+        x = x + cross_attention(layer["cross"], layer_norm(x, layer["cross_ln"]),
+                                cross_kvs[i], arch.head_dim)
+        x = x + mlp(layer, layer_norm(x, layer["mlp_ln"]))
+
+    x = layer_norm(x, dec["ln"])
+    logits = project_out(dec, x)[:, 0, :]  # (B, V)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode
+# ---------------------------------------------------------------------------
+
+def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
+                  cfg: DecodeConfig | None = None,
+                  max_len: int | None = None) -> tuple[jax.Array, jax.Array]:
+    """Batched greedy decode.
+
+    Returns (tokens (B, max_len) — prefix + generated, padded with EOT after
+    stop; lengths (B,) — number of valid tokens incl. prefix and final EOT).
+    """
+    cfg = cfg or DecodeConfig()
+    max_len = max_len or arch.max_target_positions
+    b = enc_out.shape[0]
+    eot = arch.eos_token_id
+
+    prefix = forced_prefix(arch, cfg)
+    p_len = len(prefix)
+    sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
+    begin_sup = jnp.asarray(
+        _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
+
+    cross_kvs = precompute_cross_kv(params, arch, enc_out)
+    cache = kv_cache.init_cache(params, arch, b, max_len, dtype=enc_out.dtype)
+
+    tokens = jnp.full((b, max_len), eot, jnp.int32)
+    tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])
+
+    step_fn = functools.partial(decoder_step, params, arch,
+                                cross_kvs=cross_kvs, max_len=max_len)
+
+    # Prefill the forced prefix (cheap: p_len <= 4 sequential steps).
+    for i in range(p_len - 1):
+        _, cache = step_fn(tokens[:, i], jnp.asarray(i), cache)
+
+    limit = min(max_len, p_len + cfg.max_new_tokens)
+
+    def cond(state):
+        tokens, cache, pos, finished = state
+        return jnp.logical_and(pos < limit - 1, ~jnp.all(finished))
+
+    def body(state):
+        tokens, cache, pos, finished = state
+        logits, cache = step_fn(tokens[:, pos], pos, cache)
+        logits = logits + sup
+        logits = jnp.where(pos == p_len - 1, logits + begin_sup, logits)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eot, nxt)
+        tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+        finished = jnp.logical_or(finished, nxt == eot)
+        return tokens, cache, pos + 1, finished
+
+    state = (tokens, cache, jnp.asarray(p_len - 1), jnp.zeros((b,), bool))
+    tokens, _, pos, _ = lax.while_loop(cond, body, state)
+    lengths = p_len + _gen_lengths(tokens, p_len, pos, eot)
+    return tokens, lengths
+
+
+def _gen_lengths(tokens: jax.Array, p_len: int, pos: jax.Array,
+                 eot: int) -> jax.Array:
+    """Generated-token count per sequence: up to and including an EOT the
+    model actually emitted, excluding init-padding EOTs past the loop's final
+    position `pos` (last written index)."""
+    gen = tokens[:, p_len:]
+    gen_count = pos + 1 - p_len  # tokens actually written by the loop
+    is_eot = gen == eot
+    first_eot = jnp.argmax(is_eot, axis=1)
+    emitted = jnp.logical_and(jnp.any(is_eot, axis=1), first_eot < gen_count)
+    return jnp.where(emitted, first_eot + 1, gen_count)
+
+
+def transcribe_tokens(params: Params, arch: WhisperArch, mel: jax.Array,
+                      cfg: DecodeConfig | None = None) -> tuple[jax.Array, jax.Array]:
+    """mel (B, n_mels, 3000) -> (tokens, lengths). Encoder + greedy decode;
+    jit this whole function for the production path."""
+    from .whisper import encode
+
+    return greedy_decode(params, arch, encode(params, arch, mel), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Beam search (shape-static, batch*beam flattened)
+# ---------------------------------------------------------------------------
+
+def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
+                cfg: DecodeConfig | None = None,
+                max_len: int | None = None) -> tuple[jax.Array, jax.Array]:
+    """Batched beam search; returns best hypothesis per batch element.
+
+    Shape-static: all K beams advance every step; finished beams are frozen
+    by forcing EOT with probability one. Scores use sum-logprob with length
+    penalty `(len)^alpha` applied at selection (HF `length_penalty` semantics).
+    """
+    cfg = cfg or DecodeConfig()
+    beam = cfg.beam_size
+    if beam <= 1:
+        return greedy_decode(params, arch, enc_out, cfg, max_len)
+    max_len = max_len or arch.max_target_positions
+    b, src, d = enc_out.shape
+    eot = arch.eos_token_id
+    vocab = arch.vocab_size
+
+    prefix = forced_prefix(arch, cfg)
+    p_len = len(prefix)
+    sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
+    begin_sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
+
+    # Expand encoder states to (B*K, ...)
+    enc_rep = jnp.repeat(enc_out, beam, axis=0)
+    cross_kvs = precompute_cross_kv(params, arch, enc_rep)
+    cache = kv_cache.init_cache(params, arch, b * beam, max_len, dtype=enc_out.dtype)
+
+    tokens = jnp.full((b * beam, max_len), eot, jnp.int32)
+    tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])
+
+    step_fn = functools.partial(decoder_step, params, arch,
+                                cross_kvs=cross_kvs, max_len=max_len)
+    for i in range(p_len - 1):
+        _, cache = step_fn(tokens[:, i], jnp.asarray(i), cache)
+
+    # scores: beam 0 starts at 0, others at -inf so step 1 fans out from beam 0
+    scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (beam - 1), jnp.float32), (b,))
+    finished = jnp.zeros((b * beam,), bool)
+    limit = min(max_len, p_len + cfg.max_new_tokens)
+
+    def gather_beams(tree, idx):
+        """Reindex the (B*K, ...) leading axis by per-batch beam indices
+        idx (B, K)."""
+        flat = (jnp.arange(b)[:, None] * beam + idx).reshape(-1)
+        return jax.tree.map(lambda x: x[flat], tree)
+
+    def cond(state):
+        _, _, pos, finished, _ = state
+        return jnp.logical_and(pos < limit - 1, ~jnp.all(finished))
+
+    def body(state):
+        tokens, cache, pos, finished, scores = state
+        logits, cache = step_fn(tokens[:, pos], pos, cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1) + sup
+        logp = jnp.where(pos == p_len - 1, logp + begin_sup, logp)
+        # finished beams: only EOT allowed, at zero cost (freeze the score)
+        frozen = jnp.full((vocab,), NEG_INF, jnp.float32).at[eot].set(0.0)
+        logp = jnp.where(finished[:, None], frozen[None], logp)
+
+        cand = scores[:, None] + logp                     # (B*K, V)
+        cand = cand.reshape(b, beam * vocab)
+        top_scores, top_idx = lax.top_k(cand, beam)       # (B, K)
+        src_beam = top_idx // vocab                       # (B, K)
+        tok_next = (top_idx % vocab).astype(jnp.int32)    # (B, K)
+
+        tokens, cache, finished = gather_beams(
+            (tokens, cache, finished), src_beam)
+        tokens = lax.dynamic_update_slice(
+            tokens, tok_next.reshape(-1, 1), (0, pos + 1))
+        finished = jnp.logical_or(finished, tok_next.reshape(-1) == eot)
+        return tokens, cache, pos + 1, finished, top_scores.reshape(-1)
+
+    state = (tokens, cache, jnp.asarray(p_len - 1), finished, scores)
+    tokens, _, pos, finished, scores = lax.while_loop(cond, body, state)
+
+    # pick best beam per batch with length penalty
+    gen_len = _gen_lengths(tokens, p_len, pos, eot).astype(jnp.float32)
+    adj = scores / jnp.power(gen_len, cfg.length_penalty)
+    best = jnp.argmax(adj.reshape(b, beam), axis=1)       # (B,)
+    flat = jnp.arange(b) * beam + best
+    lengths = p_len + _gen_lengths(tokens, p_len, pos, eot)
+    return tokens[flat], lengths[flat]

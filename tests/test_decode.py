@@ -1,0 +1,143 @@
+"""Decode-loop tests: KV-cache path vs full recompute, parity vs torch greedy,
+beam-search internal consistency."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_compression_tpu.config import DecodeConfig
+from openai_whisper_compression_tpu.models import decode, whisper
+from tests.test_model_parity import make_hf_pair
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    return make_hf_pair(seed=3)
+
+
+@pytest.fixture(scope="module")
+def mel(hf_pair):
+    _, _, arch = hf_pair
+    g = np.random.default_rng(7)
+    return g.standard_normal(
+        (2, arch.num_mel_bins, 2 * arch.max_source_positions)).astype(np.float32)
+
+
+def _cfg():
+    return DecodeConfig(max_new_tokens=10, language_token_id=None,
+                        task_token_id=None, notimestamps=False)
+
+
+def test_greedy_matches_stepwise_full_recompute(hf_pair, mel):
+    """KV-cache decode must equal argmax chain from full-sequence logits."""
+    _, params, arch = hf_pair
+    cfg = _cfg()
+    enc = whisper.encode(params, arch, jnp.asarray(mel))
+    tokens, lengths = decode.greedy_decode(params, arch, enc, cfg)
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+
+    # slow reference: recompute full decoder each step (no cache)
+    ref = [[arch.decoder_start_token_id] for _ in range(mel.shape[0])]
+    done = [False, False]
+    for _ in range(cfg.max_new_tokens):
+        inp = jnp.asarray([r + [arch.eos_token_id] * (max(map(len, ref)) - len(r))
+                           for r in ref])
+        logits = whisper.decode_logits(params, arch, inp, enc)
+        for bi in range(mel.shape[0]):
+            if done[bi]:
+                continue
+            nxt = int(jnp.argmax(logits[bi, len(ref[bi]) - 1]))
+            ref[bi].append(nxt)
+            if nxt == arch.eos_token_id:
+                done[bi] = True
+        if all(done):
+            break
+
+    for bi in range(mel.shape[0]):
+        got = tokens[bi, :lengths[bi]].tolist()
+        assert got == ref[bi][:len(got)], f"batch {bi}: {got} vs {ref[bi]}"
+
+
+def test_greedy_matches_torch(hf_pair, mel):
+    """End-to-end greedy tokens match a torch greedy loop over the HF model."""
+    model, params, arch = hf_pair
+    cfg = _cfg()
+    enc = whisper.encode(params, arch, jnp.asarray(mel))
+    tokens, lengths = decode.greedy_decode(params, arch, enc, cfg)
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+
+    t_mel = torch.from_numpy(mel)
+    with torch.no_grad():
+        enc_t = model.model.encoder(t_mel).last_hidden_state
+        for bi in range(mel.shape[0]):
+            ids = [arch.decoder_start_token_id]
+            for _ in range(cfg.max_new_tokens):
+                out = model(encoder_outputs=(enc_t[bi:bi + 1],),
+                            decoder_input_ids=torch.tensor([ids]))
+                nxt = int(out.logits[0, -1].argmax())
+                ids.append(nxt)
+                if nxt == arch.eos_token_id:
+                    break
+            got = tokens[bi, :lengths[bi]].tolist()
+            assert got == ids[:len(got)], f"batch {bi}: {got} vs {ids}"
+
+
+def test_greedy_jits_and_suppress(hf_pair, mel):
+    _, params, arch = hf_pair
+    # suppress whatever greedy would pick first — output must avoid it
+    enc = whisper.encode(params, arch, jnp.asarray(mel))
+    base_tokens, _ = decode.greedy_decode(params, arch, enc, _cfg())
+    banned = int(base_tokens[0, 1])
+    cfg = DecodeConfig(max_new_tokens=5, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       suppress_tokens=(banned,))
+    fn = jax.jit(lambda p, e: decode.greedy_decode(p, arch, e, cfg))
+    tokens, lengths = fn(params, enc)
+    gen = np.asarray(tokens)[:, 1:]
+    assert banned not in gen[0][: int(lengths[0]) - 1]
+
+
+def test_beam_one_equals_greedy(hf_pair, mel):
+    _, params, arch = hf_pair
+    enc = whisper.encode(params, arch, jnp.asarray(mel))
+    cfg = _cfg()
+    g_tokens, g_len = decode.greedy_decode(params, arch, enc, cfg)
+    b_tokens, b_len = decode.beam_decode(params, arch, enc, cfg)
+    np.testing.assert_array_equal(np.asarray(g_tokens), np.asarray(b_tokens))
+
+
+def test_beam_score_consistency(hf_pair, mel):
+    """Beam result's accumulated logprob must match teacher-forced rescoring."""
+    _, params, arch = hf_pair
+    enc = whisper.encode(params, arch, jnp.asarray(mel))
+    cfg = DecodeConfig(max_new_tokens=6, beam_size=3, language_token_id=None,
+                       task_token_id=None, notimestamps=False)
+    tokens, lengths = decode.beam_decode(params, arch, enc, cfg)
+    tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+    assert tokens.shape[0] == mel.shape[0]
+
+    # rescore best hypotheses teacher-forced
+    for bi in range(mel.shape[0]):
+        seq = tokens[bi, :lengths[bi]]
+        inp = jnp.asarray(seq[:-1])[None]
+        logits = whisper.decode_logits(params, arch, inp, enc[bi:bi + 1])
+        logp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+        score = float(sum(logp[t, seq[t + 1]] for t in range(len(seq) - 1)))
+        assert np.isfinite(score)
+        # greedy (beam=1) score must not beat beam-3 score on the same input
+        g_tokens, g_len = decode.greedy_decode(
+            params, arch, enc[bi:bi + 1],
+            DecodeConfig(max_new_tokens=6, language_token_id=None,
+                         task_token_id=None, notimestamps=False))
+        g_seq = np.asarray(g_tokens)[0, : int(g_len[0])]
+        g_inp = jnp.asarray(g_seq[:-1])[None]
+        g_logits = whisper.decode_logits(params, arch, g_inp, enc[bi:bi + 1])
+        g_logp = jax.nn.log_softmax(g_logits[0].astype(jnp.float32), axis=-1)
+        g_score = float(sum(g_logp[t, g_seq[t + 1]]
+                            for t in range(len(g_seq) - 1)))
+        # normalize by length (cfg.length_penalty = 1.0)
+        assert score / len(seq) >= g_score / len(g_seq) - 1e-4

@@ -1,0 +1,129 @@
+"""Metrics, memory tracker, and end-to-end eval-harness tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from openai_whisper_compression_tpu.evaluation import metrics
+
+
+# ---------------------------------------------------------------------------
+# WER / CER
+# ---------------------------------------------------------------------------
+
+def test_edit_distance_known_cases():
+    assert metrics.edit_distance(list("kitten"), list("sitting")) == 3
+    assert metrics.edit_distance([], list("ab")) == 2
+    assert metrics.edit_distance(list("abc"), []) == 3
+    assert metrics.edit_distance(list("abc"), list("abc")) == 0
+    assert metrics.edit_distance("a man a plan".split(), "a plan".split()) == 2
+
+
+def test_edit_distance_random_vs_naive(rng):
+    def naive(r, h):
+        n, m = len(r), len(h)
+        d = np.zeros((n + 1, m + 1), int)
+        d[:, 0] = np.arange(n + 1)
+        d[0, :] = np.arange(m + 1)
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                d[i, j] = min(d[i - 1, j - 1] + (r[i - 1] != h[j - 1]),
+                              d[i - 1, j] + 1, d[i, j - 1] + 1)
+        return d[n, m]
+
+    for _ in range(25):
+        r = list(rng.integers(0, 5, rng.integers(0, 12)))
+        h = list(rng.integers(0, 5, rng.integers(0, 12)))
+        assert metrics.edit_distance(r, h) == naive(r, h)
+
+
+def test_wer_cer():
+    refs = ["the cat sat on the mat", "hello world"]
+    hyps = ["the cat sat on mat", "hello word"]
+    # 1 deletion / 6 words + 1 sub / 2 words = 2/8
+    assert metrics.wer(refs, hyps) == pytest.approx(2 / 8)
+    assert 0 < metrics.cer(refs, hyps) < 0.2
+    assert metrics.wer(refs, refs) == 0.0
+
+
+def test_normalize():
+    assert metrics.normalize_text("Hello, World!  ") == "hello world"
+    assert metrics.wer(["Hello!"], ["hello"]) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Memory tracker
+# ---------------------------------------------------------------------------
+
+def test_memory_tracker(tmp_path):
+    from openai_whisper_compression_tpu.evaluation.memory import MemoryTracker
+
+    t = MemoryTracker("m", save_path=str(tmp_path / "mem.json"))
+    for i in range(3):
+        t.log_memory(split="clean", batch_idx=i, batch_size=4,
+                     audio_duration=10.0, latency=0.5)
+    s = t.get_memory_summary()
+    assert s["num_samples"] == 3
+    assert s["rss_mb"]["mean"] > 0
+    t.close()
+    saved = json.loads((tmp_path / "mem.json").read_text())
+    assert len(saved["samples"]) == 3
+
+
+# ---------------------------------------------------------------------------
+# End-to-end harness on synthetic data + tiny random model
+# ---------------------------------------------------------------------------
+
+def test_evaluate_model_end_to_end(tmp_path):
+    import jax
+
+    from openai_whisper_compression_tpu.config import (ARCHS, DecodeConfig,
+                                                       EvalConfig)
+    from openai_whisper_compression_tpu.evaluation import harness
+    from openai_whisper_compression_tpu.evaluation.data import synthetic_dataset
+    from openai_whisper_compression_tpu.evaluation.memory import MemoryTracker
+    from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    data = synthetic_dataset(6, seed=1, vocab_size=500,
+                             min_dur=0.5, max_dur=1.2)
+    tok = WordTokenizer(arch.vocab_size, special_start=997)
+    tracker = MemoryTracker("test2l")
+
+    scores, records = harness.evaluate_model(
+        params, arch, data, tok,
+        eval_cfg=EvalConfig(batch_size=4, num_samples=6, warmup_batches=1),
+        decode_cfg=DecodeConfig(max_new_tokens=6, language_token_id=None,
+                                task_token_id=None, notimestamps=False),
+        memory_tracker=tracker,
+    )
+    assert scores["num_samples"] == 6
+    assert scores["wer"] is not None and scores["wer"] > 0  # random weights
+    assert scores["rtfx"] > 0
+    assert len(records) == 6
+    assert scores["memory"]["num_samples"] == 2  # 2 batches logged
+
+    paths = harness.save_evaluation_results(scores, records, "test2l",
+                                            str(tmp_path))
+    saved = json.loads(open(paths["metrics"]).read())
+    assert saved["metrics"]["num_samples"] == 6
+
+    out = harness.print_evaluation_summary({"test2l": scores})
+    assert "WER" in out
+
+
+def test_synthetic_dataset_deterministic():
+    from openai_whisper_compression_tpu.evaluation.data import (
+        prepare_datasets, synthetic_dataset)
+
+    a = synthetic_dataset(4, seed=3)
+    b = synthetic_dataset(4, seed=3)
+    assert a[0].text == b[0].text
+    np.testing.assert_array_equal(a[0].audio, b[0].audio)
+    splits = prepare_datasets(num_cal=2, num_test=3)
+    assert {len(v) for v in splits.values()} == {2, 3}
+    assert set(splits) == {"calibration_clean", "test_clean",
+                           "calibration_other", "test_other"}
