@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--tokens", type=int, default=25)
-    ap.add_argument("--quant", default="none",
+    ap.add_argument("--quant", default="int8",
                     choices=["none", "int8", "int4", "nf4"])
     args = ap.parse_args()
 

@@ -103,6 +103,7 @@ class DecodeConfig:
     begin_suppress_tokens: tuple[int, ...] = ()
     notimestamps: bool = True
     length_penalty: float = 1.0
+    kv_int8: bool = False  # int8 KV cache (BASELINE.json config 4)
 
 
 @dataclass

@@ -75,7 +75,8 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
         v = split_heads(linear(hs, p["v"]["w"], p["v"].get("b")), h)
         entry = kv_cache.update(cache[i], k, v, pos)
         new_cache.append(entry)
-        o = attention(q, entry["k"].astype(q.dtype), entry["v"].astype(q.dtype), mask)
+        k_all, v_all = kv_cache.read(entry, q.dtype)
+        o = attention(q, k_all, v_all, mask)
         x = x + linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
 
         x = x + cross_attention(layer["cross"], layer_norm(x, layer["cross_ln"]),
@@ -111,7 +112,8 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
 
     cross_kvs = precompute_cross_kv(params, arch, enc_out)
-    cache = kv_cache.init_cache(params, arch, b, max_len, dtype=enc_out.dtype)
+    cache = kv_cache.init_cache(params, arch, b, max_len,
+                                dtype=enc_out.dtype, int8=cfg.kv_int8)
 
     tokens = jnp.full((b, max_len), eot, jnp.int32)
     tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])
@@ -198,7 +200,8 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     # Expand encoder states to (B*K, ...)
     enc_rep = jnp.repeat(enc_out, beam, axis=0)
     cross_kvs = precompute_cross_kv(params, arch, enc_rep)
-    cache = kv_cache.init_cache(params, arch, b * beam, max_len, dtype=enc_out.dtype)
+    cache = kv_cache.init_cache(params, arch, b * beam, max_len,
+                                dtype=enc_out.dtype, int8=cfg.kv_int8)
 
     tokens = jnp.full((b * beam, max_len), eot, jnp.int32)
     tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])

@@ -37,6 +37,8 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
 
 
 def _quantized_matmul(x: jax.Array, q: QTensor) -> jax.Array:
+    if q.act is not None:
+        return _act_quant_matmul(x, q)
     if q.kind == "int8_pc" and _on_tpu():
         from .quant_matmul import int8_matmul_pallas
 
@@ -51,7 +53,45 @@ def _quantized_matmul(x: jax.Array, q: QTensor) -> jax.Array:
             x.reshape(-1, x.shape[-1]), q.data, q.scale, q.in_dim
         )
         return y.reshape(*lead, -1).astype(x.dtype)
-    # Reference path: XLA dequant + matmul. XLA fuses the dequant into the
-    # matmul operand read, so this is already HBM-light vs fp32.
+    # Reference path: XLA dequant + matmul.
     w = dequantize(q, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
+
+
+def _act_quant_matmul(x: jax.Array, q: QTensor) -> jax.Array:
+    """Weight+activation integer matmul (int8 activations, int8 weights):
+
+    - "dynamic_int8": per-row activation absmax computed at runtime
+      (≈ torch `quantize_dynamic`, reference `model_utils.py:131-134`)
+    - "static_int8": frozen calibration scale
+      (≈ quanto static quant, reference `model_utils.py:152-214`)
+
+    The int8×int8→int32 contraction runs natively on the MXU.
+    """
+    from ..quant import calibrate
+
+    if calibrate.active():
+        calibrate.observe(q, x)
+
+    if q.kind == "int4_pack":  # w4a8: unpack nibbles to int8 for the MXU
+        from .qtensor import unpack_int_sub8
+
+        w_int = unpack_int_sub8(q.data, 4, q.in_dim).astype(jnp.int8)
+    elif q.kind == "int8_pc":
+        w_int = q.data
+    else:
+        raise ValueError(f"activation quant requires int weights, got {q.kind}")
+    xf = x.astype(jnp.float32)
+    if q.act == "dynamic_int8":
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+    elif q.act == "static_int8" and q.act_scale is not None:
+        sx = q.act_scale.astype(jnp.float32)
+    else:  # static but not yet calibrated -> fall back to dynamic
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_int,
+        dimension_numbers=(((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * q.scale.astype(jnp.float32)
+    return y.astype(x.dtype)

@@ -68,10 +68,13 @@ class QTensor:
     zero: jax.Array | None = None
     scale2: jax.Array | None = None   # double-quant second-level scale
     offset2: jax.Array | None = None  # double-quant second-level offset
+    act_scale: jax.Array | None = None  # static activation-quant scale
     kind: str = dataclasses.field(default="int8_pc", metadata=dict(static=True))
     bits: int = dataclasses.field(default=8, metadata=dict(static=True))
     shape: tuple = dataclasses.field(default=(), metadata=dict(static=True))
     block_size: int = dataclasses.field(default=64, metadata=dict(static=True))
+    # activation mode: None (weight-only) | "dynamic_int8" | "static_int8"
+    act: str | None = dataclasses.field(default=None, metadata=dict(static=True))
     meta: Any = dataclasses.field(default=None, metadata=dict(static=True))
 
     @property
@@ -84,7 +87,8 @@ class QTensor:
 
     def nbytes(self) -> int:
         n = self.data.size * self.data.dtype.itemsize
-        for t in (self.scale, self.zero, self.scale2, self.offset2):
+        for t in (self.scale, self.zero, self.scale2, self.offset2,
+                  self.act_scale):
             if t is not None:
                 n += t.size * t.dtype.itemsize
         return n
@@ -129,17 +133,17 @@ def _effective_block_scale(q: QTensor, dtype) -> jax.Array:
 
 
 def pack_int_sub8(w_int: jax.Array, bits: int) -> jax.Array:
-    """Pack sub-byte signed ints along axis 0 into int8.
-
-    int4: 2 values/byte; int2: 4 values/byte. Values must fit in `bits`
-    signed range.
+    """Pack sub-byte signed ints along axis 0 into int8, **split-half layout**:
+    byte[k] holds w[k], w[k + K/p], w[k + 2K/p], ... in its bit groups
+    (p = 8/bits values per byte). Unpacking is then slice+concat with no
+    interleave — cheap on the TPU VPU (lane-preserving).
     """
     per = 8 // bits
     k, n = w_int.shape
     assert k % per == 0, f"K={k} not divisible by {per}"
-    u = (w_int.astype(jnp.int32) & ((1 << bits) - 1)).reshape(k // per, per, n)
+    u = (w_int.astype(jnp.int32) & ((1 << bits) - 1)).reshape(per, k // per, n)
     shifts = jnp.arange(per, dtype=jnp.int32) * bits
-    packed = jnp.sum(u << shifts[None, :, None], axis=1)
+    packed = jnp.sum(u << shifts[:, None, None], axis=0)
     return packed.astype(jnp.uint8).view(jnp.int8)
 
 
@@ -147,12 +151,13 @@ def unpack_int_sub8(packed: jax.Array, bits: int, k: int) -> jax.Array:
     """Inverse of pack_int_sub8 → (K, N) int32 with sign extension."""
     per = 8 // bits
     u = packed.view(jnp.uint8).astype(jnp.int32)  # (K//per, N)
-    shifts = jnp.arange(per, dtype=jnp.int32) * bits
-    vals = (u[:, None, :] >> shifts[None, :, None]) & ((1 << bits) - 1)
-    # sign-extend
+    mask = (1 << bits) - 1
     sign_bit = 1 << (bits - 1)
-    vals = jnp.where(vals >= sign_bit, vals - (1 << bits), vals)
-    return vals.reshape(k, -1)
+    parts = []
+    for j in range(per):
+        vals = (u >> (bits * j)) & mask
+        parts.append(jnp.where(vals >= sign_bit, vals - (1 << bits), vals))
+    return jnp.concatenate(parts, axis=0)
 
 
 def pack_nibbles_flat(idx: jax.Array) -> jax.Array:

@@ -1,0 +1,232 @@
+"""Quantization lab tests: quantizer round-trips, packing, Pallas kernel
+parity (interpret mode on CPU), params-level API, activation quant +
+calibration, int8 KV cache, named-config registry."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_compression_tpu.ops import qtensor as QT
+from openai_whisper_compression_tpu.ops.linear import linear
+from openai_whisper_compression_tpu.quant import api as quant_api
+from openai_whisper_compression_tpu.quant import core as quant_core
+
+
+@pytest.fixture(scope="module")
+def w(rng=None):
+    g = np.random.default_rng(0)
+    return jnp.asarray(g.standard_normal((256, 128)) * 0.1, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Quantizer round-trips
+# ---------------------------------------------------------------------------
+
+def _rel_err(a, b):
+    return float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+
+
+def test_int8_roundtrip(w):
+    q = quant_core.quantize_int8(w)
+    assert q.data.dtype == jnp.int8 and q.shape == (256, 128)
+    assert _rel_err(w, QT.dequantize(q)) < 0.008
+    assert q.nbytes() < w.size * 4 / 3.8
+
+
+def test_int4_int2_roundtrip(w):
+    q4 = quant_core.quantize_int_sub8(w, 4)
+    assert q4.data.shape == (128, 128)  # packed 2/byte
+    assert _rel_err(w, QT.dequantize(q4)) < 0.16
+    q2 = quant_core.quantize_int_sub8(w, 2)
+    assert q2.data.shape == (64, 128)
+    assert _rel_err(w, QT.dequantize(q2)) < 0.9
+
+
+def test_pack_unpack_exact(rng):
+    for bits in (2, 4):
+        qmax = 2 ** (bits - 1) - 1
+        vals = jnp.asarray(rng.integers(-qmax, qmax + 1, (32, 8)), jnp.int32)
+        packed = QT.pack_int_sub8(vals, bits)
+        out = QT.unpack_int_sub8(packed, bits, 32)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(vals))
+
+
+def test_nf4_roundtrip(w):
+    q = quant_core.quantize_nf4(w, block_size=64)
+    assert q.data.dtype == jnp.uint8 and q.data.size == w.size // 2
+    assert _rel_err(w, QT.dequantize(q)) < 0.15
+    # double quant shrinks scale storage, keeps accuracy
+    qd = quant_core.quantize_nf4(w, block_size=64, double_quant=True)
+    assert qd.scale.dtype == jnp.int8
+    assert _rel_err(w, QT.dequantize(qd)) < 0.16
+    qf = quant_core.quantize_nf4(w, kind="fp4")
+    assert _rel_err(w, QT.dequantize(qf)) < 0.35
+
+
+def test_hqq_beats_plain_minmax(w):
+    # HQQ's optimized zero point should beat naive per-channel symmetric at
+    # the same bit width on the same weights
+    q_hqq = quant_core.quantize_hqq(w, bits=4, group_size=64)
+    q_int4 = quant_core.quantize_int_sub8(w, 4)
+    assert _rel_err(w, QT.dequantize(q_hqq)) < _rel_err(w, QT.dequantize(q_int4))
+    q8 = quant_core.quantize_hqq(w, bits=8, group_size=128)
+    assert _rel_err(w, QT.dequantize(q8)) < 0.007
+    q3 = quant_core.quantize_hqq(w, bits=3)
+    assert _rel_err(w, QT.dequantize(q3)) < 0.25
+
+
+def test_fp8_roundtrip(w):
+    q = quant_core.quantize_fp8(w)
+    assert q.data.dtype == jnp.float8_e4m3fn
+    assert _rel_err(w, QT.dequantize(q)) < 0.04
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels (interpret mode on CPU) vs XLA dequant reference
+# ---------------------------------------------------------------------------
+
+def test_int8_matmul_pallas_matches_xla(w, rng):
+    from openai_whisper_compression_tpu.ops.quant_matmul import int8_matmul_pallas
+
+    q = quant_core.quantize_int8(w)
+    x = jnp.asarray(rng.standard_normal((48, 256)), jnp.float32)
+    ref = x @ QT.dequantize(q)
+    out = int8_matmul_pallas(x, q.data, q.scale)
+    assert out.shape == ref.shape
+    assert _rel_err(ref, out) < 0.01  # bf16 in-kernel cast tolerance
+
+
+def test_int4_matmul_pallas_matches_xla(w, rng):
+    from openai_whisper_compression_tpu.ops.quant_matmul import int4_matmul_pallas
+
+    q = quant_core.quantize_int_sub8(w, 4)
+    x = jnp.asarray(rng.standard_normal((17, 256)), jnp.float32)
+    ref = x @ QT.dequantize(q)
+    out = int4_matmul_pallas(x, q.data, q.scale, k=256)
+    assert _rel_err(ref, out) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Params-level API + model forward
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"]
+    return P.init_params(arch, jax.random.PRNGKey(0)), arch
+
+
+def _forward(params, arch, seed=5):
+    from openai_whisper_compression_tpu.models.whisper import forward
+
+    g = np.random.default_rng(seed)
+    mel = jnp.asarray(g.standard_normal((1, arch.num_mel_bins, 64)), jnp.float32)
+    tokens = jnp.asarray([[arch.decoder_start_token_id, 3, 7]])
+    return forward(params, arch, mel, tokens)
+
+
+def test_quantize_params_scope_and_forward(tiny_model):
+    from openai_whisper_compression_tpu.models import params as P
+
+    params, arch = tiny_model
+    qp = quant_api.quantize_params(params, "int8")
+    names = dict(P.named_leaves(qp, ""))
+    assert isinstance(names["encoder.layers.0.attn.q.w"], QT.QTensor)
+    assert isinstance(names["decoder.layers.1.fc2.w"], QT.QTensor)
+    # non-linear leaves untouched
+    assert not isinstance(names["encoder.conv1.w"], QT.QTensor)
+    assert not isinstance(names["encoder.ln.g"], QT.QTensor)
+    assert not isinstance(names["decoder.embed"], QT.QTensor)
+    # original params unchanged
+    assert not isinstance(
+        dict(P.named_leaves(params))["encoder.layers.0.attn.q.w"], QT.QTensor)
+
+    base = _forward(params, arch)
+    out = _forward(qp, arch)
+    assert _rel_err(base, out) < 0.05
+    # size shrinks: linear weights dominate test2l less, but must shrink
+    assert P.size_in_mb(qp) < P.size_in_mb(params)
+
+
+def test_quantize_params_embed(tiny_model):
+    from openai_whisper_compression_tpu.models import params as P
+
+    params, arch = tiny_model
+    qp = quant_api.quantize_params(params, "int8", include_embed=True)
+    assert isinstance(dict(P.named_leaves(qp))["decoder.embed"], QT.QTensor)
+    out = _forward(qp, arch)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_dynamic_act_quant(tiny_model):
+    params, arch = tiny_model
+    qp = quant_api.quantize_params(params, "int8", act="dynamic_int8")
+    base = _forward(params, arch)
+    out = _forward(qp, arch)
+    assert _rel_err(base, out) < 0.08
+
+
+def test_static_calibration_flow(tiny_model):
+    params, arch = tiny_model
+    qp = quant_api.quantize_params(params, "int8", act="static_int8")
+    frozen = quant_api.calibrate_static(qp, lambda p: _forward(p, arch, seed=5))
+
+    from openai_whisper_compression_tpu.models.params import named_leaves
+
+    scales = [leaf.act_scale for _, leaf in named_leaves(frozen)
+              if isinstance(leaf, QT.QTensor)]
+    assert all(s is not None for s in scales)
+    assert all(float(s) > 0 for s in scales)
+    base = _forward(params, arch)
+    out = _forward(frozen, arch)
+    assert _rel_err(base, out) < 0.1
+    # frozen model must jit (no calibration machinery inside trace)
+    jitted = jax.jit(lambda p: _forward(p, arch))(frozen)
+    assert _rel_err(out, jitted) < 1e-5
+
+
+def test_w4a8(tiny_model):
+    params, arch = tiny_model
+    qp = quant_api.quantize_params(params, "int4", act="dynamic_int8")
+    out = _forward(qp, arch)
+    base = _forward(params, arch)
+    assert _rel_err(base, out) < 0.35
+
+
+def test_kv_cache_int8_decode(tiny_model):
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.models import decode
+    from openai_whisper_compression_tpu.models.whisper import encode
+
+    params, arch = tiny_model
+    g = np.random.default_rng(1)
+    mel = jnp.asarray(g.standard_normal((2, arch.num_mel_bins, 64)), jnp.float32)
+    enc = encode(params, arch, mel)
+    kw = dict(max_new_tokens=8, language_token_id=None, task_token_id=None,
+              notimestamps=False)
+    t_fp, _ = decode.greedy_decode(params, arch, enc, DecodeConfig(**kw))
+    t_i8, _ = decode.greedy_decode(params, arch, enc,
+                                   DecodeConfig(kv_int8=True, **kw))
+    # int8 KV is near-lossless: token streams should agree on this scale
+    agree = np.mean(np.asarray(t_fp) == np.asarray(t_i8))
+    assert agree > 0.9
+
+
+def test_registry_configs_run(tiny_model):
+    params, arch = tiny_model
+    base = _forward(params, arch)
+    for name in ["baseline_bf16", "pytorch_dynamic_int8", "quanto_int4",
+                 "quanto_int8", "hqq_int4", "bnb_nf4_double_quant",
+                 "static_fp8"]:
+        qp = quant_api.apply_named_config(params, name)
+        out = _forward(qp, arch)
+        assert bool(jnp.all(jnp.isfinite(out))), name
+        assert _rel_err(base.astype(jnp.float32),
+                        out.astype(jnp.float32)) < 0.5, name
