@@ -1,0 +1,238 @@
+"""Unified CLI — one entry point replacing the reference's ~20 experiment
+scripts (SURVEY.md §1 L4).
+
+    python -m openai_whisper_compression_tpu.cli evaluate --model tiny --quant quanto_int8
+    python -m openai_whisper_compression_tpu.cli sweep --sweep quant --samples 16
+    python -m openai_whisper_compression_tpu.cli sensitivity --method gradient
+    python -m openai_whisper_compression_tpu.cli analyze --model small
+    python -m openai_whisper_compression_tpu.cli compress --save out.zip --verify
+
+Offline by default: random-init weights + synthetic dataset (no egress);
+pass --hf <name-or-path> / --librispeech when a hub or cache is reachable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def _load_model(args):
+    from .config import ARCHS
+    from .models import params as P
+
+    if getattr(args, "hf", None):
+        from .models.convert import load_hf_model
+
+        return load_hf_model(args.hf, dtype=jnp.dtype(args.dtype))
+    arch = ARCHS[args.model]
+    params = P.init_params(arch, jax.random.PRNGKey(args.seed),
+                           dtype=jnp.dtype(args.dtype))
+    return params, arch
+
+
+def _load_data(args, arch):
+    from .evaluation.data import prepare_datasets
+    from .evaluation.tokenizer import WordTokenizer, load_tokenizer
+
+    datasets = prepare_datasets(num_cal=args.calibration_samples,
+                                num_test=args.samples, seed=args.seed,
+                                use_librispeech=args.librispeech)
+    tok = None
+    if args.librispeech:
+        tok = load_tokenizer(f"openai/whisper-{arch.name}")
+    if tok is None:
+        tok = WordTokenizer(arch.vocab_size,
+                            special_start=min(arch.eos_token_id,
+                                              arch.decoder_start_token_id))
+    return datasets, tok
+
+
+def _decode_cfg(args, arch):
+    from .config import DecodeConfig
+
+    lang = 50259 if arch.vocab_size > 50259 else None
+    task = 50359 if arch.vocab_size > 50359 else None
+    return DecodeConfig(max_new_tokens=args.max_new_tokens,
+                        beam_size=args.beam, language_token_id=lang,
+                        task_token_id=task,
+                        notimestamps=arch.no_timestamps_token_id < arch.vocab_size,
+                        kv_int8=args.kv_int8)
+
+
+def cmd_evaluate(args):
+    from .config import EvalConfig
+    from .evaluation import harness
+    from .evaluation.memory import MemoryTracker
+    from .prune import recipe as recipe_mod
+    from .quant import api as quant_api
+
+    params, arch = _load_model(args)
+    datasets, tok = _load_data(args, arch)
+    if args.prune_recipe:
+        params = recipe_mod.apply_recipe(params, arch)
+    if args.quant:
+        params = quant_api.apply_named_config(params, args.quant)
+    tracker = MemoryTracker(f"{arch.name}_{args.quant or 'dense'}")
+    scores, records = harness.evaluate_model(
+        params, arch, datasets["test_clean"], tok,
+        eval_cfg=EvalConfig(batch_size=args.batch_size,
+                            split="test_clean"),
+        decode_cfg=_decode_cfg(args, arch), memory_tracker=tracker)
+    if args.save_path:
+        harness.save_evaluation_results(scores, records, arch.name,
+                                        args.save_path)
+    harness.print_evaluation_summary({f"{arch.name}": scores})
+    return scores
+
+
+def cmd_sweep(args):
+    from .config import EvalConfig
+    from .sweep import plots
+    from .sweep.configs import SWEEPS
+    from .sweep.driver import run_sweep, summarize
+
+    params, arch = _load_model(args)
+    datasets, tok = _load_data(args, arch)
+    configs = SWEEPS[args.sweep](arch)
+    if args.limit:
+        configs = configs[: args.limit]
+    results = run_sweep(params, arch, configs, datasets, tok,
+                        eval_cfg=EvalConfig(batch_size=args.batch_size),
+                        decode_cfg=_decode_cfg(args, arch),
+                        save_path=args.save_path)
+    summarize(results)
+    if args.save_path:
+        plots.plot_sweep(results, args.save_path, prefix=args.sweep)
+    return results
+
+
+def cmd_sensitivity(args):
+    from .sensitivity import gradient, heads, recommend
+
+    params, arch = _load_model(args)
+    batches = gradient.make_synthetic_batches(
+        arch, n_batches=args.batches, batch=args.batch_size, seq=16)
+    if args.method in ("gradient", "fisher"):
+        scores = gradient.compute_sensitivity(
+            params, arch, batches, power=1.0 if args.method == "gradient" else 2.0)
+        cfg = recommend.generate_pruning_config(scores, arch)
+        print(json.dumps(cfg["analysis"]["by_category"], indent=2))
+        if args.save_path:
+            recommend.save_pruning_config(cfg, args.save_path)
+            print(f"pruning config -> {args.save_path}")
+        return cfg
+    if args.method == "heads":
+        imp = heads.head_importance(params, arch, batches, kind=args.attn_kind)
+        print(json.dumps({"importance": imp.tolist()}, indent=2))
+        return imp
+    raise SystemExit(f"unknown method {args.method}")
+
+
+def cmd_analyze(args):
+    from .sensitivity import architecture
+
+    params, arch = _load_model(args)
+    a = architecture.analyze_model(params)
+    print(architecture.format_table(a))
+    if args.save_path:
+        architecture.to_csv(a, args.save_path)
+        print(f"csv -> {args.save_path}")
+    return a
+
+
+def cmd_compress(args):
+    from .prune import magnitude, recipe as recipe_mod
+    from .quant import api as quant_api
+    from .storage import formats
+
+    params, arch = _load_model(args)
+    rec = recipe_mod.INCREASED_RECIPE if args.increase_pruning else None
+    pruned = recipe_mod.apply_recipe(params, arch, rec)
+    if args.quant:
+        pruned = quant_api.apply_named_config(pruned, args.quant)
+    rep = magnitude.sparsity_report(pruned)
+    print(f"sparsity: {rep['overall_sparsity']:.3f}  "
+          f"nnz: {rep['nonzero_params']:,}")
+    if args.verify:
+        res = formats.verify_roundtrip(pruned, args.save, args.format)
+        status = "OK" if res["ok"] else f"MISMATCH {res['mismatches'][:3]}"
+        print(f"saved {args.save} ({res['file_mb']:.1f} MB) roundtrip {status}")
+    else:
+        save, _ = formats.FORMATS[args.format]
+        stats = save(pruned, args.save)
+        print(f"saved {args.save} ({stats['file_mb']:.1f} MB)")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="openai_whisper_compression_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--model", default="tiny")
+        p.add_argument("--hf", default=None,
+                       help="HF model name/path (needs hub or cache)")
+        p.add_argument("--dtype", default="float32")
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--batch-size", type=int, default=4)
+        p.add_argument("--save-path", default=None)
+
+    def data_opts(p):
+        p.add_argument("--samples", type=int, default=8)
+        p.add_argument("--calibration-samples", type=int, default=4)
+        p.add_argument("--librispeech", action="store_true")
+        p.add_argument("--max-new-tokens", type=int, default=32)
+        p.add_argument("--beam", type=int, default=1)
+        p.add_argument("--kv-int8", action="store_true")
+
+    p = sub.add_parser("evaluate", help="single-config evaluation")
+    common(p)
+    data_opts(p)
+    p.add_argument("--quant", default=None)
+    p.add_argument("--prune-recipe", action="store_true")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("sweep", help="config-matrix sweep")
+    common(p)
+    data_opts(p)
+    p.add_argument("--sweep", default="quant",
+                   choices=["quant", "l1", "random", "experimental",
+                            "prune_quant"])
+    p.add_argument("--limit", type=int, default=0)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("sensitivity", help="sensitivity analyses")
+    common(p)
+    p.add_argument("--method", default="gradient",
+                   choices=["gradient", "fisher", "heads"])
+    p.add_argument("--attn-kind", default="encoder",
+                   choices=["encoder", "decoder", "cross"])
+    p.add_argument("--batches", type=int, default=2)
+    p.set_defaults(fn=cmd_sensitivity)
+
+    p = sub.add_parser("analyze", help="architecture introspection")
+    common(p)
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("compress", help="thesis recipe + store compressed")
+    common(p)
+    p.add_argument("--quant", default=None)
+    p.add_argument("--increase-pruning", action="store_true")
+    p.add_argument("--save", required=True)
+    p.add_argument("--format", default="sparse_zip",
+                   choices=list(__import__(
+                       "openai_whisper_compression_tpu.storage.formats",
+                       fromlist=["FORMATS"]).FORMATS))
+    p.add_argument("--verify", action="store_true")
+    p.set_defaults(fn=cmd_compress)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from jax import lax
 from ..config import WhisperArch
 from ..ops.linear import linear
 from ..ops.qtensor import QTensor
+from ..utils import capture
 
 Params = dict[str, Any]
 
@@ -101,8 +102,10 @@ def cross_attention(p: Params, x: jax.Array, kv: tuple[jax.Array, jax.Array],
 
 
 def mlp(p: Params, x: jax.Array) -> jax.Array:
-    return linear(gelu(linear(x, p["fc1"]["w"], p["fc1"].get("b"))),
-                  p["fc2"]["w"], p["fc2"].get("b"))
+    h = gelu(linear(x, p["fc1"]["w"], p["fc1"].get("b")))
+    if capture.active():  # eager-mode activation statistics (sensitivity)
+        capture.record("ffn_act", h)
+    return linear(h, p["fc2"]["w"], p["fc2"].get("b"))
 
 
 # ---------------------------------------------------------------------------
@@ -219,18 +222,31 @@ def project_out(dec: Params, x: jax.Array) -> jax.Array:
 
 
 def forward(params: Params, arch: WhisperArch, mel: jax.Array,
-            tokens: jax.Array) -> jax.Array:
-    """Full encoder+decoder teacher-forced forward -> logits."""
-    return decode_logits(params, arch, tokens, encode(params, arch, mel))
+            tokens: jax.Array,
+            enc_head_masks: jax.Array | None = None,
+            dec_head_masks: jax.Array | None = None,
+            cross_head_masks: jax.Array | None = None) -> jax.Array:
+    """Full encoder+decoder teacher-forced forward -> logits.
+
+    Optional (L, H) head masks support head-importance scoring
+    (reference `attention_head_pruning.py:99`)."""
+    enc = encode(params, arch, mel, head_masks=enc_head_masks)
+    return decode_logits(params, arch, tokens, enc,
+                         self_head_masks=dec_head_masks,
+                         cross_head_masks=cross_head_masks)
 
 
 def nll_loss(params: Params, arch: WhisperArch, mel: jax.Array,
              tokens: jax.Array, labels: jax.Array,
-             label_mask: jax.Array | None = None) -> jax.Array:
+             label_mask: jax.Array | None = None,
+             enc_head_masks: jax.Array | None = None,
+             dec_head_masks: jax.Array | None = None,
+             cross_head_masks: jax.Array | None = None) -> jax.Array:
     """Cross-entropy used by the sensitivity scorers (reference computes the
     same via `model(..., labels=...).loss`,
     `gradient_sensitivity_test.py:229-262`)."""
-    logits = forward(params, arch, mel, tokens).astype(jnp.float32)
+    logits = forward(params, arch, mel, tokens, enc_head_masks,
+                     dec_head_masks, cross_head_masks).astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     if label_mask is not None:

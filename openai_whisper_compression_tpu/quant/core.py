@@ -15,6 +15,8 @@ in-kernel unpack on TPU (split-half packing: no interleave needed).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -22,7 +24,12 @@ import numpy as np
 from ..ops.qtensor import (FP4_CODE, NF4_CODE, QTensor, pack_int_sub8,
                            pack_nibbles_flat)
 
+# Every quantizer is jitted (static config args) so repeated application over
+# a model's many same-shaped weight leaves compiles once per shape — matters
+# on remote/tunnelled TPU backends where eager dispatch is expensive.
 
+
+@jax.jit
 def quantize_int8(w: jax.Array) -> QTensor:
     """Per-output-channel symmetric int8."""
     w = w.astype(jnp.float32)
@@ -33,6 +40,7 @@ def quantize_int8(w: jax.Array) -> QTensor:
                    shape=tuple(w.shape))
 
 
+@functools.partial(jax.jit, static_argnames=("bits",))
 def quantize_int_sub8(w: jax.Array, bits: int) -> QTensor:
     """Per-output-channel symmetric int4/int2, split-half packed along K."""
     assert bits in (2, 4)
@@ -53,6 +61,7 @@ def _codebook_assign(w_norm: jax.Array, code: jax.Array) -> jax.Array:
     return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("block_size", "double_quant", "kind"))
 def quantize_nf4(w: jax.Array, block_size: int = 64,
                  double_quant: bool = False, kind: str = "nf4") -> QTensor:
     """Blockwise 4-bit codebook quantization (NF4 or FP4), bnb-style.
@@ -93,6 +102,8 @@ def quantize_nf4(w: jax.Array, block_size: int = 64,
                    kind=kind, bits=4, shape=(k, n), block_size=block_size)
 
 
+@functools.partial(jax.jit, static_argnames=("bits", "group_size", "iters",
+                                            "lp_norm", "beta", "kappa"))
 def quantize_hqq(w: jax.Array, bits: int = 4, group_size: int = 64,
                  iters: int = 20, lp_norm: float = 0.7,
                  beta: float = 10.0, kappa: float = 1.01) -> QTensor:
@@ -137,6 +148,7 @@ def quantize_hqq(w: jax.Array, bits: int = 4, group_size: int = 64,
                    block_size=group_size)
 
 
+@jax.jit
 def quantize_fp8(w: jax.Array) -> QTensor:
     """float8_e4m3 weights with per-channel scale into the fp8 dynamic range."""
     w = w.astype(jnp.float32)

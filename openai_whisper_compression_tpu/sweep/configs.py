@@ -1,0 +1,139 @@
+"""Experiment config matrices — single registry replacing the reference's
+hardcoded per-script dicts.
+
+Sources: quantization matrix (`quantization.py:42-90`), unstructured pruning
+ladder (`unstructured_L1_baseline.py:1143`), experimental pruning matrix
+(`experimental_pruning.py:2378-2704`), combined prune+quant matrix
+(`pruning+quantization/pruning_quantization_all.py:1392-1460`).
+
+Each entry: {"name", "apply": params,arch -> params', "needs_calibration"?}.
+Compression composes by function composition — no module swapping.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from ..quant import api as quant_api
+from ..prune import magnitude, recipe, structured, targeted
+
+Transform = Callable[[Any, Any], Any]  # (params, arch) -> params'
+
+
+def _q(name: str) -> Transform:
+    return lambda p, a: quant_api.apply_named_config(p, name)
+
+
+def quant_sweep() -> list[dict]:
+    """The 13-config quantization matrix (`quantization.py:42-90`) plus the
+    bnb dynamic variants (`evaluation_dynamic.py:177-247`)."""
+    names = ["baseline_fp32", "baseline_bf16", "fp16", "pytorch_dynamic_int8",
+             "quanto_int2", "quanto_int4", "quanto_int8",
+             "hqq_int3", "hqq_int4", "hqq_int8",
+             "static_int8_act_int8", "static_int4_act_int8", "static_fp8",
+             "bnb_fp4", "bnb_fp4_double_quant", "bnb_nf4",
+             "bnb_nf4_double_quant", "bnb_nf4_bf16_compute"]
+    return [{"name": n, "apply": _q(n),
+             "needs_calibration": quant_api.REGISTRY[n].needs_calibration}
+            for n in names]
+
+
+def unstructured_l1_sweep(
+        amounts=(0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99),
+) -> list[dict]:
+    """Global L1 ladder (`unstructured_L1_baseline.py:1143`)."""
+    return [{"name": f"l1_global_{int(a * 100)}pct",
+             "apply": (lambda a_: lambda p, arch: magnitude.prune_global_l1(p, a_))(a)}
+            for a in amounts]
+
+
+def random_pruning_sweep(amounts=(0.1, 0.3, 0.5, 0.7, 0.9)) -> list[dict]:
+    return [{"name": f"random_{int(a * 100)}pct",
+             "apply": (lambda a_: lambda p, arch: magnitude.prune_random(p, a_))(a)}
+            for a in amounts]
+
+
+def experimental_pruning_sweep(arch) -> list[dict]:
+    """Representative cut of the ~35-config experimental matrix
+    (`experimental_pruning.py:2378-2704`): targeted components, layer
+    sections, structured variants, head/layer-level surgery."""
+    E, D = arch.encoder_layers, arch.decoder_layers
+    cfgs: list[dict] = []
+
+    def add(name, fn):
+        cfgs.append({"name": name, "apply": fn})
+
+    for a in (0.3, 0.4):
+        pct = int(a * 100)
+        add(f"encoder_only_{pct}", lambda p, arch, a=a: magnitude.prune_per_module_l1(
+            p, a, name_filter=targeted.encoder_only))
+        add(f"decoder_only_{pct}", lambda p, arch, a=a: magnitude.prune_per_module_l1(
+            p, a, name_filter=targeted.decoder_only))
+    add("self_attn_encoder_40", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.4, name_filter=targeted.self_attn_encoder))
+    add("self_attn_decoder_40", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.4, name_filter=targeted.self_attn_decoder))
+    add("cross_attn_40", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.4, name_filter=targeted.cross_attn_decoder))
+    add("ffn_encoder_40", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.4, name_filter=targeted.ffn_encoder))
+    add("ffn_decoder_40", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.4, name_filter=targeted.ffn_decoder))
+    add("conv_30", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.3, name_filter=targeted.conv_layers))
+    add("token_emb_25", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.25, name_filter=targeted.token_embeddings))
+    add("bias_50", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.5, name_filter=targeted.bias_only))
+    add("layernorm_30", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.3, name_filter=targeted.layernorm_only))
+    add("proj_out_25", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.25, name_filter=targeted.proj_out))
+    add("enc_early_l1_40", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.4, name_filter=targeted.layer_section("encoder", "early", E, 2)))
+    add("enc_late_l1_40", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.4, name_filter=targeted.layer_section("encoder", "late", E, 2)))
+    add("dec_first_layer_50", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.5, name_filter=targeted.first_last_layer("decoder", "first", D)))
+    add("l2_structured_30", lambda p, arch: structured.prune_l2_structured(p, 0.3))
+    add("block4x4_50", lambda p, arch: magnitude.prune_blocks(p, 0.5))
+    add("heads_l1_25_masked", lambda p, arch: structured.prune_heads_by_l1(
+        p, arch, 0.25, physical=False))
+    add("heads_l1_25_physical", lambda p, arch: structured.prune_heads_by_l1(
+        p, arch, 0.25, physical=True))
+    add("drop_dec_last_layer", lambda p, arch: structured.drop_layers(
+        p, "decoder", [D - 1]))
+    add("remove_enc_mlp_last", lambda p, arch: structured.remove_mlp(
+        p, "encoder", [E - 1]))
+    add("thesis_recipe", lambda p, arch: recipe.apply_recipe(p, arch))
+    add("thesis_recipe_increased", lambda p, arch: recipe.apply_recipe(
+        p, arch, recipe.INCREASED_RECIPE))
+    return cfgs
+
+
+def prune_quant_sweep(quant_names: tuple[str, ...] = (
+        "pytorch_dynamic_int8", "quanto_int4", "quanto_int8", "hqq_int3",
+        "hqq_int4", "hqq_int8", "bnb_fp4", "bnb_nf4",
+        "bnb_nf4_double_quant", "static_int8_act_int8",
+        "static_int4_act_int8", "static_fp8", "fp16", "baseline_bf16",
+)) -> list[dict]:
+    """Prune once with the thesis recipe, then each quant config on the
+    pruned model (`pruning_quantization_all.py:1321-1460`)."""
+    def combo(qname):
+        def f(p, arch):
+            pruned = recipe.apply_recipe(p, arch)
+            return quant_api.apply_named_config(pruned, qname)
+        return f
+
+    return [{"name": f"pruned+{q}", "apply": combo(q),
+             "needs_calibration": quant_api.REGISTRY[q].needs_calibration}
+            for q in quant_names]
+
+
+SWEEPS: dict[str, Callable[..., list[dict]]] = {
+    "quant": lambda arch: quant_sweep(),
+    "l1": lambda arch: unstructured_l1_sweep(),
+    "random": lambda arch: random_pruning_sweep(),
+    "experimental": experimental_pruning_sweep,
+    "prune_quant": lambda arch: prune_quant_sweep(),
+}

@@ -1,0 +1,113 @@
+"""Sweep driver: config matrix × evaluation, with per-config fault isolation.
+
+One engine replacing every `main()` sweep clone in the reference
+(`quantization.py:30-219`, `evaluation_all.py`, `unstructured_L1_baseline.py:1128`,
+`pruning_quantization_all.py:1321`): per config — apply compression →
+(optional calibration pass) → evaluate on each split → record metrics,
+sparsity, GFLOPs, sizes → JSON artifacts; `try/except + continue` per config
+so one failure doesn't kill the sweep (reference behavior,
+`quantization.py:117-212`).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+import traceback
+from typing import Any
+
+from ..config import DecodeConfig, EvalConfig, WhisperArch
+from ..evaluation import harness
+from ..evaluation.memory import MemoryTracker
+from ..models.params import size_in_mb
+from ..prune.flops import model_gflops
+from ..prune.magnitude import sparsity_report
+from ..quant import api as quant_api
+
+logger = logging.getLogger("whisper_eval")
+
+
+def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
+              datasets: dict[str, list], tokenizer,
+              eval_cfg: EvalConfig | None = None,
+              decode_cfg: DecodeConfig | None = None,
+              save_path: str | None = None,
+              calibration_split: str = "calibration_clean") -> dict[str, Any]:
+    """Run every config over every test split. Returns {config: results}."""
+    eval_cfg = eval_cfg or EvalConfig()
+    decode_cfg = decode_cfg or DecodeConfig()
+    all_results: dict[str, Any] = {}
+
+    for cfg in configs:
+        name = cfg["name"]
+        t0 = time.time()
+        try:
+            compressed = cfg["apply"](params, arch)
+            if cfg.get("needs_calibration"):
+                cal = datasets.get(calibration_split) or []
+                if cal:
+                    fn = harness.make_transcribe_fn(arch, decode_cfg)
+
+                    def run_cal(p):
+                        harness.transcribe_batch(
+                            fn, p, cal[: eval_cfg.batch_size], tokenizer,
+                            eval_cfg.batch_size,
+                            harness.samples_for_arch(arch))
+
+                    compressed = quant_api.calibrate_static(compressed, run_cal)
+
+            entry: dict[str, Any] = {
+                "model_size_mb": size_in_mb(compressed),
+                "sparsity": sparsity_report(compressed)["overall_sparsity"],
+                "gflops": model_gflops(compressed, arch)["total_gflops"],
+                "splits": {},
+            }
+            for split, data in datasets.items():
+                if split.startswith("calibration") or not data:
+                    continue
+                tracker = MemoryTracker(f"{name}_{split}")
+                scores, records = harness.evaluate_model(
+                    compressed, arch, data, tokenizer,
+                    eval_cfg=eval_cfg, decode_cfg=decode_cfg,
+                    memory_tracker=tracker)
+                entry["splits"][split] = scores
+                if save_path:
+                    harness.save_evaluation_results(
+                        scores, records, f"{name}_{split}", save_path)
+                tracker.close()
+            entry["elapsed_s"] = time.time() - t0
+            all_results[name] = entry
+            logger.info("config %s done in %.1fs", name, entry["elapsed_s"])
+        except Exception as e:  # fault isolation per config
+            logger.error("config %s failed: %s", name, e)
+            all_results[name] = {"error": str(e),
+                                 "traceback": traceback.format_exc()}
+            continue
+
+    if save_path:
+        os.makedirs(save_path, exist_ok=True)
+        with open(os.path.join(save_path, "all_results.json"), "w") as f:
+            json.dump(all_results, f, indent=2, default=str)
+    return all_results
+
+
+def summarize(all_results: dict[str, Any]) -> str:
+    """Console table ≈ reference sweep summaries
+    (`unstructured_L1_baseline.py:1330-1417`)."""
+    lines = [f"{'config':<34} {'size MB':>9} {'sparsity':>9} {'GFLOPs':>8} "
+             f"{'WER':>7} {'RTFx':>8}"]
+    for name, r in all_results.items():
+        if "error" in r:
+            lines.append(f"{name:<34} ERROR: {r['error'][:60]}")
+            continue
+        split = next(iter(r["splits"].values()), {})
+        wer = f"{split['wer']:.3f}" if split.get("wer") is not None else "-"
+        rtfx = f"{split['rtfx']:.1f}" if split.get("rtfx") else "-"
+        lines.append(f"{name:<34} {r['model_size_mb']:>9.1f} "
+                     f"{r['sparsity']:>9.3f} {r['gflops']:>8.2f} "
+                     f"{wer:>7} {rtfx:>8}")
+    out = "\n".join(lines)
+    print(out)
+    return out

@@ -1,0 +1,109 @@
+"""Sweep driver, plots, and CLI smoke tests (tiny model, synthetic data)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig, EvalConfig
+from openai_whisper_compression_tpu.evaluation.data import prepare_datasets
+from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+from openai_whisper_compression_tpu.models import params as P
+from openai_whisper_compression_tpu.sweep import configs as sweep_configs
+from openai_whisper_compression_tpu.sweep import plots
+from openai_whisper_compression_tpu.sweep.driver import run_sweep, summarize
+
+
+@pytest.fixture(scope="module")
+def setup():
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    datasets = prepare_datasets(num_cal=2, num_test=4, seed=0)
+    # shrink audio durations for test speed
+    tok = WordTokenizer(arch.vocab_size, special_start=997)
+    return params, arch, datasets, tok
+
+
+def _dc():
+    return DecodeConfig(max_new_tokens=4, language_token_id=None,
+                        task_token_id=None, notimestamps=False)
+
+
+def test_config_matrices_complete():
+    arch = ARCHS["test2l"]
+    assert len(sweep_configs.quant_sweep()) == 18
+    assert len(sweep_configs.unstructured_l1_sweep()) == 12
+    exp = sweep_configs.experimental_pruning_sweep(arch)
+    assert len(exp) >= 20
+    names = {c["name"] for c in exp}
+    assert {"thesis_recipe", "block4x4_50", "heads_l1_25_physical",
+            "drop_dec_last_layer"} <= names
+    pq = sweep_configs.prune_quant_sweep()
+    assert len(pq) == 14
+    assert all(c["name"].startswith("pruned+") for c in pq)
+
+
+def test_run_sweep_with_fault_isolation(setup, tmp_path):
+    params, arch, datasets, tok = setup
+    configs = [
+        {"name": "baseline", "apply": lambda p, a: p},
+        {"name": "int8", "apply": lambda p, a: __import__(
+            "openai_whisper_compression_tpu.quant.api",
+            fromlist=["api"]).quantize_params(p, "int8")},
+        {"name": "boom", "apply": lambda p, a: 1 / 0},  # must not kill sweep
+    ]
+    results = run_sweep(params, arch, configs, datasets, tok,
+                        eval_cfg=EvalConfig(batch_size=2, warmup_batches=0),
+                        decode_cfg=_dc(), save_path=str(tmp_path))
+    assert set(results) == {"baseline", "int8", "boom"}
+    assert "error" in results["boom"]
+    assert results["baseline"]["splits"]["test_clean"]["wer"] is not None
+    assert results["int8"]["model_size_mb"] < results["baseline"]["model_size_mb"]
+    saved = json.loads((tmp_path / "all_results.json").read_text())
+    assert "boom" in saved
+
+    out = summarize(results)
+    assert "baseline" in out and "ERROR" in out
+
+    paths = plots.plot_sweep(results, str(tmp_path), prefix="t")
+    assert len(paths) == 3
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_cli_evaluate_and_analyze(tmp_path, capsys):
+    from openai_whisper_compression_tpu import cli
+
+    cli.main(["evaluate", "--model", "test2l", "--samples", "4",
+              "--batch-size", "2", "--max-new-tokens", "4",
+              "--quant", "quanto_int8"])
+    out = capsys.readouterr().out
+    assert "WER" in out
+
+    cli.main(["analyze", "--model", "test2l",
+              "--save-path", str(tmp_path / "arch.csv")])
+    out = capsys.readouterr().out
+    assert "TOTAL" in out
+    assert (tmp_path / "arch.csv").exists()
+
+
+def test_cli_compress_verify(tmp_path, capsys):
+    from openai_whisper_compression_tpu import cli
+
+    cli.main(["compress", "--model", "test2l", "--save",
+              str(tmp_path / "m.zip"), "--verify", "--quant", "quanto_int8"])
+    out = capsys.readouterr().out
+    assert "roundtrip OK" in out
+
+
+def test_cli_sensitivity(tmp_path, capsys):
+    from openai_whisper_compression_tpu import cli
+
+    cli.main(["sensitivity", "--model", "test2l", "--batches", "1",
+              "--batch-size", "1",
+              "--save-path", str(tmp_path / "cfg.json")])
+    assert (tmp_path / "cfg.json").exists()
+    cfg = json.loads((tmp_path / "cfg.json").read_text())
+    assert "recipe" in cfg
