@@ -1,0 +1,80 @@
+"""openai_whisper_compression_tpu — TPU-native Whisper inference and
+compression framework (JAX / XLA / Pallas).
+
+Capability-parity rebuild of the reference research codebase
+`juligoat/openai-whisper-compression` (PyTorch/HF, see SURVEY.md): Whisper
+ASR evaluation with WER/CER/RTF/HBM metrics, a quantization lab, a pruning
+lab, sensitivity analyses, compressed storage formats, and sweep drivers —
+re-architected as one functional library + one CLI, designed for TPU
+(MXU-shaped matmuls, Pallas kernels, static-shape jit decode, pjit/GSPMD
+scale-out).
+
+Quick start::
+
+    from openai_whisper_compression_tpu import load_model, transcribe
+    params, arch = load_model("tiny")          # random init offline,
+                                               # HF checkpoint when available
+    result = transcribe(params, arch, waveform)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+__version__ = "0.1.0"
+
+from .config import ARCHS, DecodeConfig, EvalConfig, RunConfig, WhisperArch  # noqa: F401
+
+
+def load_model(name_or_arch: str = "tiny", dtype: Any = None, seed: int = 0,
+               hf: str | None = None):
+    """(params, arch). `hf` loads a real HF checkpoint (needs hub/cache);
+    otherwise random-initialized weights of the named architecture."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    if hf:
+        from .models.convert import load_hf_model
+
+        return load_hf_model(hf, dtype=dtype)
+    from .models.params import init_params
+
+    arch = ARCHS[name_or_arch]
+    return init_params(arch, jax.random.PRNGKey(seed), dtype=dtype), arch
+
+
+def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
+               batch_size: int = 8) -> dict:
+    """OpenAI-`whisper.transcribe()`-style convenience: accepts a waveform of
+    any length (16 kHz float32), long-form chunks at 30 s, returns
+    {"text", "chunks", ...}."""
+    from .evaluation.longform import transcribe_long
+    from .evaluation.tokenizer import WordTokenizer
+
+    if tokenizer is None:
+        tokenizer = WordTokenizer(
+            arch.vocab_size,
+            special_start=min(arch.eos_token_id, arch.decoder_start_token_id))
+    return transcribe_long(params, arch, audio, tokenizer,
+                           cfg=decode_cfg, batch_size=batch_size)
+
+
+def quantize(params, method: str = "int8", **kw):
+    """Pure quantization transform (see quant.api.quantize_params)."""
+    from .quant.api import quantize_params
+
+    return quantize_params(params, method, **kw)
+
+
+def prune(params, arch=None, amount: float | None = None,
+          recipe: dict | None = None, **kw):
+    """Magnitude pruning: global L1 at `amount`, or the per-component
+    `recipe` (see prune.recipe)."""
+    if recipe is not None:
+        from .prune.recipe import apply_recipe
+
+        return apply_recipe(params, arch, recipe)
+    from .prune.magnitude import prune_global_l1
+
+    return prune_global_l1(params, amount or 0.0, **kw)

@@ -59,15 +59,31 @@ def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
     return fn
 
 
+_LOADERS: dict[tuple[int, int], Any] = {}
+
+
+def _batch_loader(batch_size: int, n_samples: int):
+    """Cached native (C++ threaded) batch assembler; numpy fallback inside."""
+    from ..runtime_native import BatchLoader
+
+    key = (batch_size, n_samples)
+    if key not in _LOADERS:
+        _LOADERS[key] = BatchLoader(batch_size, n_samples)
+    return _LOADERS[key]
+
+
 def transcribe_batch(transcribe_fn, params, batch: Sequence[Utterance],
                      tokenizer, batch_size: int,
                      n_samples: int = 30 * 16000) -> tuple[list[str], float]:
     """Pad the utterance batch to `batch_size` (static shapes → one compile),
     run the jitted fn, decode to text. Returns (texts, device_seconds)."""
-    wavs = np.zeros((batch_size, n_samples), np.float32)
-    for i, utt in enumerate(batch):
-        n = min(len(utt.audio), wavs.shape[1])
-        wavs[i, :n] = utt.audio[:n]
+    loader = _batch_loader(batch_size, n_samples)
+    for i in range(batch_size):
+        if i < len(batch):
+            loader.submit(i, batch[i].audio)
+        else:
+            loader.clear(i)
+    wavs = loader.flush()
     t0 = time.perf_counter()
     tokens, lengths = transcribe_fn(params, jnp.asarray(wavs))
     jax.block_until_ready((tokens, lengths))

@@ -58,9 +58,20 @@ def _flatten(params: Any) -> tuple[dict[str, np.ndarray], dict[str, Any]]:
                 "block_size": leaf.block_size, "act": leaf.act,
             }
         else:
-            arrays[name] = np.asarray(leaf)
-            manifest["leaves"][name] = {"type": "array",
-                                        "dtype": str(arrays[name].dtype)}
+            arr = np.asarray(leaf)
+            info: dict[str, Any] = {"type": "array", "dtype": str(arr.dtype)}
+            if arr.dtype.kind == "V" or arr.dtype.names or str(arr.dtype) not in (
+                    "float64", "float32", "float16", "int64", "int32",
+                    "int16", "int8", "uint8", "uint16", "uint32", "uint64",
+                    "bool"):
+                # non-native dtypes (bfloat16, fp8 ...) survive npz only as
+                # raw bytes: store a flat uint8 view + shape for reconstruction
+                info["viewdtype"] = str(leaf.dtype)
+                info["shape"] = list(arr.shape)
+                arr = np.ascontiguousarray(arr).view(np.uint8).reshape(-1)
+                info["dtype"] = "uint8"
+            arrays[name] = arr
+            manifest["leaves"][name] = info
     return arrays, manifest
 
 
@@ -103,7 +114,12 @@ def _unflatten(arrays: dict[str, np.ndarray], manifest: dict[str, Any]) -> Any:
                            block_size=info["block_size"],
                            act=info.get("act"), **kw)
         else:
-            leaf = jnp.asarray(arrays[name])
+            arr = arrays[name]
+            if info.get("viewdtype"):
+                dt = jnp.dtype(info["viewdtype"])
+                arr = np.ascontiguousarray(arr, np.uint8).view(dt).reshape(
+                    tuple(info["shape"]))
+            leaf = jnp.asarray(arr)
         node, last = ensure_path(name)
         if isinstance(node, list):
             idx = int(last)
@@ -134,11 +150,14 @@ def save_sparse_zip(params: Any, path: str,
         for key, arr in arrays.items():
             safe = key.replace("::", "__Q__")
             fl = arr.reshape(-1)
-            is_float = arr.dtype.kind == "f"
+            is_float = arr.dtype.kind == "f" and arr.dtype.itemsize == 4
             if is_float and _sparsity(arr) > sparse_threshold:
-                nz = np.nonzero(fl)[0].astype(np.int64)
+                # threaded native nonzero extraction (runtime/owc_runtime.cpp)
+                from ..runtime_native import sparse_encode
+
+                nz, vals = sparse_encode(fl)
                 entry = io.BytesIO()
-                np.savez_compressed(entry, indices=nz, values=fl[nz],
+                np.savez_compressed(entry, indices=nz, values=vals,
                                     shape=np.asarray(arr.shape),
                                     dtype=np.asarray(str(arr.dtype)))
                 z.writestr(f"sparse/{safe}.npz", entry.getvalue())
@@ -165,11 +184,12 @@ def load_sparse_zip(path: str) -> Any:
             key = fname[:-4].replace("__Q__", "::")
             data = np.load(io.BytesIO(z.read(info)), allow_pickle=False)
             if kind == "sparse":
+                from ..runtime_native import sparse_decode
+
                 shape = tuple(data["shape"])
                 dtype = np.dtype(str(data["dtype"]))
-                fl = np.zeros(int(np.prod(shape)), dtype)
-                fl[data["indices"]] = data["values"]
-                arrays[key] = fl.reshape(shape)
+                arrays[key] = sparse_decode(
+                    data["indices"], data["values"], shape).astype(dtype)
             else:
                 arrays[key] = data["arr"]
     return _unflatten(arrays, manifest)
