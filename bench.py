@@ -31,11 +31,13 @@ BASELINE_RTFX = AVG_UTT_SECONDS / 0.528  # ≈ 14.05
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="small")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--tokens", type=int, default=25)
     ap.add_argument("--quant", default="int8",
                     choices=["none", "int8", "int4", "nf4"])
+    ap.add_argument("--fuse", action=argparse.BooleanOptionalAction,
+                    default=True, help="fuse decoder qkv projections")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +54,10 @@ def main() -> None:
         from openai_whisper_compression_tpu.quant import api as quant_api
 
         params = quant_api.quantize_params(params, method=args.quant)
+    if args.fuse:
+        from openai_whisper_compression_tpu.models.fuse import fuse_qkv
+
+        params = fuse_qkv(params)
     print(f"# model={args.model} quant={args.quant} "
           f"params_mb={P.size_in_mb(params):.1f} backend={jax.default_backend()}",
           file=sys.stderr)

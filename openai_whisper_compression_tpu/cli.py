@@ -115,15 +115,33 @@ def cmd_sensitivity(args):
     from .sensitivity import gradient, heads, recommend
 
     params, arch = _load_model(args)
-    batches = gradient.make_synthetic_batches(
-        arch, n_batches=args.batches, batch=args.batch_size, seq=16)
+    if args.use_dataset:
+        from .evaluation.data import synthetic_dataset
+        from .evaluation.tokenizer import WordTokenizer
+
+        data = synthetic_dataset(args.batches * args.batch_size, seed=args.seed)
+        tok = WordTokenizer(arch.vocab_size,
+                            special_start=min(arch.eos_token_id,
+                                              arch.decoder_start_token_id))
+        batches = gradient.batches_from_dataset(arch, data, tok,
+                                                batch=args.batch_size)
+    else:
+        batches = gradient.make_synthetic_batches(
+            arch, n_batches=args.batches, batch=args.batch_size, seq=16)
     if args.method in ("gradient", "fisher"):
         scores = gradient.compute_sensitivity(
             params, arch, batches, power=1.0 if args.method == "gradient" else 2.0)
         cfg = recommend.generate_pruning_config(scores, arch)
         print(json.dumps(cfg["analysis"]["by_category"], indent=2))
         if args.save_path:
+            import os
+
+            from .sensitivity.plots import plot_sensitivity
+
             recommend.save_pruning_config(cfg, args.save_path)
+            plot_sensitivity(cfg["analysis"],
+                             os.path.dirname(args.save_path) or ".",
+                             prefix=args.method)
             print(f"pruning config -> {args.save_path}")
         return cfg
     if args.method == "heads":
@@ -212,6 +230,8 @@ def main(argv=None):
     p.add_argument("--attn-kind", default="encoder",
                    choices=["encoder", "decoder", "cross"])
     p.add_argument("--batches", type=int, default=2)
+    p.add_argument("--use-dataset", action="store_true",
+                   help="derive batches from utterances instead of noise")
     p.set_defaults(fn=cmd_sensitivity)
 
     p = sub.add_parser("analyze", help="architecture introspection")

@@ -21,9 +21,9 @@ Params = dict[str, Any]
 
 
 def _layer_heads(layer: Params, head_dim: int) -> int:
-    w = layer["attn"]["q"]["w"]
-    out_dim = w.shape[1] if isinstance(w, QTensor) else w.shape[-1]
-    return out_dim // head_dim
+    from .whisper import _num_heads
+
+    return _num_heads(layer["attn"], head_dim)
 
 
 def init_cache(params: Params, arch: WhisperArch, batch: int,

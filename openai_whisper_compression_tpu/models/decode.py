@@ -20,7 +20,7 @@ from ..config import DecodeConfig, WhisperArch
 from . import cache as kv_cache
 from .whisper import (NEG_INF, attention, cross_attention, embed_tokens,
                       layer_norm, linear, merge_heads, mlp, precompute_cross_kv,
-                      project_out, split_heads, _num_heads)
+                      project_out, qkv_project, split_heads, _num_heads)
 
 Params = dict[str, Any]
 
@@ -70,9 +70,7 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
         p = layer["attn"]
         h = _num_heads(p, arch.head_dim)
         hs = layer_norm(x, layer["attn_ln"])
-        q = split_heads(linear(hs, p["q"]["w"], p["q"].get("b")), h)
-        k = split_heads(linear(hs, p["k"]["w"]), h)
-        v = split_heads(linear(hs, p["v"]["w"], p["v"].get("b")), h)
+        q, k, v = qkv_project(p, hs, h)
         entry = kv_cache.update(cache[i], k, v, pos)
         new_cache.append(entry)
         k_all, v_all = kv_cache.read(entry, q.dtype)

@@ -136,6 +136,23 @@ def size_in_mb(params: Params) -> float:
     return size_in_bytes(params) / (1024 ** 2)
 
 
+def disk_size_in_mb(params: Params, compressed: bool = False) -> float:
+    """Serialized on-disk size (≈ reference `get_model_disk_size_in_mb`,
+    `model_utils.py:217-230`, which torch-saves the state dict). compressed
+    uses the npz-deflate format; plain uses raw bytes."""
+    if not compressed:
+        return size_in_mb(params)
+    import os
+    import tempfile
+
+    from ..storage.formats import save_npz
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "m.npz")
+        save_npz(params, path)
+        return os.path.getsize(path) / (1024 ** 2)
+
+
 def named_leaves(params: Params, prefix: str = "") -> list[tuple[str, Any]]:
     """Flat (dotted-name, leaf) pairs, e.g. 'decoder.layers.3.attn.q.w'."""
     out: list[tuple[str, Any]] = []

@@ -43,9 +43,27 @@ def gelu(x: jax.Array) -> jax.Array:
 
 
 def _num_heads(attn_p: Params, head_dim: int) -> int:
+    if "qkv" in attn_p:  # fused projection (models.fuse)
+        w = attn_p["qkv"]["w"]
+        out_dim = w.shape[1] if isinstance(w, QTensor) else w.shape[-1]
+        return out_dim // 3 // head_dim
     w = attn_p["q"]["w"]
     out_dim = w.shape[1] if isinstance(w, QTensor) else w.shape[-1]
     return out_dim // head_dim
+
+
+def qkv_project(p: Params, x: jax.Array, n_heads: int):
+    """q/k/v projections -> (B, H, T, Dh) triple; uses the fused qkv matmul
+    when present (models.fuse.fuse_qkv)."""
+    if "qkv" in p:
+        from .fuse import qkv_split
+
+        q, k, v = qkv_split(linear(x, p["qkv"]["w"], p["qkv"].get("b")))
+    else:
+        q = linear(x, p["q"]["w"], p["q"].get("b"))
+        k = linear(x, p["k"]["w"])
+        v = linear(x, p["v"]["w"], p["v"].get("b"))
+    return split_heads(q, n_heads), split_heads(k, n_heads), split_heads(v, n_heads)
 
 
 def split_heads(x: jax.Array, n_heads: int) -> jax.Array:
@@ -81,9 +99,7 @@ def self_attention(p: Params, x: jax.Array, head_dim: int,
                    mask: jax.Array | None = None,
                    head_mask: jax.Array | None = None) -> jax.Array:
     h = _num_heads(p, head_dim)
-    q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)
-    k = split_heads(linear(x, p["k"]["w"]), h)
-    v = split_heads(linear(x, p["v"]["w"], p["v"].get("b")), h)
+    q, k, v = qkv_project(p, x, h)
     o = attention(q, k, v, mask)
     if head_mask is not None:  # (H,) mask for head-importance analyses
         o = o * head_mask[None, :, None, None].astype(o.dtype)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .qtensor import QTensor, dequantize
 
@@ -36,16 +37,26 @@ def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     return y
 
 
+# Below this many activation rows the matmul is HBM-weight-bandwidth-bound
+# and the fused Pallas dequant kernel wins; above it (encoder-scale M) the
+# matmul is MXU-compute-bound and XLA's bf16 pipeline is faster (measured on
+# v5e: Pallas int8 encoder 251 ms vs XLA bf16 133 ms at M=24k, but Pallas
+# wins the M<=16 decode steps).
+PALLAS_M_THRESHOLD = 1024
+
+
 def _quantized_matmul(x: jax.Array, q: QTensor) -> jax.Array:
     if q.act is not None:
         return _act_quant_matmul(x, q)
-    if q.kind == "int8_pc" and _on_tpu():
+    m = int(np.prod(x.shape[:-1]))
+    use_pallas = _on_tpu() and m <= PALLAS_M_THRESHOLD
+    if q.kind == "int8_pc" and use_pallas:
         from .quant_matmul import int8_matmul_pallas
 
         lead = x.shape[:-1]
         y = int8_matmul_pallas(x.reshape(-1, x.shape[-1]), q.data, q.scale)
         return y.reshape(*lead, -1).astype(x.dtype)
-    if q.kind == "int4_pack" and _on_tpu():
+    if q.kind == "int4_pack" and use_pallas:
         from .quant_matmul import int4_matmul_pallas
 
         lead = x.shape[:-1]
@@ -53,7 +64,7 @@ def _quantized_matmul(x: jax.Array, q: QTensor) -> jax.Array:
             x.reshape(-1, x.shape[-1]), q.data, q.scale, q.in_dim
         )
         return y.reshape(*lead, -1).astype(x.dtype)
-    # Reference path: XLA dequant + matmul.
+    # XLA dequant + matmul (compute-bound regime).
     w = dequantize(q, x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype)
 

@@ -43,11 +43,15 @@ def choose_tp(n_devices: int, n_heads: int, ffn_dim: int) -> int:
 # Parameter sharding rules (Megatron-style TP for attention + FFN)
 # ---------------------------------------------------------------------------
 
-def _attn_spec() -> dict[str, Any]:
-    # qkv: split output (head) dim; o: split input dim -> psum after
+def _attn_spec(attn: dict | None = None) -> dict[str, Any]:
+    # q/k/v: split output (head) dim; o: split input dim -> psum after
     col = {"w": P(None, "tp"), "b": P("tp")}
     col_nb = {"w": P(None, "tp")}
     row = {"w": P("tp", None), "b": P(None)}
+    if attn is not None and "qkv" in attn:
+        # fused qkv concatenates head blocks of q|k|v: sharding the fused out
+        # dim would split across the q/k/v boundary -> replicate fused layers
+        return {"qkv": {"w": P(None, None), "b": P(None)}, "o": row}
     return {"q": col, "k": col_nb, "v": col, "o": row}
 
 
@@ -57,17 +61,17 @@ def _ln_spec() -> dict[str, Any]:
 
 def param_specs(params: dict) -> dict:
     """PartitionSpec pytree matching the parameter pytree."""
-    def enc_layer():
+    def enc_layer(layer):
         return {
-            "attn": _attn_spec(), "attn_ln": _ln_spec(),
+            "attn": _attn_spec(layer["attn"]), "attn_ln": _ln_spec(),
             "fc1": {"w": P(None, "tp"), "b": P("tp")},
             "fc2": {"w": P("tp", None), "b": P(None)},
             "mlp_ln": _ln_spec(),
         }
 
-    def dec_layer():
-        p = enc_layer()
-        p["cross"] = _attn_spec()
+    def dec_layer(layer):
+        p = enc_layer(layer)
+        p["cross"] = _attn_spec(layer["cross"])
         p["cross_ln"] = _ln_spec()
         return p
 
@@ -78,24 +82,59 @@ def param_specs(params: dict) -> dict:
             "conv1": {"w": P(None), "b": P(None)},
             "conv2": {"w": P(None), "b": P(None)},
             "pos": P(None),
-            "layers": [enc_layer() for _ in enc["layers"]],
+            "layers": [enc_layer(l) for l in enc["layers"]],
             "ln": _ln_spec(),
         },
         "decoder": {
             "embed": P(None),
             "pos": P(None),
-            "layers": [dec_layer() for _ in dec["layers"]],
+            "layers": [dec_layer(l) for l in dec["layers"]],
             "ln": _ln_spec(),
         },
     }
 
 
+def _shard_qtensor(q, spec: P, mesh: Mesh):
+    """Shard a QTensor's fields consistently with the dense weight's spec
+    (data follows the logical (K, N) layout; per-channel scales follow N;
+    group scales follow (K/G, N); flat blockwise codebook formats replicate)."""
+    import dataclasses
+
+    def put(x, s):
+        return None if x is None else jax.device_put(x, NamedSharding(mesh, s))
+
+    parts = tuple(spec) + (None, None)
+    k_ax, n_ax = parts[0], parts[1]
+    if q.kind in ("int8_pc", "fp8", "int4_pack", "int2_pack"):
+        data = put(q.data, P(k_ax, n_ax))
+        scale = put(q.scale, P(None, n_ax))
+    elif q.kind == "group_asym":
+        data = put(q.data, P(k_ax, n_ax))
+        scale = put(q.scale, P(k_ax, n_ax))
+    else:  # nf4/fp4 flat blockwise: replicate
+        data = put(q.data, P())
+        scale = put(q.scale, P())
+    return dataclasses.replace(
+        q, data=data, scale=scale,
+        zero=put(q.zero, P(k_ax, n_ax) if q.kind == "group_asym" else P()),
+        scale2=put(q.scale2, P()), offset2=put(q.offset2, P()),
+        act_scale=put(q.act_scale, P()))
+
+
 def shard_params(params: dict, mesh: Mesh) -> dict:
-    """Place parameters on the mesh according to param_specs."""
+    """Place parameters on the mesh according to param_specs. QTensor leaves
+    shard field-wise along the same logical axes as the dense weight."""
+    from ..ops.qtensor import QTensor
+
     specs = param_specs(params)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-        params, specs)
+
+    def place(x, s):
+        if isinstance(x, QTensor):
+            return _shard_qtensor(x, s, mesh)
+        return jax.device_put(x, NamedSharding(mesh, s))
+
+    return jax.tree.map(place, params, specs,
+                        is_leaf=lambda x: isinstance(x, QTensor))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

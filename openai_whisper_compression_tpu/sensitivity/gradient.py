@@ -81,6 +81,37 @@ def aggregate(scores: dict[str, float]) -> dict[str, Any]:
     }
 
 
+def batches_from_dataset(arch: WhisperArch, dataset, tokenizer,
+                         batch: int = 2, max_seq: int = 32):
+    """(mel, tokens, labels) batches from real utterances: log-mel features +
+    teacher-forced token targets from the reference transcripts (the
+    reference builds the same inputs at `gradient_sensitivity_test.py:157-228`)."""
+    import jax.numpy as jnp
+
+    from ..audio import features
+    from ..evaluation.harness import samples_for_arch
+
+    n_samples = samples_for_arch(arch)
+    out = []
+    for i in range(0, len(dataset) - batch + 1, batch):
+        utts = dataset[i: i + batch]
+        wav = np.zeros((batch, n_samples), np.float32)
+        toks = np.full((batch, max_seq), arch.eos_token_id, np.int32)
+        labels = np.full((batch, max_seq), arch.eos_token_id, np.int32)
+        for j, u in enumerate(utts):
+            n = min(len(u.audio), n_samples)
+            wav[j, :n] = u.audio[:n]
+            ids = [arch.decoder_start_token_id] + tokenizer.encode(u.text)
+            ids = ids[: max_seq + 1]
+            toks[j, : len(ids) - 1] = ids[:-1]
+            labels[j, : len(ids) - 1] = ids[1:]
+        mel = np.asarray(features.preprocess(jnp.asarray(wav),
+                                             arch.num_mel_bins,
+                                             length=n_samples))
+        out.append((mel, toks, labels))
+    return out
+
+
 def make_synthetic_batches(arch: WhisperArch, n_batches: int = 2,
                            batch: int = 2, seq: int = 8, seed: int = 0,
                            mel_frames: int | None = None):

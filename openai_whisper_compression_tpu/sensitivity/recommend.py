@@ -70,6 +70,9 @@ def generate_pruning_config(scores: dict[str, float], arch: WhisperArch,
 
 
 def save_pruning_config(config: dict[str, Any], path: str) -> str:
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(config, f, indent=2)
     return path

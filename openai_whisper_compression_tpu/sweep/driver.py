@@ -39,6 +39,9 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
     eval_cfg = eval_cfg or EvalConfig()
     decode_cfg = decode_cfg or DecodeConfig()
     all_results: dict[str, Any] = {}
+    # One jitted transcribe fn shared across configs: same-pytree-structure
+    # configs (e.g. the whole L1 ladder) reuse a single compilation.
+    shared_fn = harness.make_transcribe_fn(arch, decode_cfg)
 
     for cfg in configs:
         name = cfg["name"]
@@ -48,12 +51,10 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
             if cfg.get("needs_calibration"):
                 cal = datasets.get(calibration_split) or []
                 if cal:
-                    fn = harness.make_transcribe_fn(arch, decode_cfg)
-
                     def run_cal(p):
                         harness.transcribe_batch(
-                            fn, p, cal[: eval_cfg.batch_size], tokenizer,
-                            eval_cfg.batch_size,
+                            shared_fn, p, cal[: eval_cfg.batch_size],
+                            tokenizer, eval_cfg.batch_size,
                             harness.samples_for_arch(arch))
 
                     compressed = quant_api.calibrate_static(compressed, run_cal)
@@ -71,7 +72,7 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
                 scores, records = harness.evaluate_model(
                     compressed, arch, data, tokenizer,
                     eval_cfg=eval_cfg, decode_cfg=decode_cfg,
-                    memory_tracker=tracker)
+                    memory_tracker=tracker, transcribe_fn=shared_fn)
                 entry["splits"][split] = scores
                 if save_path:
                     harness.save_evaluation_results(
@@ -80,6 +81,10 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
             entry["elapsed_s"] = time.time() - t0
             all_results[name] = entry
             logger.info("config %s done in %.1fs", name, entry["elapsed_s"])
+            # release per-config device buffers between configs
+            # (≈ reference `clear_gpu_memory`, `model_utils.py:12-21`;
+            # jit caches intentionally kept — recompiles cost minutes on TPU)
+            del compressed
         except Exception as e:  # fault isolation per config
             logger.error("config %s failed: %s", name, e)
             all_results[name] = {"error": str(e),

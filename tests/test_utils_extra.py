@@ -1,0 +1,80 @@
+"""EDA utilities, sensitivity plots, profiling tools, QTensor TP sharding."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_compression_tpu.config import ARCHS
+from openai_whisper_compression_tpu.models import params as P
+
+
+def test_eda(tmp_path):
+    from openai_whisper_compression_tpu.evaluation.data import synthetic_dataset
+    from openai_whisper_compression_tpu.evaluation import eda
+
+    data = synthetic_dataset(6, seed=0, min_dur=1.0, max_dur=3.0)
+    stats = eda.examine_dataset(data)
+    assert stats["num_samples"] == 6
+    assert 1.0 <= stats["duration_s"]["mean"] <= 3.0
+    assert stats["words_per_utterance"]["max"] >= stats["words_per_utterance"]["min"]
+
+    paths = eda.plot_dataset_distributions(data, str(tmp_path))
+    paths += eda.plot_sample(data[0], str(tmp_path))
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_sensitivity_plots(tmp_path):
+    from openai_whisper_compression_tpu.sensitivity.plots import plot_sensitivity
+
+    agg = {"by_category": {"encoder_ffn": 0.4, "decoder_ffn": 0.9,
+                           "cross_attention": 0.2},
+           "by_layer": {"encoder.0": 0.1, "encoder.1": 0.5,
+                        "decoder.0": 0.9, "decoder.1": 0.3}}
+    paths = plot_sensitivity(agg, str(tmp_path))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+
+def test_profiling_tools():
+    from openai_whisper_compression_tpu.utils import profiling
+
+    def f(x):
+        return (x @ x).sum()
+
+    x = jnp.ones((128, 128))
+    t = profiling.timed(f, x, iters=2)
+    assert t["median_s"] > 0
+    costs = profiling.cost_analysis(f, x)
+    assert costs.get("flops", 0) >= 2 * 128 ** 3 * 0.9
+    perf = profiling.flops_per_second(f, x, iters=2)
+    assert perf["achieved_tflops"] > 0
+
+
+def test_qtensor_tp_sharding():
+    from openai_whisper_compression_tpu.ops.qtensor import QTensor
+    from openai_whisper_compression_tpu.parallel import mesh as mesh_lib
+    from openai_whisper_compression_tpu.quant import api as quant_api
+
+    arch = ARCHS["test2l"]
+    params = quant_api.quantize_params(
+        P.init_params(arch, jax.random.PRNGKey(0)), "int8")
+    mesh = mesh_lib.make_mesh(dp=2, tp=4)
+    sharded = mesh_lib.shard_params(params, mesh)
+    q = P.get_leaf(sharded, "encoder.layers.0.attn.q.w")
+    assert isinstance(q, QTensor)
+    # column-parallel: data sharded on out dim, scale follows
+    assert q.data.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+    assert q.scale.sharding.spec == jax.sharding.PartitionSpec(None, "tp")
+    o = P.get_leaf(sharded, "encoder.layers.0.attn.o.w")
+    assert o.data.sharding.spec == jax.sharding.PartitionSpec("tp", None)
+
+    # sharded quantized forward still runs under jit (XLA dequant path on CPU)
+    from openai_whisper_compression_tpu.models.whisper import encode
+
+    mel = jax.device_put(jnp.zeros((2, arch.num_mel_bins, 64)),
+                         mesh_lib.batch_sharding(mesh))
+    out = jax.jit(lambda p, m: encode(p, arch, m))(sharded, mel)
+    assert out.shape == (2, 32, arch.d_model)
