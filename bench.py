@@ -34,10 +34,15 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--tokens", type=int, default=25)
+    ap.add_argument("--beam", type=int, default=1)
     ap.add_argument("--quant", default="int8",
                     choices=["none", "int8", "int4", "nf4"])
     ap.add_argument("--fuse", action=argparse.BooleanOptionalAction,
                     default=True, help="fuse decoder qkv projections")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV cache")
+    ap.add_argument("--structured50", action="store_true",
+                    help="50%% structured head+FFN pruning before quant")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +54,15 @@ def main() -> None:
     from openai_whisper_compression_tpu.models import params as P
 
     arch = ARCHS[args.model]
-    params = P.init_params(arch, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = P.init_params_jit(arch, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if args.structured50:
+        from openai_whisper_compression_tpu.prune.structured import (
+            prune_heads_by_l1, shrink_ffn)
+
+        params = prune_heads_by_l1(params, arch, 0.5, physical=True)
+        for comp in ("encoder", "decoder"):
+            for li in range(len(params[comp]["layers"])):
+                params = shrink_ffn(params, comp, li, 0.5)
     if args.quant != "none":
         from openai_whisper_compression_tpu.quant import api as quant_api
 
@@ -62,23 +75,33 @@ def main() -> None:
           f"params_mb={P.size_in_mb(params):.1f} backend={jax.default_backend()}",
           file=sys.stderr)
 
-    cfg = DecodeConfig(max_new_tokens=args.tokens,
+    cfg = DecodeConfig(max_new_tokens=args.tokens, beam_size=args.beam,
+                       kv_int8=args.kv_int8,
                        suppress_tokens=(arch.eos_token_id,))
-    fn = make_transcribe_fn(arch, cfg)
+    fn = make_transcribe_fn(arch, cfg, fast_mel=True)
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((args.batch, 480_000)) * 0.1,
                       jnp.float32)
 
+    def run_synced():
+        # Host readback of the outputs: on some remote TPU platforms (axon)
+        # block_until_ready returns before execution finishes for buffers
+        # descended from jit-created params; copying the (tiny) token array
+        # to host is the only reliable fence.
+        tokens, lengths = fn(params, wav)
+        np.asarray(tokens)
+        np.asarray(lengths)
+
     # compile + warmup
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(params, wav))
+    run_synced()
     print(f"# compile+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(params, wav))
+        run_synced()
         times.append(time.perf_counter() - t0)
     wall = float(np.median(times))
     rtfx = args.batch * AVG_UTT_SECONDS / wall
@@ -87,7 +110,8 @@ def main() -> None:
     print(f"# wall_per_batch={wall * 1e3:.1f}ms times={[f'{t*1e3:.0f}' for t in times]} "
           f"peak_hbm={hbm:.0f}MB", file=sys.stderr)
     print(json.dumps({
-        "metric": f"whisper-{args.model}-{args.quant} greedy RTFx "
+        "metric": f"whisper-{args.model}-{args.quant} "
+                  f"{'greedy' if args.beam <= 1 else f'beam{args.beam}'} RTFx "
                   f"(batch {args.batch}, 25 tok, audio=7.42s/utt)",
         "value": round(rtfx, 2),
         "unit": "x_realtime",

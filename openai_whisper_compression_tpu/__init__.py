@@ -38,10 +38,10 @@ def load_model(name_or_arch: str = "tiny", dtype: Any = None, seed: int = 0,
         from .models.convert import load_hf_model
 
         return load_hf_model(hf, dtype=dtype)
-    from .models.params import init_params
+    from .models.params import init_params_jit
 
     arch = ARCHS[name_or_arch]
-    return init_params(arch, jax.random.PRNGKey(seed), dtype=dtype), arch
+    return init_params_jit(arch, jax.random.PRNGKey(seed), dtype=dtype), arch
 
 
 def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,

@@ -113,15 +113,20 @@ def frame_waveform(wav: jax.Array) -> jax.Array:
     return x[..., idx]  # gather -> (B, F, N_FFT)
 
 
-def log_mel(wav: jax.Array, n_mels: int = 80) -> jax.Array:
+def log_mel(wav: jax.Array, n_mels: int = 80,
+            dft_dtype=jnp.float32) -> jax.Array:
     """Waveform batch (B, N_SAMPLES) float32 -> log-mel (B, n_mels, 3000).
 
-    XLA path; fully jit-compatible, static shapes.
+    XLA path; fully jit-compatible, static shapes. dft_dtype=bfloat16 runs
+    the DFT/mel matmuls at bf16 MXU rate with fp32 accumulation (~4x faster,
+    power-spectrum rel. error ~1e-2 — inaudible after the log/clamp).
     """
     cos_b, sin_b, mel_fb = dft_mel_bases(n_mels)
-    frames = frame_waveform(wav)  # (B, F, 400)
-    re = jnp.dot(frames, jnp.asarray(cos_b), preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, jnp.asarray(sin_b), preferred_element_type=jnp.float32)
+    frames = frame_waveform(wav).astype(dft_dtype)  # (B, F, 400)
+    re = jnp.dot(frames, jnp.asarray(cos_b, dft_dtype),
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(frames, jnp.asarray(sin_b, dft_dtype),
+                 preferred_element_type=jnp.float32)
     power = re * re + im * im  # (B, F, n_freq)
     mel = jnp.dot(power, jnp.asarray(mel_fb), preferred_element_type=jnp.float32)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
@@ -133,7 +138,7 @@ def log_mel(wav: jax.Array, n_mels: int = 80) -> jax.Array:
 
 
 def preprocess(wav: jax.Array, n_mels: int = 80, use_pallas: bool = False,
-               length: int = N_SAMPLES) -> jax.Array:
+               length: int = N_SAMPLES, dft_dtype=jnp.float32) -> jax.Array:
     """Full frontend: pad/trim to `length` samples (default 30 s) then
     log-mel. Replaces the reference's `processor(audio, sampling_rate=16000,
     return_tensors=...)` call (`data_utils.py:56-58`)."""
@@ -141,5 +146,5 @@ def preprocess(wav: jax.Array, n_mels: int = 80, use_pallas: bool = False,
     if use_pallas:
         from .mel_pallas import log_mel_pallas
 
-        return log_mel_pallas(wav, n_mels)
-    return log_mel(wav, n_mels)
+        return log_mel_pallas(wav, n_mels, dft_dtype=dft_dtype)
+    return log_mel(wav, n_mels, dft_dtype=dft_dtype)

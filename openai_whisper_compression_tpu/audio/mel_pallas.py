@@ -48,6 +48,8 @@ def _mel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref):
     f = frames_ref[0]
     re = jnp.dot(f, cos_ref[:], preferred_element_type=jnp.float32)
     im = jnp.dot(f, sin_ref[:], preferred_element_type=jnp.float32)
+    re = re.astype(jnp.float32)
+    im = im.astype(jnp.float32)
     power = re * re + im * im
     mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
     out_ref[0] = jnp.log(jnp.maximum(mel, 1e-10)) * np.float32(1.0 / np.log(10.0))
@@ -57,16 +59,21 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def log_mel_pallas(wav: jax.Array, n_mels: int = 80) -> jax.Array:
+def log_mel_pallas(wav: jax.Array, n_mels: int = 80,
+                   dft_dtype=jnp.float32) -> jax.Array:
     """Waveform batch (B, N_SAMPLES) -> log-mel (B, n_mels, 3000).
 
     Same output as `features.log_mel` (golden-tested); interpreted off-TPU.
+    dft_dtype=bfloat16 runs the DFT matmuls at bf16 MXU rate (fp32 accum).
     """
     frames = frame_waveform(wav)  # (B, F, 400)
     b, f, _ = frames.shape
     fp = -(-f // BM) * BM
     frames = jnp.pad(frames, ((0, 0), (0, fp - f), (0, KP - N_FFT)))
+    frames = frames.astype(dft_dtype)
     cos_p, sin_p, mel_p = _padded_bases(n_mels)
+    cos_p = cos_p.astype(dft_dtype)
+    sin_p = sin_p.astype(dft_dtype)
 
     grid = (b, fp // BM)
     out = pl.pallas_call(

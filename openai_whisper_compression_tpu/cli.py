@@ -151,6 +151,42 @@ def cmd_sensitivity(args):
     raise SystemExit(f"unknown method {args.method}")
 
 
+def cmd_presets(args):
+    """Run the BASELINE.json headline presets end-to-end."""
+    from .config import EvalConfig
+    from .evaluation import harness
+    from .evaluation.memory import MemoryTracker
+    from .sweep.presets import BASELINE_PRESETS, PRESETS
+
+    if args.preset and args.preset not in PRESETS:
+        raise SystemExit(f"unknown preset {args.preset!r}; "
+                         f"choose from {sorted(PRESETS)}")
+    presets = ([PRESETS[args.preset]] if args.preset else BASELINE_PRESETS)
+    all_scores = {}
+    for preset in presets:
+        params, arch, dcfg = preset.build(arch_override=args.arch_override,
+                                          seed=args.seed)
+        dcfg.max_new_tokens = args.max_new_tokens
+        datasets, tok = _load_data(args, arch)
+        tracker = MemoryTracker(preset.name)
+        scores, _ = harness.evaluate_model(
+            params, arch, datasets["test_clean"], tok,
+            eval_cfg=EvalConfig(batch_size=args.batch_size),
+            decode_cfg=dcfg, memory_tracker=tracker)
+        if preset.longform:
+            from . import transcribe
+            import numpy as np
+
+            long_wav = np.concatenate(
+                [u.audio for u in datasets["test_clean"][:4]])
+            res = transcribe(params, arch, long_wav, tok, decode_cfg=dcfg,
+                             batch_size=args.batch_size)
+            scores["longform_chunks"] = res["num_chunks"]
+        all_scores[preset.name] = scores
+    harness.print_evaluation_summary(all_scores)
+    return all_scores
+
+
 def cmd_analyze(args):
     from .sensitivity import architecture
 
@@ -223,6 +259,14 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_sweep)
 
+    p = sub.add_parser("presets", help="run BASELINE headline presets")
+    common(p)
+    data_opts(p)
+    p.add_argument("--preset", default=None)
+    p.add_argument("--arch-override", default=None,
+                   help="run preset transforms on a different (tiny) arch")
+    p.set_defaults(fn=cmd_presets)
+
     p = sub.add_parser("sensitivity", help="sensitivity analyses")
     common(p)
     p.add_argument("--method", default="gradient",
@@ -251,6 +295,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_compress)
 
     args = ap.parse_args(argv)
+    from .utils.logging_setup import setup_logging
+
+    setup_logging()
     return args.fn(args)
 
 

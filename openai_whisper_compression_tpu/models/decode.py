@@ -99,12 +99,12 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     stop; lengths (B,) — number of valid tokens incl. prefix and final EOT).
     """
     cfg = cfg or DecodeConfig()
-    max_len = max_len or arch.max_target_positions
     b = enc_out.shape[0]
     eot = arch.eos_token_id
 
     prefix = forced_prefix(arch, cfg)
     p_len = len(prefix)
+    max_len = max_len or _auto_cache_len(arch, p_len, cfg)
     sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
     begin_sup = jnp.asarray(
         _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
@@ -146,6 +146,14 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     return tokens, lengths
 
 
+def _auto_cache_len(arch: WhisperArch, p_len: int, cfg: DecodeConfig) -> int:
+    """Size the KV cache for the requested decode length (64-aligned) rather
+    than always max_target_positions: a 25-token decode then reads a 64-slot
+    cache instead of 448 — ~7x less self-attention cache bandwidth per step."""
+    need = p_len + cfg.max_new_tokens + 1
+    return min(arch.max_target_positions, -(-need // 64) * 64)
+
+
 def _gen_lengths(tokens: jax.Array, p_len: int, pos: jax.Array,
                  eot: int) -> jax.Array:
     """Generated-token count per sequence: up to and including an EOT the
@@ -185,13 +193,13 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     beam = cfg.beam_size
     if beam <= 1:
         return greedy_decode(params, arch, enc_out, cfg, max_len)
-    max_len = max_len or arch.max_target_positions
     b, src, d = enc_out.shape
     eot = arch.eos_token_id
     vocab = arch.vocab_size
 
     prefix = forced_prefix(arch, cfg)
     p_len = len(prefix)
+    max_len = max_len or _auto_cache_len(arch, p_len, cfg)
     sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
     begin_sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
 

@@ -62,7 +62,10 @@ def init_params(arch: WhisperArch, key: jax.Array | None = None,
                 dtype=jnp.float32, std: float = 0.02) -> Params:
     """Random-init parameter pytree matching HF WhisperForConditionalGeneration
     layout semantics (init_std normal for linears/embeddings, zeros bias,
-    unit layernorm, sinusoidal encoder positions)."""
+    unit layernorm, sinusoidal encoder positions).
+
+    For big models prefer `init_params_jit` — eager per-leaf RNG dispatch is
+    slow on tunnelled TPU backends (hundreds of leaves)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     d, ffn = arch.d_model, arch.ffn_dim
@@ -103,6 +106,22 @@ def init_params(arch: WhisperArch, key: jax.Array | None = None,
         "ln": _ln(d, dtype),
     }
     return {"encoder": encoder, "decoder": decoder}
+
+
+import functools  # noqa: E402
+
+
+@functools.partial(jax.jit, static_argnames=("arch", "dtype", "std"))
+def _init_params_jit(arch: WhisperArch, key: jax.Array, dtype, std):
+    return init_params(arch, key, dtype, std)
+
+
+def init_params_jit(arch: WhisperArch, key: jax.Array | None = None,
+                    dtype=jnp.float32, std: float = 0.02) -> Params:
+    """One-compile whole-tree init (fast for large models on remote TPU)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _init_params_jit(arch, key, jnp.dtype(dtype), std)
 
 
 # ---------------------------------------------------------------------------

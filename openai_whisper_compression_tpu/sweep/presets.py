@@ -1,0 +1,84 @@
+"""The five headline benchmark presets (BASELINE.json configs).
+
+Each preset = (model, compression transform, decode settings). Unlike
+`sweep.configs` (one arch, many compressions), presets span architectures:
+
+1. whisper-tiny FP32 greedy            — CPU-runnable reference config
+2. whisper-small FP16 beam-5           — + long-form 30 s chunking
+3. whisper-small int8 weight-only      — WER delta vs FP32 baseline
+4. whisper-medium int4 + int8 KV cache — bnb-style NF4 config
+5. whisper-large-v3 50% structured head/FFN pruning + int8
+
+`arch_override` lets tests run every preset's *transform* on a tiny config.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from ..config import ARCHS, DecodeConfig, WhisperArch
+
+
+def _identity(p, a):
+    return p
+
+
+def _quant(method, **kw):
+    def f(p, a):
+        from ..quant.api import quantize_params
+
+        return quantize_params(p, method, **kw)
+    return f
+
+
+def _structured50_int8(p, a):
+    from ..prune.structured import prune_heads_by_l1, shrink_ffn
+    from ..quant.api import quantize_params
+
+    p = prune_heads_by_l1(p, a, 0.5, physical=True)
+    for comp in ("encoder", "decoder"):
+        for li in range(len(p[comp]["layers"])):
+            p = shrink_ffn(p, comp, li, 0.5)
+    return quantize_params(p, "int8")
+
+
+@dataclass
+class Preset:
+    name: str
+    model: str
+    dtype: str
+    transform: Callable[[Any, WhisperArch], Any]
+    decode: dict = field(default_factory=dict)
+    longform: bool = False
+
+    def build(self, arch_override: str | None = None, seed: int = 0):
+        """-> (params, arch, decode_cfg)"""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.params import init_params_jit
+
+        arch = ARCHS[arch_override or self.model]
+        params = init_params_jit(arch, jax.random.PRNGKey(seed),
+                                 dtype=jnp.dtype(self.dtype))
+        params = self.transform(params, arch)
+        dk = dict(self.decode)
+        if arch.vocab_size <= 50259:  # tiny test vocab: no lang/task tokens
+            dk.update(language_token_id=None, task_token_id=None,
+                      notimestamps=False)
+        return params, arch, DecodeConfig(**dk)
+
+
+BASELINE_PRESETS: list[Preset] = [
+    Preset("tiny_fp32_greedy", "tiny", "float32", _identity),
+    Preset("small_fp16_beam5_longform", "small", "float16", _identity,
+           decode={"beam_size": 5}, longform=True),
+    Preset("small_int8", "small", "bfloat16", _quant("int8")),
+    Preset("medium_int4_kv8", "medium", "bfloat16", _quant("int4"),
+           decode={"kv_int8": True}),
+    Preset("largev3_structured50_int8", "large-v3", "bfloat16",
+           _structured50_int8),
+]
+
+PRESETS = {p.name: p for p in BASELINE_PRESETS}
