@@ -151,6 +151,114 @@ def cmd_sensitivity(args):
     raise SystemExit(f"unknown method {args.method}")
 
 
+def cmd_run(args):
+    """Execute a RunConfig JSON (the unified experiment schema replacing the
+    reference's three config styles — SURVEY.md §5 'Config / flag system')."""
+    from .config import RunConfig
+    from .evaluation import harness
+    from .evaluation.memory import MemoryTracker
+
+    rc = RunConfig.from_json(open(args.config).read())
+    args.model, args.dtype = rc.model, rc.dtype
+    params, arch = _load_model(args)
+
+    if rc.pruning:
+        if "recipe" in rc.pruning:
+            from .prune.recipe import apply_recipe
+
+            params = apply_recipe(params, arch, rc.pruning["recipe"])
+        if "global_l1" in rc.pruning:
+            from .prune.magnitude import prune_global_l1
+
+            params = prune_global_l1(params, rc.pruning["global_l1"])
+    if rc.quantization:
+        from .quant import api as quant_api
+
+        if "name" in rc.quantization:
+            params = quant_api.apply_named_config(params, rc.quantization["name"])
+        else:
+            params = quant_api.quantize_params(params, **rc.quantization)
+
+    args.samples = rc.eval.num_samples
+    args.calibration_samples = 4
+    args.librispeech = getattr(args, "librispeech", False)
+    datasets, tok = _load_data(args, arch)
+    tracker = MemoryTracker(f"run_{rc.model}")
+    scores, records = harness.evaluate_model(
+        params, arch, datasets["test_clean"][: rc.eval.num_samples], tok,
+        eval_cfg=rc.eval, decode_cfg=rc.decode, memory_tracker=tracker)
+    if rc.eval.save_path:
+        harness.save_evaluation_results(scores, records, rc.model,
+                                        rc.eval.save_path)
+    harness.print_evaluation_summary({rc.model: scores})
+    return scores
+
+
+def cmd_transcribe(args):
+    """Transcribe an audio file (.wav 16-bit PCM or .npy float waveform)."""
+    import numpy as np
+
+    from . import transcribe
+
+    if args.audio.endswith(".npy"):
+        wav = np.load(args.audio).astype(np.float32)
+        sr = args.sample_rate
+    else:
+        import wave
+
+        with wave.open(args.audio, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+            wav = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+            if w.getnchannels() > 1:
+                wav = wav.reshape(-1, w.getnchannels()).mean(axis=1)
+    if sr != 16000:
+        from .runtime_native import BatchLoader
+
+        n16 = int(len(wav) * 16000 / sr)
+        loader = BatchLoader(1, n16)
+        loader.submit(0, wav, sample_rate=sr)
+        wav = loader.flush()[0]
+
+    params, arch = _load_model(args)
+    res = transcribe(params, arch, wav, decode_cfg=_decode_cfg(args, arch),
+                     batch_size=args.batch_size)
+    print(res["text"])
+    return res
+
+
+def cmd_agreement(args):
+    """Token/logit agreement of a compressed model vs its dense baseline."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .audio import features
+    from .evaluation.agreement import model_agreement
+    from .evaluation.data import synthetic_dataset
+    from .evaluation.harness import samples_for_arch
+    from .quant import api as quant_api
+
+    params, arch = _load_model(args)
+    comp = quant_api.apply_named_config(params, args.quant)
+    if args.prune_recipe:
+        from .prune import recipe as recipe_mod
+
+        comp = recipe_mod.apply_recipe(comp, arch)
+    n = samples_for_arch(arch)
+    data = synthetic_dataset(args.samples, seed=args.seed)
+    wav = np.zeros((args.samples, n), np.float32)
+    for i, u in enumerate(data):
+        m = min(len(u.audio), n)
+        wav[i, :m] = u.audio[:m]
+    mels = features.preprocess(jnp.asarray(wav), arch.num_mel_bins,
+                               length=n).astype(jnp.float32)
+    res = model_agreement(params, comp, arch, mels)
+    print(json.dumps({"quant": args.quant, **res}, indent=2))
+    return res
+
+
 def cmd_presets(args):
     """Run the BASELINE.json headline presets end-to-end."""
     from .config import EvalConfig
@@ -258,6 +366,27 @@ def main(argv=None):
                             "prune_quant"])
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("run", help="execute a RunConfig JSON experiment")
+    common(p)
+    p.add_argument("--config", required=True)
+    p.add_argument("--librispeech", action="store_true")
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("transcribe", help="transcribe a .wav/.npy file")
+    common(p)
+    data_opts(p)
+    p.add_argument("--audio", required=True)
+    p.add_argument("--sample-rate", type=int, default=16000,
+                   help="sample rate for .npy inputs")
+    p.set_defaults(fn=cmd_transcribe)
+
+    p = sub.add_parser("agreement", help="compressed-vs-baseline agreement")
+    common(p)
+    p.add_argument("--quant", default="quanto_int8")
+    p.add_argument("--prune-recipe", action="store_true")
+    p.add_argument("--samples", type=int, default=4)
+    p.set_defaults(fn=cmd_agreement)
 
     p = sub.add_parser("presets", help="run BASELINE headline presets")
     common(p)

@@ -1,0 +1,62 @@
+"""Compression-accuracy agreement harness.
+
+With no pretrained weights or labeled data available (offline TPU pods), WER
+deltas can't be measured directly — instead this measures how faithfully a
+compressed model tracks its uncompressed baseline: greedy-token agreement,
+top-1 logit agreement, and mean KL of the output distributions on shared
+inputs. A compressed model with ~100% token agreement is WER-neutral by
+construction; the quant lab's tests use these numbers as accuracy gates.
+(No reference counterpart — the reference always re-evaluates WER on
+LibriSpeech, `quantization.py:149-208`.)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeConfig, WhisperArch
+from ..models import decode
+from ..models.whisper import decode_logits, encode
+
+
+def model_agreement(base_params: Any, comp_params: Any, arch: WhisperArch,
+                    mels: jax.Array, decode_cfg: DecodeConfig | None = None,
+                    teacher_tokens: jax.Array | None = None) -> dict[str, float]:
+    """-> {token_agreement, top1_agreement, mean_kl, logit_rel_err}."""
+    decode_cfg = decode_cfg or DecodeConfig(
+        max_new_tokens=16, language_token_id=None, task_token_id=None,
+        notimestamps=False)
+
+    enc_b = encode(base_params, arch, mels)
+    enc_c = encode(comp_params, arch, mels)
+
+    t_b, l_b = decode.greedy_decode(base_params, arch, enc_b, decode_cfg)
+    t_c, l_c = decode.greedy_decode(comp_params, arch, enc_c, decode_cfg)
+    t_b, t_c = np.asarray(t_b), np.asarray(t_c)
+    l_b, l_c = np.asarray(l_b), np.asarray(l_c)
+    agree = []
+    for i in range(t_b.shape[0]):
+        n = int(min(l_b[i], l_c[i]))
+        agree.append(float(np.mean(t_b[i, :n] == t_c[i, :n])))
+    token_agreement = float(np.mean(agree))
+
+    if teacher_tokens is None:
+        width = min(8, t_b.shape[1])
+        teacher_tokens = jnp.asarray(t_b[:, :width].astype(np.int32))
+    lg_b = decode_logits(base_params, arch, teacher_tokens, enc_b).astype(jnp.float32)
+    lg_c = decode_logits(comp_params, arch, teacher_tokens, enc_c).astype(jnp.float32)
+    p = jax.nn.log_softmax(lg_b, axis=-1)
+    q = jax.nn.log_softmax(lg_c, axis=-1)
+    kl = jnp.sum(jnp.exp(p) * (p - q), axis=-1)
+    top1 = jnp.mean(jnp.argmax(lg_b, -1) == jnp.argmax(lg_c, -1))
+    rel = jnp.linalg.norm(lg_b - lg_c) / jnp.linalg.norm(lg_b)
+    return {
+        "token_agreement": token_agreement,
+        "top1_agreement": float(top1),
+        "mean_kl": float(jnp.mean(kl)),
+        "logit_rel_err": float(rel),
+    }

@@ -1,0 +1,96 @@
+"""Agreement harness + transcribe/agreement CLI tests."""
+
+import json
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_agreement_orders_quant_methods():
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.evaluation.agreement import model_agreement
+    from openai_whisper_compression_tpu.models import params as P
+    from openai_whisper_compression_tpu.quant import api as quant_api
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    g = np.random.default_rng(0)
+    mels = jnp.asarray(g.standard_normal((2, arch.num_mel_bins, 64)),
+                       jnp.float32)
+
+    r8 = model_agreement(params, quant_api.quantize_params(params, "int8"),
+                         arch, mels)
+    r2 = model_agreement(params, quant_api.quantize_params(params, "int2"),
+                         arch, mels)
+    assert r8["token_agreement"] >= 0.95
+    assert r8["mean_kl"] < 0.05
+    # int2 is destructive -> strictly worse fidelity than int8
+    assert r2["mean_kl"] > r8["mean_kl"]
+    assert r2["logit_rel_err"] > r8["logit_rel_err"]
+    # identity agreement is perfect
+    rid = model_agreement(params, params, arch, mels)
+    assert rid["token_agreement"] == 1.0 and rid["mean_kl"] < 1e-6
+
+
+def test_cli_agreement(capsys):
+    from openai_whisper_compression_tpu import cli
+
+    cli.main(["agreement", "--model", "test2l", "--quant", "quanto_int8",
+              "--samples", "2"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["token_agreement"] > 0.9
+
+
+def test_cli_transcribe_wav(tmp_path, capsys):
+    from openai_whisper_compression_tpu import cli
+
+    # 8 kHz stereo PCM wav -> exercises channel-mix + native resample
+    sr = 8000
+    t = np.arange(int(0.7 * sr)) / sr
+    mono = (0.3 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    stereo = np.stack([mono, mono], axis=1).reshape(-1)
+    path = tmp_path / "a.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(stereo.tobytes())
+
+    cli.main(["transcribe", "--model", "test2l", "--audio", str(path),
+              "--max-new-tokens", "3", "--batch-size", "1"])
+    out = capsys.readouterr().out
+    assert isinstance(out, str)  # gibberish text from random weights is fine
+
+
+def test_cli_transcribe_npy(tmp_path, capsys):
+    from openai_whisper_compression_tpu import cli
+
+    wav = np.random.default_rng(0).standard_normal(8000).astype(np.float32)
+    path = tmp_path / "a.npy"
+    np.save(path, wav)
+    cli.main(["transcribe", "--model", "test2l", "--audio", str(path),
+              "--max-new-tokens", "3", "--batch-size", "1"])
+    assert capsys.readouterr().out is not None
+
+
+def test_cli_run_config(tmp_path, capsys):
+    from openai_whisper_compression_tpu import cli
+
+    cfg = {
+        "model": "test2l", "dtype": "float32",
+        "quantization": {"name": "quanto_int8"},
+        "pruning": {"global_l1": 0.3},
+        "decode": {"max_new_tokens": 4, "language_token_id": None,
+                   "task_token_id": None, "notimestamps": False},
+        "eval": {"num_samples": 4, "batch_size": 2, "warmup_batches": 0,
+                 "save_path": str(tmp_path)},
+    }
+    path = tmp_path / "run.json"
+    path.write_text(json.dumps(cfg))
+    scores = cli.main(["run", "--config", str(path)])
+    assert scores["num_samples"] == 4
+    assert (tmp_path / "test2l_results.json").exists()
