@@ -35,29 +35,85 @@ def chunk_waveform(wav: np.ndarray, n_samples: int,
     return chunks
 
 
+SOT_PREV = 50361  # <|startofprev|>
+
+
 def transcribe_long(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     cfg: DecodeConfig | None = None, batch_size: int = 8,
-                    transcribe_fn=None) -> dict:
-    """Arbitrary-length waveform -> {"text", "chunks", "audio_seconds"}."""
+                    transcribe_fn=None, condition_on_previous: bool = False,
+                    prompt_window: int = 64) -> dict:
+    """Arbitrary-length waveform -> {"text", "chunks", "audio_seconds"}.
+
+    condition_on_previous=True feeds each chunk the previous chunk's tokens
+    as a decoder prompt (OpenAI `condition_on_previous_text`); chunks then
+    decode sequentially instead of batched.
+    """
     cfg = cfg or DecodeConfig()
     n_samples = samples_for_arch(arch)
-    if transcribe_fn is None:
-        transcribe_fn = make_transcribe_fn(arch, cfg)
     chunks = chunk_waveform(np.asarray(wav, np.float32), n_samples)
 
-    texts: list[str] = []
-    for i in range(0, len(chunks), batch_size):
-        batch = chunks[i: i + batch_size]
-        buf = np.zeros((batch_size, n_samples), np.float32)
-        for j, c in enumerate(batch):
-            buf[j, : len(c)] = c
-        tokens, lengths = transcribe_fn(params, jnp.asarray(buf))
-        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
-        for j in range(len(batch)):
-            texts.append(tokenizer.decode(tokens[j, : lengths[j]]))
+    if condition_on_previous:
+        texts = _transcribe_conditioned(params, arch, chunks, tokenizer, cfg,
+                                        n_samples, prompt_window)
+    else:
+        if transcribe_fn is None:
+            transcribe_fn = make_transcribe_fn(arch, cfg)
+        texts = []
+        for i in range(0, len(chunks), batch_size):
+            batch = chunks[i: i + batch_size]
+            buf = np.zeros((batch_size, n_samples), np.float32)
+            for j, c in enumerate(batch):
+                buf[j, : len(c)] = c
+            tokens, lengths = transcribe_fn(params, jnp.asarray(buf))
+            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            for j in range(len(batch)):
+                texts.append(tokenizer.decode(tokens[j, : lengths[j]]))
     return {
         "text": " ".join(t for t in texts if t),
         "chunks": texts,
         "audio_seconds": len(wav) / 16000.0,
         "num_chunks": len(chunks),
     }
+
+
+def _transcribe_conditioned(params, arch: WhisperArch, chunks, tokenizer,
+                            cfg: DecodeConfig, n_samples: int,
+                            pw: int) -> list[str]:
+    from ..audio import features
+    from ..models.decode import forced_prefix, greedy_decode
+    from ..models.whisper import encode
+
+    p_len = len(forced_prefix(arch, cfg))
+    first_gen = pw + p_len
+    eot = arch.eos_token_id
+
+    @jax.jit
+    def step(params, wav, prompt, plen):
+        mel = features.preprocess(wav, arch.num_mel_bins,
+                                  length=n_samples).astype(jnp.float32)
+        enc = encode(params, arch, mel)
+        return greedy_decode(params, arch, enc, cfg,
+                             prompt_tokens=prompt, prompt_lens=plen)
+
+    texts: list[str] = []
+    prompt = np.full((1, pw), eot, np.int32)
+    plen = np.zeros((1,), np.int32)
+    for chunk in chunks:
+        buf = np.zeros((1, n_samples), np.float32)
+        buf[0, : len(chunk)] = chunk
+        tokens, lengths = step(params, jnp.asarray(buf), jnp.asarray(prompt),
+                               jnp.asarray(plen))
+        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+        gen = tokens[0, first_gen: lengths[0]]
+        gen = gen[gen != eot]
+        texts.append(tokenizer.decode(gen))
+        # next prompt: <|startofprev|> + trailing generated tokens
+        ids = list(gen[-(pw - 1):]) if pw > 1 else []
+        if SOT_PREV < arch.vocab_size:
+            ids = [SOT_PREV] + ids
+        ids = ids[-pw:]
+        prompt = np.full((1, pw), eot, np.int32)
+        if ids:
+            prompt[0, pw - len(ids):] = ids
+        plen = np.asarray([len(ids)], np.int32)
+    return texts

@@ -52,18 +52,31 @@ def _suppress_bias(arch: WhisperArch, ids: tuple[int, ...]) -> np.ndarray:
 
 def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
                  pos: jax.Array, cache: list, cross_kvs: list,
-                 max_len: int) -> tuple[jax.Array, list]:
+                 max_len: int,
+                 start: jax.Array | None = None) -> tuple[jax.Array, list]:
     """tok: (B,) int32 current tokens; pos: scalar step index.
 
+    start: optional (B,) first valid cache position per sequence (prompt
+    left-padding for prompt-conditioned decoding is masked out).
     Returns (logits (B, V), updated cache)."""
     dec = params["decoder"]
     b = tok.shape[0]
     x = embed_tokens(dec, tok)[:, None, :]  # (B, 1, d)
-    x = x + lax.dynamic_slice_in_dim(dec["pos"], pos, 1, axis=0)[None].astype(x.dtype)
+    if start is None:
+        x = x + lax.dynamic_slice_in_dim(dec["pos"], pos, 1,
+                                         axis=0)[None].astype(x.dtype)
+    else:
+        # positions are sequence-relative: the (left-padded) prompt's first
+        # valid token sits at position 0, like OpenAI's prompt conditioning
+        pidx = jnp.maximum(pos - start, 0)  # (B,)
+        x = x + dec["pos"][pidx][:, None, :].astype(x.dtype)
 
-    # mask over cache positions: attend to <= pos
-    valid = (jnp.arange(max_len) <= pos)
-    mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[None, None, None, :]
+    # mask over cache positions: attend to start <= idx <= pos
+    idx = jnp.arange(max_len)
+    valid = (idx <= pos)[None, :]
+    if start is not None:
+        valid = jnp.logical_and(valid, idx[None, :] >= start[:, None])
+    mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
 
     new_cache = []
     for i, layer in enumerate(dec["layers"]):
@@ -92,11 +105,20 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
 
 def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
                   cfg: DecodeConfig | None = None,
-                  max_len: int | None = None) -> tuple[jax.Array, jax.Array]:
+                  max_len: int | None = None,
+                  prompt_tokens: jax.Array | None = None,
+                  prompt_lens: jax.Array | None = None
+                  ) -> tuple[jax.Array, jax.Array]:
     """Batched greedy decode.
 
-    Returns (tokens (B, max_len) — prefix + generated, padded with EOT after
-    stop; lengths (B,) — number of valid tokens incl. prefix and final EOT).
+    Optional prompt conditioning (long-form `condition_on_previous_text`):
+    `prompt_tokens` (B, P) holds right-aligned prompt ids; left padding is
+    masked out of attention via `prompt_lens` (B,). The forced prefix and
+    generation follow at positions >= P.
+
+    Returns (tokens (B, max_len) — [prompt +] prefix + generated, padded
+    with EOT after stop; lengths (B,) — valid tokens incl. prompt window,
+    prefix and final EOT).
     """
     cfg = cfg or DecodeConfig()
     b = enc_out.shape[0]
@@ -104,7 +126,8 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
 
     prefix = forced_prefix(arch, cfg)
     p_len = len(prefix)
-    max_len = max_len or _auto_cache_len(arch, p_len, cfg)
+    pw = 0 if prompt_tokens is None else prompt_tokens.shape[1]
+    max_len = max_len or _auto_cache_len(arch, pw + p_len, cfg)
     sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
     begin_sup = jnp.asarray(
         _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
@@ -114,16 +137,25 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
                                 dtype=enc_out.dtype, int8=cfg.kv_int8)
 
     tokens = jnp.full((b, max_len), eot, jnp.int32)
-    tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])
+    start = None
+    if pw:
+        tokens = tokens.at[:, :pw].set(prompt_tokens.astype(jnp.int32))
+        if prompt_lens is None:
+            prompt_lens = jnp.full((b,), pw, jnp.int32)
+        start = (pw - prompt_lens).astype(jnp.int32)
+    tokens = tokens.at[:, pw: pw + p_len].set(
+        jnp.asarray(prefix, jnp.int32)[None])
 
     step_fn = functools.partial(decoder_step, params, arch,
-                                cross_kvs=cross_kvs, max_len=max_len)
+                                cross_kvs=cross_kvs, max_len=max_len,
+                                start=start)
 
-    # Prefill the forced prefix (cheap: p_len <= 4 sequential steps).
-    for i in range(p_len - 1):
+    # Prefill prompt window + forced prefix sequentially.
+    for i in range(pw + p_len - 1):
         _, cache = step_fn(tokens[:, i], jnp.asarray(i), cache)
 
-    limit = min(max_len, p_len + cfg.max_new_tokens)
+    first_gen = pw + p_len  # index of the first generated token
+    limit = min(max_len, first_gen + cfg.max_new_tokens)
 
     def cond(state):
         tokens, cache, pos, finished = state
@@ -133,16 +165,16 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         tokens, cache, pos, finished = state
         logits, cache = step_fn(tokens[:, pos], pos, cache)
         logits = logits + sup
-        logits = jnp.where(pos == p_len - 1, logits + begin_sup, logits)
+        logits = jnp.where(pos == first_gen - 1, logits + begin_sup, logits)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, eot, nxt)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = jnp.logical_or(finished, nxt == eot)
         return tokens, cache, pos + 1, finished
 
-    state = (tokens, cache, jnp.asarray(p_len - 1), jnp.zeros((b,), bool))
+    state = (tokens, cache, jnp.asarray(first_gen - 1), jnp.zeros((b,), bool))
     tokens, _, pos, _ = lax.while_loop(cond, body, state)
-    lengths = p_len + _gen_lengths(tokens, p_len, pos, eot)
+    lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
     return tokens, lengths
 
 

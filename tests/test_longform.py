@@ -49,3 +49,81 @@ def test_top_level_compose():
     from openai_whisper_compression_tpu.prune.magnitude import sparsity_report
 
     assert sparsity_report(recipe_pruned)["overall_sparsity"] > 0.1
+
+
+def test_prompt_conditioned_decode():
+    """Prompt conditioning changes the decode; empty prompt matches plain."""
+    import jax.numpy as jnp
+
+    from openai_whisper_compression_tpu.models import decode
+    from openai_whisper_compression_tpu.models.whisper import encode
+
+    params, arch = load_model("test2l")
+    g = np.random.default_rng(5)
+    mel = jnp.asarray(g.standard_normal((1, arch.num_mel_bins, 64)),
+                      jnp.float32)
+    enc = encode(params, arch, mel)
+    cfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                       task_token_id=None, notimestamps=False)
+
+    t0, l0 = decode.greedy_decode(params, arch, enc, cfg)
+    base = np.asarray(t0)[0, 1: int(l0[0])]
+
+    # zero-length prompt window content (plen=0) must reproduce plain decode
+    pw = 8
+    empty = jnp.full((1, pw), arch.eos_token_id, jnp.int32)
+    t1, l1 = decode.greedy_decode(params, arch, enc, cfg,
+                                  prompt_tokens=empty,
+                                  prompt_lens=jnp.zeros((1,), jnp.int32))
+    cond0 = np.asarray(t1)[0, pw + 1: int(l1[0])]
+    np.testing.assert_array_equal(base, cond0)
+
+    # a real prompt must actually be attended: first-step logits shift
+    from openai_whisper_compression_tpu.models import cache as kv_cache
+    from openai_whisper_compression_tpu.models.whisper import precompute_cross_kv
+
+    ckv = precompute_cross_kv(params, arch, enc)
+
+    def first_logits(prompt_vals, plen):
+        prompt = jnp.full((1, pw), prompt_vals, jnp.int32)
+        t, _ = decode.greedy_decode(params, arch, enc, cfg,
+                                    prompt_tokens=prompt,
+                                    prompt_lens=jnp.asarray([plen], jnp.int32))
+        c = kv_cache.init_cache(params, arch, 1, 64)
+        return t
+
+    toks_a = np.asarray(first_logits(7, pw))
+    toks_b = np.asarray(first_logits(11, pw))
+    # decodes ran with different prompts; compare the *step logits* instead
+    cache = kv_cache.init_cache(params, arch, 1, 64)
+    # feed the prompt token then measure logits at the prefix position
+    def step_logits(tokval):
+        c = kv_cache.init_cache(params, arch, 1, 64)
+        start = jnp.asarray([pw - 1], jnp.int32)
+        _, c = decode.decoder_step(params, arch,
+                                   jnp.asarray([tokval], jnp.int32),
+                                   jnp.asarray(pw - 1), c, ckv, 64,
+                                   start=start)
+        lg, _ = decode.decoder_step(params, arch,
+                                    jnp.asarray([998], jnp.int32),
+                                    jnp.asarray(pw), c, ckv, 64, start=start)
+        return np.asarray(lg)
+
+    assert not np.allclose(step_logits(7), step_logits(11), atol=1e-6)
+
+
+def test_transcribe_long_conditioned():
+    from openai_whisper_compression_tpu.evaluation.longform import transcribe_long
+    from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+
+    params, arch = load_model("test2l")
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(0)
+    wav = (g.standard_normal(int(2.2 * n)) * 0.1).astype(np.float32)
+    cfg = DecodeConfig(max_new_tokens=4, language_token_id=None,
+                       task_token_id=None, notimestamps=False)
+    tok = WordTokenizer(arch.vocab_size, special_start=997)
+    res = transcribe_long(params, arch, wav, tok, cfg=cfg,
+                          condition_on_previous=True, prompt_window=8)
+    assert res["num_chunks"] == 3
+    assert len(res["chunks"]) == 3
