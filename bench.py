@@ -43,6 +43,8 @@ def main() -> None:
                     help="int8 KV cache")
     ap.add_argument("--structured50", action="store_true",
                     help="50%% structured head+FFN pruning before quant")
+    ap.add_argument("--merge-at", type=int, default=None,
+                    help="encoder adjacent-token merging before this layer")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +80,7 @@ def main() -> None:
     cfg = DecodeConfig(max_new_tokens=args.tokens, beam_size=args.beam,
                        kv_int8=args.kv_int8,
                        suppress_tokens=(arch.eos_token_id,))
-    fn = make_transcribe_fn(arch, cfg, fast_mel=True)
+    fn = make_transcribe_fn(arch, cfg, fast_mel=True, merge_at=args.merge_at)
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((args.batch, 480_000)) * 0.1,

@@ -161,11 +161,19 @@ def encoder_layer(p: Params, x: jax.Array, head_dim: int,
 
 
 def encode(params: Params, arch: WhisperArch, mel: jax.Array,
-           head_masks: jax.Array | None = None) -> jax.Array:
+           head_masks: jax.Array | None = None,
+           merge_at: int | None = None,
+           merge_factor: int = 2) -> jax.Array:
     """mel: (B, n_mels, 3000) -> encoder states (B, 1500, d_model).
 
     head_masks: optional (L, H) per-layer attention-head mask for
     head-importance scoring (reference `attention_head_pruning.py:40-165`).
+
+    merge_at/merge_factor: adjacent-token merging — average groups of
+    `merge_factor` frames before layer `merge_at`, shrinking the remaining
+    encoder layers AND every decode-time cross-attention by that factor
+    (adjacent-token-merging for transducers, arXiv:2306.16009; a runtime
+    compression axis the reference doesn't have).
     """
     enc = params["encoder"]
     x = gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], stride=1))
@@ -173,6 +181,11 @@ def encode(params: Params, arch: WhisperArch, mel: jax.Array,
     x = x.transpose(0, 2, 1)  # (B, T, d)
     x = x + enc["pos"][: x.shape[1]].astype(x.dtype)
     for i, layer in enumerate(enc["layers"]):
+        if merge_at is not None and i == merge_at:
+            b, t, d = x.shape
+            t2 = t - t % merge_factor
+            x = x[:, :t2].reshape(b, t2 // merge_factor, merge_factor, d)
+            x = jnp.mean(x, axis=2)
         hm = None if head_masks is None else head_masks[i]
         x = encoder_layer(layer, x, arch.head_dim, head_mask=hm)
     return layer_norm(x, enc["ln"])

@@ -26,8 +26,8 @@ def make_hf_pair(seed=0, d=64, heads=4, layers=2, vocab=1000, mels=80,
         encoder_ffn_dim=4 * d, decoder_ffn_dim=4 * d,
         max_source_positions=src_pos, max_target_positions=tgt_pos,
         # keep special ids inside the tiny vocab
-        pad_token_id=996, bos_token_id=997, eos_token_id=997,
-        decoder_start_token_id=998,
+        pad_token_id=vocab - 4, bos_token_id=vocab - 3,
+        eos_token_id=vocab - 3, decoder_start_token_id=vocab - 2,
     )
     model = WhisperForConditionalGeneration(cfg).eval()
     # random (non-zero) weights everywhere for a meaningful comparison
@@ -107,3 +107,40 @@ def test_param_utilities(hf_pair):
     assert leaf.shape[0] == leaf.shape[1]
     # k_proj has no bias in Whisper
     assert "decoder.layers.0.attn.k.b" not in names
+
+
+def test_parity_nonsquare_dims():
+    """Parity with asymmetric head_dim (d=96, 6 heads -> head_dim 16) to
+    catch reshape/transpose bugs square dims would hide."""
+    model, params, arch = make_hf_pair(seed=9, d=96, heads=6, layers=2,
+                                       vocab=500, mels=80, src_pos=24,
+                                       tgt_pos=16)
+    g = np.random.default_rng(11)
+    mel = g.standard_normal((1, 80, 48)).astype(np.float32)
+    tokens = g.integers(0, 500, (1, 5)).astype(np.int64)
+    enc = whisper.encode(params, arch, jnp.asarray(mel))
+    ours = np.asarray(whisper.decode_logits(params, arch,
+                                            jnp.asarray(tokens), enc))
+    with torch.no_grad():
+        theirs = model(input_features=torch.from_numpy(mel),
+                       decoder_input_ids=torch.from_numpy(tokens)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4, rtol=5e-3)
+
+
+def test_token_merging_shapes():
+    _, params, arch = make_hf_pair(seed=1)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((1, 80, 64)), jnp.float32)
+    full = whisper.encode(params, arch, mel)
+    merged = whisper.encode(params, arch, mel, merge_at=1, merge_factor=2)
+    assert merged.shape[1] == full.shape[1] // 2
+    # decode runs against the merged encoder states
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.models import decode as D
+
+    t, l = D.greedy_decode(params, arch, merged,
+                           DecodeConfig(max_new_tokens=4,
+                                        language_token_id=None,
+                                        task_token_id=None,
+                                        notimestamps=False))
+    assert t.shape[0] == 1
