@@ -40,7 +40,9 @@ def main() -> None:
     ap.add_argument("--fuse", action=argparse.BooleanOptionalAction,
                     default=True, help="fuse decoder qkv projections")
     ap.add_argument("--kv-int8", action="store_true",
-                    help="int8 KV cache")
+                    help="int8 self-attn KV cache")
+    ap.add_argument("--cross-kv-int8", action="store_true",
+                    help="int8 cross-attn K/V")
     ap.add_argument("--structured50", action="store_true",
                     help="50%% structured head+FFN pruning before quant")
     ap.add_argument("--merge-at", type=int, default=None,
@@ -79,6 +81,7 @@ def main() -> None:
 
     cfg = DecodeConfig(max_new_tokens=args.tokens, beam_size=args.beam,
                        kv_int8=args.kv_int8,
+                       cross_kv_int8=args.cross_kv_int8,
                        suppress_tokens=(arch.eos_token_id,))
     fn = make_transcribe_fn(arch, cfg, fast_mel=True, merge_at=args.merge_at)
 

@@ -103,7 +103,8 @@ class DecodeConfig:
     begin_suppress_tokens: tuple[int, ...] = ()
     notimestamps: bool = True
     length_penalty: float = 1.0
-    kv_int8: bool = False  # int8 KV cache (BASELINE.json config 4)
+    kv_int8: bool = False        # int8 self-attn KV cache (BASELINE config 4)
+    cross_kv_int8: bool = False  # int8 cross-attn K/V (read every step)
 
 
 @dataclass

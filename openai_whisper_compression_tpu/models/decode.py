@@ -132,7 +132,8 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     begin_sup = jnp.asarray(
         _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
 
-    cross_kvs = precompute_cross_kv(params, arch, enc_out)
+    cross_kvs = precompute_cross_kv(params, arch, enc_out,
+                                     int8=cfg.cross_kv_int8)
     cache = kv_cache.init_cache(params, arch, b, max_len,
                                 dtype=enc_out.dtype, int8=cfg.kv_int8)
 
@@ -237,7 +238,8 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
 
     # Expand encoder states to (B*K, ...)
     enc_rep = jnp.repeat(enc_out, beam, axis=0)
-    cross_kvs = precompute_cross_kv(params, arch, enc_rep)
+    cross_kvs = precompute_cross_kv(params, arch, enc_rep,
+                                     int8=cfg.cross_kv_int8)
     cache = kv_cache.init_cache(params, arch, b * beam, max_len,
                                 dtype=enc_out.dtype, int8=cfg.kv_int8)
 

@@ -120,11 +120,11 @@ def self_attention(p: Params, x: jax.Array, head_dim: int,
     return linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
 
 
-def cross_attention(p: Params, x: jax.Array, kv: tuple[jax.Array, jax.Array],
-                    head_dim: int, head_mask: jax.Array | None = None) -> jax.Array:
+def cross_attention(p: Params, x: jax.Array, kv, head_dim: int,
+                    head_mask: jax.Array | None = None) -> jax.Array:
     h = _num_heads(p, head_dim)
     q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)
-    k, v = kv  # (B, H, S, Dh) precomputed from encoder output
+    k, v = read_cross_kv(kv, q.dtype)  # (B, H, S, Dh) from encoder output
     o = attention(q, k, v)
     if head_mask is not None:
         o = o * head_mask[None, :, None, None].astype(o.dtype)
@@ -196,17 +196,45 @@ def encode(params: Params, arch: WhisperArch, mel: jax.Array,
 # ---------------------------------------------------------------------------
 
 def precompute_cross_kv(params: Params, arch: WhisperArch,
-                        enc_out: jax.Array) -> list[tuple[jax.Array, jax.Array]]:
+                        enc_out: jax.Array,
+                        int8: bool = False) -> list[tuple]:
     """Per-layer cross-attention K/V from encoder states (computed once per
-    utterance; the decode loop then only reads them)."""
+    utterance; the decode loop then only reads them).
+
+    int8=True stores K/V as int8 with per-(head, position) absmax scales,
+    halving cross-KV HBM *capacity*. NOTE: with the XLA dequant path this
+    currently costs throughput (the dequantized f32 arrays materialize every
+    step — measured 646→901 ms/batch on the headline config); use it for
+    memory headroom, not speed, until the attention kernel fuses the
+    dequant."""
     kvs = []
     for layer in params["decoder"]["layers"]:
         p = layer["cross"]
         h = _num_heads(p, arch.head_dim)
         k = split_heads(linear(enc_out, p["k"]["w"]), h)
         v = split_heads(linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
-        kvs.append((k, v))
+        if int8:
+            kvs.append((_quant_kv8(k), _quant_kv8(v)))
+        else:
+            kvs.append((k, v))
     return kvs
+
+
+def _quant_kv8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                                keepdims=True), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def read_cross_kv(kv: tuple, dtype) -> tuple[jax.Array, jax.Array]:
+    """Dequantize a precomputed cross-KV entry if it is int8."""
+    k, v = kv
+    if isinstance(k, tuple):  # (int8 data, scale)
+        k = (k[0].astype(jnp.float32) * k[1]).astype(dtype)
+        v = (v[0].astype(jnp.float32) * v[1]).astype(dtype)
+        return k, v
+    return k.astype(dtype), v.astype(dtype)
 
 
 def decoder_layer(p: Params, x: jax.Array, cross_kv, head_dim: int,

@@ -230,3 +230,21 @@ def test_registry_configs_run(tiny_model):
         assert bool(jnp.all(jnp.isfinite(out))), name
         assert _rel_err(base.astype(jnp.float32),
                         out.astype(jnp.float32)) < 0.5, name
+
+
+def test_cross_kv_int8_decode(tiny_model):
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.models import decode
+    from openai_whisper_compression_tpu.models.whisper import encode
+
+    params, arch = tiny_model
+    g = np.random.default_rng(4)
+    mel = jnp.asarray(g.standard_normal((2, arch.num_mel_bins, 64)), jnp.float32)
+    enc = encode(params, arch, mel)
+    kw = dict(max_new_tokens=8, language_token_id=None, task_token_id=None,
+              notimestamps=False)
+    t_fp, _ = decode.greedy_decode(params, arch, enc, DecodeConfig(**kw))
+    t_q, _ = decode.greedy_decode(params, arch, enc,
+                                  DecodeConfig(cross_kv_int8=True, **kw))
+    agree = np.mean(np.asarray(t_fp) == np.asarray(t_q))
+    assert agree > 0.9
