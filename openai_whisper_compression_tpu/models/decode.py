@@ -53,11 +53,14 @@ def _suppress_bias(arch: WhisperArch, ids: tuple[int, ...]) -> np.ndarray:
 def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
                  pos: jax.Array, cache: list, cross_kvs: list,
                  max_len: int,
-                 start: jax.Array | None = None) -> tuple[jax.Array, list]:
+                 start: jax.Array | None = None,
+                 beam: int = 1) -> tuple[jax.Array, list]:
     """tok: (B,) int32 current tokens; pos: scalar step index.
 
     start: optional (B,) first valid cache position per sequence (prompt
     left-padding for prompt-conditioned decoding is masked out).
+    beam>1: tok rows are B*beam flattened beams sharing cross_kvs entries of
+    batch size B (cross-KV streamed once per utterance, not per beam).
     Returns (logits (B, V), updated cache)."""
     dec = params["decoder"]
     b = tok.shape[0]
@@ -90,8 +93,15 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
         o = attention(q, k_all, v_all, mask)
         x = x + linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
 
-        x = x + cross_attention(layer["cross"], layer_norm(x, layer["cross_ln"]),
-                                cross_kvs[i], arch.head_dim)
+        hs_c = layer_norm(x, layer["cross_ln"])
+        if beam > 1:
+            from .whisper import grouped_cross_attention
+
+            x = x + grouped_cross_attention(layer["cross"], hs_c,
+                                            cross_kvs[i], arch.head_dim, beam)
+        else:
+            x = x + cross_attention(layer["cross"], hs_c, cross_kvs[i],
+                                    arch.head_dim)
         x = x + mlp(layer, layer_norm(x, layer["mlp_ln"]))
 
     x = layer_norm(x, dec["ln"])
@@ -236,9 +246,9 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
     begin_sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
 
-    # Expand encoder states to (B*K, ...)
-    enc_rep = jnp.repeat(enc_out, beam, axis=0)
-    cross_kvs = precompute_cross_kv(params, arch, enc_rep,
+    # Cross-KV stays at batch size B; beams share entries via grouped
+    # cross-attention in decoder_step (no B*K replication in HBM).
+    cross_kvs = precompute_cross_kv(params, arch, enc_out,
                                      int8=cfg.cross_kv_int8)
     cache = kv_cache.init_cache(params, arch, b * beam, max_len,
                                 dtype=enc_out.dtype, int8=cfg.kv_int8)
@@ -247,7 +257,8 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])
 
     step_fn = functools.partial(decoder_step, params, arch,
-                                cross_kvs=cross_kvs, max_len=max_len)
+                                cross_kvs=cross_kvs, max_len=max_len,
+                                beam=beam)
     for i in range(p_len - 1):
         _, cache = step_fn(tokens[:, i], jnp.asarray(i), cache)
 

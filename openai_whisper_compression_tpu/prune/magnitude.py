@@ -154,6 +154,30 @@ def prune_blocks(params: Any, amount: float, block: tuple[int, int] = (4, 4),
     return out
 
 
+@jax.jit
+def _progressive_rows(pos: jax.Array, max_amount: jax.Array) -> jax.Array:
+    """Per-row magnitude pruning with a linearly increasing rate."""
+    t, d = pos.shape
+    rates = jnp.linspace(0.0, 1.0, t) * max_amount          # (T,)
+    mags = jnp.abs(pos.astype(jnp.float32))
+    sorted_mags = jnp.sort(mags, axis=1)                     # (T, d)
+    k = jnp.clip(jnp.round(rates * d).astype(jnp.int32), 0, d - 1)
+    thresh = jnp.take_along_axis(sorted_mags, k[:, None], axis=1)  # (T, 1)
+    keep = jnp.logical_or(mags > thresh, (k == 0)[:, None])
+    return jnp.where(keep, pos, 0).astype(pos.dtype)
+
+
+def prune_positional_progressive(params: Any, max_amount: float = 0.5) -> Any:
+    """Position-dependent pruning of the learned decoder positions: later
+    (rarely used) positions pruned harder, ramping linearly from 0 to
+    `max_amount` (≈ position-dependent embedding pruning,
+    `experimental_pruning.py:1100-1186`)."""
+    out = _copy_tree(params)
+    out["decoder"]["pos"] = _progressive_rows(
+        params["decoder"]["pos"], jnp.asarray(max_amount, jnp.float32))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Reporting (≈ reference `calculate_sparsity` `unstructured_L1_baseline.py:534`
 # and `calculate_pruned_dense_size` :31-97)

@@ -74,6 +74,12 @@ def token_positional_embeddings(n: str) -> bool:
     return token_embeddings(n) or positional_embeddings(n)
 
 
+def qkv_projections_only(n: str) -> bool:
+    """q/k/v projections without out_proj (QKV-projection-specific pruning,
+    `experimental_pruning.py` QKV configs)."""
+    return bool(re.search(r"\.(attn|cross)\.(q|k|v)\.w$", n))
+
+
 def bias_only(n: str) -> bool:
     """`bias.py:499-545` (all bias vectors)"""
     return bool(re.search(r"\.(q|v|o|fc1|fc2|conv1|conv2)\.b$", n))

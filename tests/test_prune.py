@@ -194,3 +194,33 @@ def test_gflops_estimator(model):
     shrunk = structured.prune_heads_by_l1(params, arch, 0.5)
     s = flops.model_gflops(shrunk, arch)
     assert s["total_gflops"] < base["total_gflops"]
+
+
+def test_progressive_positional_and_qkv_filter(model):
+    params, arch = model
+    pruned = magnitude.prune_positional_progressive(params, max_amount=0.6)
+    pos = np.asarray(P.get_leaf(pruned, "decoder.pos"))
+    first_sparsity = (pos[0] == 0).mean()
+    last_sparsity = (pos[-1] == 0).mean()
+    assert first_sparsity < 0.05           # early positions untouched
+    assert last_sparsity == pytest.approx(0.6, abs=0.1)  # late heavily pruned
+    # monotone-ish ramp
+    mid = (pos[len(pos) // 2] == 0).mean()
+    assert first_sparsity <= mid <= last_sparsity + 0.1
+
+    assert targeted.qkv_projections_only("decoder.layers.0.attn.q.w")
+    assert targeted.qkv_projections_only("decoder.layers.0.cross.v.w")
+    assert not targeted.qkv_projections_only("decoder.layers.0.attn.o.w")
+    qkv_pruned = magnitude.prune_per_module_l1(
+        params, 0.5, name_filter=targeted.qkv_projections_only)
+    rep = magnitude.sparsity_report(qkv_pruned)
+    assert rep["per_leaf"]["encoder.layers.0.attn.q.w"]["sparsity"] > 0.45
+    assert rep["per_leaf"]["encoder.layers.0.attn.o.w"]["sparsity"] < 0.01
+
+
+def test_multihost_noop():
+    from openai_whisper_compression_tpu.parallel.multihost import initialize
+
+    info = initialize()
+    assert info["initialized"] is False
+    assert info["devices"] == 8
