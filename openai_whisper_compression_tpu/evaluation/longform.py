@@ -9,8 +9,6 @@ compile, any audio length), and stitch the texts.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,11 +8,8 @@ future fine-tuning; under GSPMD the same code runs 1..N chips.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..config import WhisperArch
 from ..models.whisper import nll_loss

@@ -15,7 +15,7 @@ from typing import Any
 
 import numpy as np
 
-from ..models.params import leaf_count, named_leaves, size_in_mb
+from ..models.params import named_leaves, size_in_mb
 from ..ops.qtensor import QTensor
 from ..prune.targeted import categorize, layer_index
 

@@ -17,7 +17,6 @@ import numpy as np
 from ..config import WhisperArch
 from ..models.params import named_leaves
 from ..models.whisper import nll_loss
-from ..ops.qtensor import QTensor
 from ..prune.targeted import categorize, layer_index
 
 

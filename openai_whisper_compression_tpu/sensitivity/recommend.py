@@ -12,8 +12,6 @@ from __future__ import annotations
 import json
 from typing import Any
 
-import numpy as np
-
 from ..config import WhisperArch
 from .gradient import aggregate, normalize_scores
 
