@@ -45,14 +45,22 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def _out_width(w) -> int:
+    """Output width of a weight leaf. For QTensors this comes from the DATA
+    array, not the static `shape` metadata: inside shard_map the data ref is
+    the local shard while `shape` stays global (N is the data's last axis
+    for every 2-D packed kind; flat blockwise kinds are never sharded)."""
+    if isinstance(w, QTensor):
+        if w.kind in ("nf4", "fp4"):
+            return w.shape[1]
+        return w.data.shape[1]
+    return w.shape[-1]
+
+
 def _num_heads(attn_p: Params, head_dim: int) -> int:
     if "qkv" in attn_p:  # fused projection (models.fuse)
-        w = attn_p["qkv"]["w"]
-        out_dim = w.shape[1] if isinstance(w, QTensor) else w.shape[-1]
-        return out_dim // 3 // head_dim
-    w = attn_p["q"]["w"]
-    out_dim = w.shape[1] if isinstance(w, QTensor) else w.shape[-1]
-    return out_dim // head_dim
+        return _out_width(attn_p["qkv"]["w"]) // 3 // head_dim
+    return _out_width(attn_p["q"]["w"]) // head_dim
 
 
 def qkv_project(p: Params, x: jax.Array, n_heads: int):

@@ -33,12 +33,14 @@ from ..ops.qtensor import QTensor
 from . import mesh as mesh_lib
 
 
+# Width of a (possibly shard-local) weight: QTensor static `shape` is global
+# metadata, so widths must come from the data arrays (models.whisper._out_width).
+from ..models.whisper import _out_width as _local_width  # noqa: E402
+
 def _local_attn(p: dict, x: jax.Array, head_dim: int, axis: str) -> jax.Array:
     """Self-attention over the LOCAL head shard; psum after the row-parallel
     out projection, bias added once post-reduction."""
-    local_out = p["q"]["w"].shape[1] if not isinstance(p["q"]["w"], QTensor) \
-        else p["q"]["w"].shape[1]
-    h = local_out // head_dim
+    h = _local_width(p["q"]["w"]) // head_dim
     q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)
     k = split_heads(linear(x, p["k"]["w"]), h)
     v = split_heads(linear(x, p["v"]["w"], p["v"].get("b")), h)
@@ -121,6 +123,145 @@ def _spec_tree(params: Any, mesh: Mesh):
 
     return jax.tree.map(expand, params, specs,
                         is_leaf=lambda x: isinstance(x, QTensor))
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel greedy decode (serving path for whisper-large over a slice)
+# ---------------------------------------------------------------------------
+
+def _local_cross_kv(params: Any, arch: WhisperArch, enc_out: jax.Array):
+    """Per-layer cross K/V from the LOCAL column-parallel k/v projections:
+    each shard holds its own heads' (B, H/tp, S, Dh)."""
+    kvs = []
+    for layer in params["decoder"]["layers"]:
+        p = layer["cross"]
+        h = _local_width(p["k"]["w"]) // arch.head_dim
+        k = split_heads(linear(enc_out, p["k"]["w"]), h)
+        v = split_heads(linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
+        kvs.append((k, v))
+    return kvs
+
+
+def _decoder_step_local(params: Any, arch: WhisperArch, tok: jax.Array,
+                        pos: jax.Array, cache: list, cross_kvs: list,
+                        max_len: int, axis: str):
+    """models.decode.decoder_step with Megatron psum points: q/k/v and the
+    self/cross KV caches live on local head shards; o and fc2 outputs are
+    all-reduced (bias post-reduction). Logits computed redundantly per shard
+    (embed replicated) so argmax agrees everywhere."""
+    from ..models import cache as kv_cache
+    from ..models.whisper import embed_tokens, project_out
+
+    dec = params["decoder"]
+    x = embed_tokens(dec, tok)[:, None, :]
+    x = x + jax.lax.dynamic_slice_in_dim(dec["pos"], pos, 1,
+                                         axis=0)[None].astype(x.dtype)
+    idx = jnp.arange(max_len)
+    mask = jnp.where(idx <= pos, 0.0, -1e9).astype(jnp.float32)[None, None, None, :]
+
+    new_cache = []
+    for i, layer in enumerate(dec["layers"]):
+        p = layer["attn"]
+        h = _local_width(p["q"]["w"]) // arch.head_dim
+        hs = layer_norm(x, layer["attn_ln"])
+        q = split_heads(linear(hs, p["q"]["w"], p["q"].get("b")), h)
+        k = split_heads(linear(hs, p["k"]["w"]), h)
+        v = split_heads(linear(hs, p["v"]["w"], p["v"].get("b")), h)
+        entry = kv_cache.update(cache[i], k, v, pos)
+        new_cache.append(entry)
+        k_all, v_all = kv_cache.read(entry, q.dtype)
+        o = linear(merge_heads(attention(q, k_all, v_all, mask)), p["o"]["w"])
+        o = jax.lax.psum(o, axis)
+        ob = p["o"].get("b")
+        x = x + (o + ob.astype(o.dtype) if ob is not None else o)
+
+        c = layer["cross"]
+        hc = layer_norm(x, layer["cross_ln"])
+        hq = _local_width(c["q"]["w"]) // arch.head_dim
+        cq = split_heads(linear(hc, c["q"]["w"], c["q"].get("b")), hq)
+        ck, cv = cross_kvs[i]
+        co = linear(merge_heads(attention(cq, ck.astype(cq.dtype),
+                                          cv.astype(cq.dtype))), c["o"]["w"])
+        co = jax.lax.psum(co, axis)
+        cb = c["o"].get("b")
+        x = x + (co + cb.astype(co.dtype) if cb is not None else co)
+
+        x = x + _local_mlp(layer, layer_norm(x, layer["mlp_ln"]), axis)
+
+    x = layer_norm(x, dec["ln"])
+    return project_out(dec, x)[:, 0, :], new_cache
+
+
+def _greedy_local(params: Any, mel: jax.Array, arch: WhisperArch, axis: str,
+                  cfg) -> tuple[jax.Array, jax.Array]:
+    from jax import lax
+
+    from ..models import cache as kv_cache
+    from ..models.decode import _gen_lengths, _suppress_bias, forced_prefix
+
+    enc_out = _encode_local(params, mel, arch, axis)
+    b = enc_out.shape[0]
+    eot = arch.eos_token_id
+    prefix = forced_prefix(arch, cfg)
+    p_len = len(prefix)
+    need = p_len + cfg.max_new_tokens + 1
+    max_len = min(arch.max_target_positions, -(-need // 64) * 64)
+    sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
+
+    cross_kvs = _local_cross_kv(params, arch, enc_out)
+    cache = kv_cache.init_cache(params, arch, b, max_len, dtype=enc_out.dtype)
+    tokens = jnp.full((b, max_len), eot, jnp.int32)
+    tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])
+
+    for i in range(p_len - 1):
+        _, cache = _decoder_step_local(params, arch, tokens[:, i],
+                                       jnp.asarray(i), cache, cross_kvs,
+                                       max_len, axis)
+    limit = min(max_len, p_len + cfg.max_new_tokens)
+
+    def cond(state):
+        _, _, pos, finished = state
+        return jnp.logical_and(pos < limit - 1, ~jnp.all(finished))
+
+    def body(state):
+        tokens, cache, pos, finished = state
+        logits, cache = _decoder_step_local(params, arch, tokens[:, pos],
+                                            pos, cache, cross_kvs, max_len,
+                                            axis)
+        nxt = jnp.argmax(logits + sup, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eot, nxt)
+        tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+        return tokens, cache, pos + 1, jnp.logical_or(finished, nxt == eot)
+
+    # shard_map vma typing: loop outputs are device-varying, so the
+    # constant-initialized carry must be cast to varying up front
+    tokens = jax.lax.pvary(tokens, ("dp",))
+    finished = jax.lax.pvary(jnp.zeros((b,), bool), ("dp",))
+    cache = jax.tree.map(lambda x: jax.lax.pvary(x, ("tp", "dp")), cache)
+    state = (tokens, cache, jnp.asarray(p_len - 1), finished)
+    tokens, _, pos, _ = lax.while_loop(cond, body, state)
+    return tokens, p_len + _gen_lengths(tokens, p_len, pos, eot)
+
+
+def make_tp_decoder(arch: WhisperArch, mesh: Mesh, params_template: Any,
+                    decode_cfg) -> tuple:
+    """(decode_fn, place_params): full TP transcription step — encoder + KV
+    cross-precompute + greedy while_loop, all inside one shard_map (caches
+    and cross-KV sharded over local heads, logits redundantly replicated)."""
+    template = tp_compatible(params_template, mesh)
+    pspecs = _spec_tree(template, mesh)
+
+    fn = shard_map(
+        partial(_greedy_local, arch=arch, axis="tp", cfg=decode_cfg),
+        mesh=mesh,
+        in_specs=(pspecs, P("dp")),
+        out_specs=(P("dp"), P("dp")),
+    )
+
+    def place_params(params):
+        return mesh_lib.shard_params(tp_compatible(params, mesh), mesh)
+
+    return jax.jit(fn), place_params
 
 
 def make_tp_encoder(arch: WhisperArch, mesh: Mesh, params_template: Any):

@@ -18,6 +18,13 @@ from openai_whisper_compression_tpu.parallel.tp_forward import make_tp_encoder
 def setup():
     arch = ARCHS["test2l"]
     params = P.init_params(arch, jax.random.PRNGKey(0))
+    # scale q/k so softmax is peaked: near-uniform attention (tiny random
+    # weights) is insensitive to head-grouping bugs and would mask them
+    for comp in ("encoder", "decoder"):
+        for layer in params[comp]["layers"]:
+            for attn in ("attn", "cross") if comp == "decoder" else ("attn",):
+                layer[attn]["q"]["w"] = layer[attn]["q"]["w"] * 8.0
+                layer[attn]["k"]["w"] = layer[attn]["k"]["w"] * 8.0
     mesh = mesh_lib.make_mesh(dp=2, tp=4)
     g = np.random.default_rng(0)
     mel = jnp.asarray(g.standard_normal((4, arch.num_mel_bins, 64)),
@@ -56,3 +63,24 @@ def test_tp_encoder_int4(setup):
     # row-parallel sub-byte weights run dense (tp_compatible); remaining
     # drift is psum reduction-order association at int4 scale magnitudes
     np.testing.assert_allclose(out, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_tp_greedy_decode_matches_single_device(setup):
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.models import decode
+    from openai_whisper_compression_tpu.parallel.tp_forward import make_tp_decoder
+    from openai_whisper_compression_tpu.quant import api as quant_api
+
+    arch, params, mesh, mel = setup
+    qp = quant_api.quantize_params(params, "int8")
+    cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                       task_token_id=None, notimestamps=False)
+
+    enc = encode(qp, arch, mel)
+    t_ref, l_ref = decode.greedy_decode(qp, arch, enc, cfg)
+
+    fn, place = make_tp_decoder(arch, mesh, qp, cfg)
+    t_tp, l_tp = fn(place(qp), mel)
+
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_tp))
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_tp))
