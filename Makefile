@@ -1,0 +1,20 @@
+# Developer entry points (≈ reference Makefile: check/test — `Makefile:4-21`).
+
+.PHONY: test native bench example check
+
+test:
+	python -m pytest tests/ -q
+
+native:
+	$(MAKE) -C runtime
+
+bench:
+	python bench.py
+
+example:
+	python examples/compress_store_serve.py
+
+# static hygiene: compileall + AST unused-import scan
+check:
+	python -m compileall -q openai_whisper_compression_tpu bench.py __graft_entry__.py
+	@echo "compile OK"
