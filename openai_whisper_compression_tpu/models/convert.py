@@ -92,6 +92,72 @@ def from_hf_state_dict(sd: Mapping[str, Any]) -> dict:
     return {"encoder": encoder, "decoder": decoder}
 
 
+def to_hf_state_dict(params: dict) -> dict[str, np.ndarray]:
+    """Inverse of from_hf_state_dict: pytree -> HF-named numpy state dict
+    (linear weights transposed back to torch's (out, in)). Lets compressed
+    models be exported for the reference's HF-based tooling (the reference
+    saves HF checkpoints via `save_pretrained`,
+    `openai_whisper_compression/utils.py:258-268`). Quantized/fused pytrees
+    must be dequantized/unfused first."""
+    from ..ops.qtensor import QTensor
+
+    def arr(x, transpose=False):
+        if isinstance(x, QTensor):
+            raise ValueError("dequantize before exporting to HF format")
+        a = np.asarray(x)
+        return a.T if transpose else a
+
+    sd: dict[str, np.ndarray] = {}
+
+    def put_lin(name, p):
+        sd[f"{name}.weight"] = arr(p["w"], transpose=True)
+        if "b" in p:
+            sd[f"{name}.bias"] = arr(p["b"])
+
+    def put_ln(name, p):
+        sd[f"{name}.weight"] = arr(p["g"])
+        sd[f"{name}.bias"] = arr(p["b"])
+
+    def put_attn(name, p):
+        if "qkv" in p:
+            raise ValueError("unfuse qkv before exporting to HF format")
+        put_lin(f"{name}.q_proj", p["q"])
+        put_lin(f"{name}.k_proj", p["k"])
+        put_lin(f"{name}.v_proj", p["v"])
+        put_lin(f"{name}.out_proj", p["o"])
+
+    enc = params["encoder"]
+    sd["model.encoder.conv1.weight"] = arr(enc["conv1"]["w"])
+    sd["model.encoder.conv1.bias"] = arr(enc["conv1"]["b"])
+    sd["model.encoder.conv2.weight"] = arr(enc["conv2"]["w"])
+    sd["model.encoder.conv2.bias"] = arr(enc["conv2"]["b"])
+    sd["model.encoder.embed_positions.weight"] = arr(enc["pos"])
+    for i, layer in enumerate(enc["layers"]):
+        base = f"model.encoder.layers.{i}"
+        put_attn(f"{base}.self_attn", layer["attn"])
+        put_ln(f"{base}.self_attn_layer_norm", layer["attn_ln"])
+        put_lin(f"{base}.fc1", layer["fc1"])
+        put_lin(f"{base}.fc2", layer["fc2"])
+        put_ln(f"{base}.final_layer_norm", layer["mlp_ln"])
+    put_ln("model.encoder.layer_norm", enc["ln"])
+
+    dec = params["decoder"]
+    sd["model.decoder.embed_tokens.weight"] = arr(dec["embed"])
+    sd["model.decoder.embed_positions.weight"] = arr(dec["pos"])
+    for i, layer in enumerate(dec["layers"]):
+        base = f"model.decoder.layers.{i}"
+        put_attn(f"{base}.self_attn", layer["attn"])
+        put_ln(f"{base}.self_attn_layer_norm", layer["attn_ln"])
+        put_attn(f"{base}.encoder_attn", layer["cross"])
+        put_ln(f"{base}.encoder_attn_layer_norm", layer["cross_ln"])
+        put_lin(f"{base}.fc1", layer["fc1"])
+        put_lin(f"{base}.fc2", layer["fc2"])
+        put_ln(f"{base}.final_layer_norm", layer["mlp_ln"])
+    put_ln("model.decoder.layer_norm", dec["ln"])
+    sd["proj_out.weight"] = sd["model.decoder.embed_tokens.weight"]
+    return sd
+
+
 def arch_from_hf_config(cfg) -> WhisperArch:
     """Derive a WhisperArch from an HF WhisperConfig object."""
     base = ARCHS["tiny"]

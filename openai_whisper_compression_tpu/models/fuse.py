@@ -77,6 +77,32 @@ def fuse_qkv(params: Any, components: tuple[str, ...] = ("decoder",)) -> Any:
     return out
 
 
+def unfuse_qkv(params: Any) -> Any:
+    """Inverse of fuse_qkv for dense weights (dequantize first if needed):
+    splits each fused qkv back into q/k/v with Whisper's bias layout
+    (k bias dropped — it is structurally zero)."""
+    from ..prune.structured import _copy_tree
+
+    out = _copy_tree(params)
+    for comp in ("encoder", "decoder"):
+        for layer in out[comp]["layers"]:
+            attn = layer["attn"]
+            if "qkv" not in attn:
+                continue
+            w = attn["qkv"]["w"]
+            if isinstance(w, QTensor):
+                raise ValueError("dequantize before unfusing")
+            d = w.shape[1] // 3
+            b = attn["qkv"]["b"]
+            layer["attn"] = {
+                "q": {"w": w[:, :d], "b": b[:d]},
+                "k": {"w": w[:, d: 2 * d]},
+                "v": {"w": w[:, 2 * d:], "b": b[2 * d:]},
+                "o": attn["o"],
+            }
+    return out
+
+
 def qkv_split(fused_out: jnp.ndarray) -> tuple:
     """(.., 3*H*Dh) -> three (.., H*Dh) projections."""
     d = fused_out.shape[-1] // 3

@@ -67,6 +67,17 @@ def quantize_params(params: Any, method: str = "int8",
     return out
 
 
+def dequantize_params(params: Any, dtype=jnp.float32) -> Any:
+    """Materialize every QTensor back to a dense array ("fake-quant" params:
+    quantization error baked in, plain dtype storage). Used for HF export
+    and for isolating quantization's numeric effect from its kernels."""
+    from ..ops.qtensor import dequantize
+
+    return jax.tree.map(
+        lambda x: dequantize(x, dtype) if isinstance(x, QTensor) else x,
+        params, is_leaf=lambda x: isinstance(x, QTensor))
+
+
 def calibrate_static(params: Any, run_fn: Callable[[Any], None]) -> Any:
     """Static-quant calibration: `run_fn(params)` should execute
     representative batches (eager). Returns frozen params

@@ -144,3 +144,52 @@ def test_token_merging_shapes():
                                         task_token_id=None,
                                         notimestamps=False))
     assert t.shape[0] == 1
+
+
+def test_hf_export_roundtrip(hf_pair):
+    """pytree -> HF state dict -> pytree is exact, and the exported dict
+    loads into a torch model that reproduces our logits."""
+    model, params, arch = hf_pair
+    sd = convert.to_hf_state_dict(params)
+    back = convert.from_hf_state_dict(sd)
+    from openai_whisper_compression_tpu.models.params import named_leaves
+
+    a, b = dict(named_leaves(params)), dict(named_leaves(back))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    # load exported dict into the torch model: must be accepted exactly
+    model2 = WhisperForConditionalGeneration(model.config)
+    model2.load_state_dict({k: torch.from_numpy(np.array(v))
+                            for k, v in sd.items()})
+    g = np.random.default_rng(3)
+    mel = g.standard_normal(
+        (1, arch.num_mel_bins, 2 * arch.max_source_positions)).astype(np.float32)
+    toks = g.integers(0, arch.vocab_size, (1, 4)).astype(np.int64)
+    with torch.no_grad():
+        l1 = model(input_features=torch.from_numpy(mel),
+                   decoder_input_ids=torch.from_numpy(toks)).logits.numpy()
+        l2 = model2(input_features=torch.from_numpy(mel),
+                    decoder_input_ids=torch.from_numpy(toks)).logits.numpy()
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+
+
+def test_export_compressed_pipeline(hf_pair):
+    """quantized+fused model -> dequantize -> unfuse -> HF export loads."""
+    from openai_whisper_compression_tpu.models.fuse import fuse_qkv, unfuse_qkv
+    from openai_whisper_compression_tpu.quant.api import (dequantize_params,
+                                                          quantize_params)
+
+    model, params, arch = hf_pair
+    compressed = fuse_qkv(quantize_params(params, "int8"))
+    exported = convert.to_hf_state_dict(
+        unfuse_qkv(dequantize_params(compressed)))
+    model2 = WhisperForConditionalGeneration(model.config)
+    model2.load_state_dict({k: torch.from_numpy(np.array(v))
+                            for k, v in exported.items()})
+    # exported weights carry int8 quantization error vs originals, bounded
+    w_orig = model.model.encoder.layers[0].fc1.weight.detach().numpy()
+    w_exp = model2.model.encoder.layers[0].fc1.weight.detach().numpy()
+    rel = np.linalg.norm(w_orig - w_exp) / np.linalg.norm(w_orig)
+    assert 0 < rel < 0.01
