@@ -103,7 +103,8 @@ def cmd_sweep(args):
     results = run_sweep(params, arch, configs, datasets, tok,
                         eval_cfg=EvalConfig(batch_size=args.batch_size),
                         decode_cfg=_decode_cfg(args, arch),
-                        save_path=args.save_path)
+                        save_path=args.save_path,
+                        resume=not args.no_resume)
     summarize(results)
     if args.save_path:
         plots.plot_sweep(results, args.save_path, prefix=args.sweep)
@@ -364,6 +365,8 @@ def main(argv=None):
                    choices=["quant", "l1", "random", "experimental",
                             "prune_quant"])
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--no-resume", action="store_true",
+                   help="rerun configs already present in all_results.json")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("run", help="execute a RunConfig JSON experiment")

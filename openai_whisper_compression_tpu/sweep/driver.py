@@ -34,17 +34,40 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
               eval_cfg: EvalConfig | None = None,
               decode_cfg: DecodeConfig | None = None,
               save_path: str | None = None,
-              calibration_split: str = "calibration_clean") -> dict[str, Any]:
-    """Run every config over every test split. Returns {config: results}."""
+              calibration_split: str = "calibration_clean",
+              resume: bool = True) -> dict[str, Any]:
+    """Run every config over every test split. Returns {config: results}.
+
+    Crash-resumable (an upgrade over the reference, whose sweeps restart
+    from scratch — SURVEY.md §5 "no sweep resume"): results are flushed to
+    `all_results.json` after every config, and with `resume=True` configs
+    already completed (present without an "error" key) are skipped on rerun.
+    """
     eval_cfg = eval_cfg or EvalConfig()
     decode_cfg = decode_cfg or DecodeConfig()
     all_results: dict[str, Any] = {}
+    results_file = (os.path.join(save_path, "all_results.json")
+                    if save_path else None)
+    if resume and results_file and os.path.exists(results_file):
+        with open(results_file) as f:
+            all_results = json.load(f)
     # One jitted transcribe fn shared across configs: same-pytree-structure
     # configs (e.g. the whole L1 ladder) reuse a single compilation.
     shared_fn = harness.make_transcribe_fn(arch, decode_cfg)
 
+    def flush():
+        if results_file:
+            os.makedirs(save_path, exist_ok=True)
+            tmp = results_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(all_results, f, indent=2, default=str)
+            os.replace(tmp, results_file)
+
     for cfg in configs:
         name = cfg["name"]
+        if resume and name in all_results and "error" not in all_results[name]:
+            logger.info("config %s already complete — skipping (resume)", name)
+            continue
         t0 = time.time()
         try:
             compressed = cfg["apply"](params, arch)
@@ -85,16 +108,15 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
             # (≈ reference `clear_gpu_memory`, `model_utils.py:12-21`;
             # jit caches intentionally kept — recompiles cost minutes on TPU)
             del compressed
+            flush()
         except Exception as e:  # fault isolation per config
             logger.error("config %s failed: %s", name, e)
             all_results[name] = {"error": str(e),
                                  "traceback": traceback.format_exc()}
+            flush()
             continue
 
-    if save_path:
-        os.makedirs(save_path, exist_ok=True)
-        with open(os.path.join(save_path, "all_results.json"), "w") as f:
-            json.dump(all_results, f, indent=2, default=str)
+    flush()
     return all_results
 
 

@@ -73,6 +73,42 @@ def test_run_sweep_with_fault_isolation(setup, tmp_path):
     assert all(os.path.exists(p) for p in paths)
 
 
+def test_run_sweep_resume(setup, tmp_path):
+    """Completed configs are skipped on rerun; failed ones retry; results
+    are flushed incrementally after every config."""
+    params, arch, datasets, tok = setup
+    calls = {"good": 0, "flaky": 0}
+
+    def good(p, a):
+        calls["good"] += 1
+        return p
+
+    def flaky(p, a):
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("transient")
+        return p
+
+    configs = [{"name": "good", "apply": good},
+               {"name": "flaky", "apply": flaky}]
+    kw = dict(eval_cfg=EvalConfig(batch_size=2, warmup_batches=0),
+              decode_cfg=_dc(), save_path=str(tmp_path))
+    r1 = run_sweep(params, arch, configs, datasets, tok, **kw)
+    assert "error" in r1["flaky"] and "error" not in r1["good"]
+    # incremental flush happened even though 'flaky' errored
+    saved = json.loads((tmp_path / "all_results.json").read_text())
+    assert set(saved) == {"good", "flaky"}
+
+    r2 = run_sweep(params, arch, configs, datasets, tok, **kw)
+    assert calls["good"] == 1          # skipped on resume
+    assert calls["flaky"] == 2         # retried and succeeded
+    assert "error" not in r2["flaky"]
+
+    r3 = run_sweep(params, arch, configs, datasets, tok, resume=False, **kw)
+    assert calls["good"] == 2          # resume=False reruns everything
+    assert "error" not in r3["flaky"]
+
+
 def test_cli_evaluate_and_analyze(tmp_path, capsys):
     from openai_whisper_compression_tpu import cli
 
