@@ -41,8 +41,10 @@ def main() -> None:
                     default=True, help="fuse decoder qkv projections")
     ap.add_argument("--kv-int8", action="store_true",
                     help="int8 self-attn KV cache")
-    ap.add_argument("--cross-kv-int8", action="store_true",
-                    help="int8 cross-attn K/V")
+    ap.add_argument("--cross-kv-int8", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="int8 cross-attn K/V (dequant fused into the Pallas "
+                         "decode kernel; measured 535->490 ms/batch)")
     ap.add_argument("--structured50", action="store_true",
                     help="50%% structured head+FFN pruning before quant")
     ap.add_argument("--merge-at", type=int, default=None,

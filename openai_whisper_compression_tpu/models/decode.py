@@ -142,8 +142,14 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     begin_sup = jnp.asarray(
         _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
 
-    cross_kvs = precompute_cross_kv(params, arch, enc_out,
-                                     int8=cfg.cross_kv_int8)
+    if cfg.cross_pallas:
+        from .whisper import precompute_cross_kv_t
+
+        cross_kvs = precompute_cross_kv_t(params, arch, enc_out,
+                                          int8=cfg.cross_kv_int8)
+    else:
+        cross_kvs = precompute_cross_kv(params, arch, enc_out,
+                                        int8=cfg.cross_kv_int8)
     cache = kv_cache.init_cache(params, arch, b, max_len,
                                 dtype=enc_out.dtype, int8=cfg.kv_int8)
 

@@ -14,6 +14,7 @@ encoder positions, learned decoder positions, proj_out tied to embed_tokens)
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 import jax
@@ -130,6 +131,8 @@ def self_attention(p: Params, x: jax.Array, head_dim: int,
 
 def cross_attention(p: Params, x: jax.Array, kv, head_dim: int,
                     head_mask: jax.Array | None = None) -> jax.Array:
+    if isinstance(kv, CrossKV):  # transposed fused-kernel layout (decode)
+        return _cross_attention_t(p, x, kv, head_dim)
     h = _num_heads(p, head_dim)
     q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)
     k, v = read_cross_kv(kv, q.dtype)  # (B, H, S, Dh) from encoder output
@@ -137,6 +140,45 @@ def cross_attention(p: Params, x: jax.Array, kv, head_dim: int,
     if head_mask is not None:
         o = o * head_mask[None, :, None, None].astype(o.dtype)
     return linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
+
+
+def _cross_attention_t(p: Params, x: jax.Array, kv: "CrossKV",
+                       head_dim: int) -> jax.Array:
+    """Decode-step (q_len == 1) cross-attention over transposed K/V via the
+    fused Pallas kernel (ops.cross_attention); exact-math einsum fallback
+    off-TPU."""
+    from ..ops.linear import _on_tpu
+
+    b = x.shape[0]
+    h = _num_heads(p, head_dim)
+    dh = head_dim
+    q = linear(x, p["q"]["w"], p["q"].get("b"))          # (B, 1, H*Dh)
+    qf = (q.reshape(b * h, dh) * (dh ** -0.5)).astype(q.dtype)
+    if _on_tpu():
+        from ..ops.cross_attention import decode_cross_attention
+
+        o = decode_cross_attention(qf, kv.k_t, kv.v_t, kv.k_scale,
+                                   kv.v_scale, s_valid=kv.s_valid)
+    else:
+        o = _cross_t_ref(qf, kv)
+    o = o.reshape(b, 1, h * dh).astype(x.dtype)
+    return linear(o, p["o"]["w"], p["o"].get("b"))
+
+
+def _cross_t_ref(qf: jax.Array, kv: "CrossKV") -> jax.Array:
+    """einsum reference for the transposed layout (same math as the kernel)."""
+    k = kv.k_t.astype(jnp.float32)
+    v = kv.v_t.astype(jnp.float32)
+    scores = jnp.einsum("gd,gds->gs", qf.astype(jnp.float32), k)
+    if kv.k_scale is not None:
+        scores = scores * kv.k_scale[:, 0, :]
+    s_pad = k.shape[2]
+    mask = (jnp.arange(s_pad) < kv.s_valid)[None, :]
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if kv.v_scale is not None:  # fold v dequant scale, like the kernel
+        probs = probs * kv.v_scale[:, 0, :]
+    return jnp.einsum("gs,gds->gd", probs, v).astype(qf.dtype)
 
 
 def grouped_cross_attention(p: Params, x: jax.Array, kv, head_dim: int,
@@ -225,6 +267,62 @@ def encode(params: Params, arch: WhisperArch, mel: jax.Array,
 # Decoder (full-sequence path — scoring / sensitivity / teacher-forced loss)
 # ---------------------------------------------------------------------------
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class CrossKV:
+    """Transposed per-layer cross-attention K/V for the fused decode kernel
+    (ops.cross_attention): (B·H, Dh, S_pad) with Dh on sublanes and S on
+    lanes — exactly tile-aligned for bf16/int8 streaming. Optional int8
+    storage carries per-(bh, position) absmax scales (B·H, 1, S_pad)."""
+
+    k_t: jax.Array
+    v_t: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
+    s_valid: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+
+def _transpose_kv(x: jax.Array, h: int) -> jax.Array:
+    """(B, S, H*Dh) -> (B*H, Dh, S_pad) with S padded to the lane width."""
+    b, s, d = x.shape
+    x = x.reshape(b, s, h, d // h).transpose(0, 2, 3, 1)  # (B, H, Dh, S)
+    s_pad = -(-s // 128) * 128
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
+    return x.reshape(b * h, d // h, s_pad)
+
+
+def _quant_kv8_t(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """int8-quantize transposed K/V with per-(bh, position) absmax scales."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                        1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def precompute_cross_kv_t(params: Params, arch: WhisperArch,
+                          enc_out: jax.Array,
+                          int8: bool = False) -> list[CrossKV]:
+    """Transposed-layout cross-KV for the fused Pallas decode kernel —
+    measured 2.2x (int8) / 1.2x (bf16) faster per decode step than the XLA
+    einsum path at whisper-small batch-64 shapes (see ops.cross_attention)."""
+    s = enc_out.shape[1]
+    kvs = []
+    for layer in params["decoder"]["layers"]:
+        p = layer["cross"]
+        h = _num_heads(p, arch.head_dim)
+        k_t = _transpose_kv(linear(enc_out, p["k"]["w"]), h)
+        v_t = _transpose_kv(linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
+        if int8:
+            k_t, ks = _quant_kv8_t(k_t)
+            v_t, vs = _quant_kv8_t(v_t)
+            kvs.append(CrossKV(k_t, v_t, ks, vs, s_valid=s))
+        else:
+            kvs.append(CrossKV(k_t.astype(enc_out.dtype),
+                               v_t.astype(enc_out.dtype), s_valid=s))
+    return kvs
+
+
 def precompute_cross_kv(params: Params, arch: WhisperArch,
                         enc_out: jax.Array,
                         int8: bool = False) -> list[tuple]:
@@ -232,11 +330,12 @@ def precompute_cross_kv(params: Params, arch: WhisperArch,
     utterance; the decode loop then only reads them).
 
     int8=True stores K/V as int8 with per-(head, position) absmax scales,
-    halving cross-KV HBM *capacity*. NOTE: with the XLA dequant path this
-    currently costs throughput (the dequantized f32 arrays materialize every
-    step — measured 646→901 ms/batch on the headline config); use it for
-    memory headroom, not speed, until the attention kernel fuses the
-    dequant."""
+    halving cross-KV HBM *capacity*. NOTE: on this (standard-layout, XLA)
+    path the dequantized arrays materialize every step and int8 costs
+    throughput; the decode loop instead uses `precompute_cross_kv_t` +
+    the fused Pallas kernel, where the dequant is folded in and int8 is
+    ~2.2x FASTER than bf16-XLA (649→490 ms/batch headline). This path
+    remains for beam search (grouped KV sharing) and as reference."""
     kvs = []
     for layer in params["decoder"]["layers"]:
         p = layer["cross"]

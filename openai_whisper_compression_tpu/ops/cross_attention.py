@@ -1,0 +1,141 @@
+"""Fused Pallas cross-attention for the decode loop (q_len == 1).
+
+Cross-attention dominates Whisper's decode step: every generated token
+re-reads the full per-layer encoder K/V (B·H·1500·64 ≈ 295 MB/layer at
+batch 64 bf16 — 3.5 GB/step over 12 layers). Measured on v5e, XLA's einsum
+path streams this at only ~200-300 GB/s (it pads head_dim 64 → 128 for the
+MXU, doubling traffic), making cross-attention ~12 of the 14 ms decode step
+(this replaces the role HF's fused SDPA plays for the reference's
+`model.generate`, `data_utils.py:152`).
+
+This kernel stores K/V **transposed** — (BH, Dh, S) with Dh=64 sublanes and
+S lanes, exactly tile-aligned for bf16/int8 — blocks G (b·h) pairs per grid
+step so DMA transfers are MBs not KBs, and fuses score, softmax and value
+reduction in VMEM as VPU multiply+lane/sublane reductions (q_len == 1 makes
+MXU matmuls degenerate):
+
+    scores[g, s] = sum_d q[g, d] * k_t[g, d, s]
+    p            = softmax(scores)  (masked beyond s_valid)
+    out[g, d]    = sum_s p[g, s] * v_t[g, d, s]
+
+int8 K/V dequantization is folded into the (G, S) score/probability planes
+(k's per-position scale multiplies scores, v's scale multiplies p), so the
+kernel reads HALF the bytes and never materializes a dequantized tensor —
+the fusion the XLA int8 path lacks (see `models.whisper.precompute_cross_kv`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _softmax_masked(scores: jax.Array, s_valid: int) -> tuple[jax.Array, jax.Array]:
+    g, s_pad = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, s_pad), 1)
+    scores = jnp.where(col < s_valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    return p, jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int):
+    q = q_ref[:].astype(jnp.float32)               # (G, Dh)
+    k = k_ref[:].astype(jnp.float32)               # (G, Dh, S)
+    scores = jnp.sum(q[:, :, None] * k, axis=1)    # (G, S)
+    p, l = _softmax_masked(scores, s_valid)
+    v = v_ref[:].astype(jnp.float32)               # (G, Dh, S)
+    out = jnp.sum(v * (p / l)[:, None, :], axis=2)  # (G, Dh)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _kernel_int8(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, s_valid: int):
+    q = q_ref[:].astype(jnp.float32)               # (G, Dh)
+    k = k_ref[:].astype(jnp.float32)               # (G, Dh, S) int8 -> f32
+    scores = jnp.sum(q[:, :, None] * k, axis=1)    # (G, S)
+    scores = scores * ks_ref[:, 0, :]              # fold k dequant scale
+    p, l = _softmax_masked(scores, s_valid)
+    p = p * vs_ref[:, 0, :]                        # fold v dequant scale
+    v = v_ref[:].astype(jnp.float32)
+    out = jnp.sum(v * (p / l)[:, None, :], axis=2)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("s_valid", "block_g"))
+def decode_cross_attention(q: jax.Array, k_t: jax.Array, v_t: jax.Array,
+                           k_scale: jax.Array | None = None,
+                           v_scale: jax.Array | None = None,
+                           s_valid: int | None = None,
+                           block_g: int = 8) -> jax.Array:
+    """One-token cross-attention over transposed K/V.
+
+    q: (BH, Dh) — pre-scaled by 1/sqrt(Dh).
+    k_t/v_t: (BH, Dh, S_pad) bf16, or int8 with k_scale/v_scale (BH, 1, S_pad)
+    fp32 per-position absmax scales. Pad S with `pad_cross_len` and pass the
+    true length as s_valid (padded positions are masked in-kernel).
+    block_g: (b·h) pairs per grid step (VMEM budget permitting).
+
+    Returns (BH, Dh) in q.dtype.
+    """
+    bh, dh = q.shape
+    s_pad = k_t.shape[2]
+    s_valid = s_pad if s_valid is None else s_valid
+    g = block_g
+    while bh % g:
+        g //= 2
+
+    if k_scale is None:
+        kernel = functools.partial(_kernel, s_valid=s_valid)
+        operands = (q, k_t, v_t)
+        in_specs = [
+            pl.BlockSpec((g, dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, dh, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, dh, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        bytes_acc = bh * (2 * dh * s_pad * k_t.dtype.itemsize + 4 * dh)
+    else:
+        kernel = functools.partial(_kernel_int8, s_valid=s_valid)
+        operands = (q, k_t, k_scale, v_t, v_scale)
+        in_specs = [
+            pl.BlockSpec((g, dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, dh, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, dh, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        bytes_acc = bh * (2 * dh * s_pad + 8 * s_pad + 4 * dh)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, dh), q.dtype),
+        grid=(bh // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, dh), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s_pad * dh,
+            bytes_accessed=bytes_acc,
+            transcendentals=bh * s_pad),
+        interpret=_interpret(),
+    )(*operands)
+
+
+def pad_cross_len(s: int) -> int:
+    """S padded to the lane width (128)."""
+    return -(-s // 128) * 128

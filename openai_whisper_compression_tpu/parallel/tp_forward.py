@@ -235,9 +235,10 @@ def _greedy_local(params: Any, mel: jax.Array, arch: WhisperArch, axis: str,
 
     # shard_map vma typing: loop outputs are device-varying, so the
     # constant-initialized carry must be cast to varying up front
-    tokens = jax.lax.pvary(tokens, ("dp",))
-    finished = jax.lax.pvary(jnp.zeros((b,), bool), ("dp",))
-    cache = jax.tree.map(lambda x: jax.lax.pvary(x, ("tp", "dp")), cache)
+    tokens = jax.lax.pcast(tokens, ("dp",), to="varying")
+    finished = jax.lax.pcast(jnp.zeros((b,), bool), ("dp",), to="varying")
+    cache = jax.tree.map(
+        lambda x: jax.lax.pcast(x, ("tp", "dp"), to="varying"), cache)
     state = (tokens, cache, jnp.asarray(p_len - 1), finished)
     tokens, _, pos, _ = lax.while_loop(cond, body, state)
     return tokens, p_len + _gen_lengths(tokens, p_len, pos, eot)
