@@ -254,8 +254,14 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
 
     # Cross-KV stays at batch size B; beams share entries via grouped
     # cross-attention in decoder_step (no B*K replication in HBM).
-    cross_kvs = precompute_cross_kv(params, arch, enc_out,
-                                     int8=cfg.cross_kv_int8)
+    if cfg.cross_pallas:
+        from .whisper import precompute_cross_kv_t
+
+        cross_kvs = precompute_cross_kv_t(params, arch, enc_out,
+                                          int8=cfg.cross_kv_int8)
+    else:
+        cross_kvs = precompute_cross_kv(params, arch, enc_out,
+                                        int8=cfg.cross_kv_int8)
     cache = kv_cache.init_cache(params, arch, b * beam, max_len,
                                 dtype=enc_out.dtype, int8=cfg.kv_int8)
 

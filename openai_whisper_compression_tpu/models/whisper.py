@@ -184,9 +184,11 @@ def _cross_t_ref(qf: jax.Array, kv: "CrossKV") -> jax.Array:
 def grouped_cross_attention(p: Params, x: jax.Array, kv, head_dim: int,
                             beam: int) -> jax.Array:
     """Cross-attention where `beam` consecutive rows of x share one K/V
-    entry: x is (B*beam, 1, d), kv holds (B, H, S, Dh). Beams read the
-    encoder K/V once per utterance instead of once per beam — beam-5 decode
-    streams 5x less cross-KV from HBM."""
+    entry: x is (B*beam, 1, d), kv holds (B, H, S, Dh) — or a CrossKV for
+    the fused-kernel path. Beams read the encoder K/V once per utterance
+    instead of once per beam — beam-5 decode streams 5x less cross-KV."""
+    if isinstance(kv, CrossKV):
+        return _grouped_cross_attention_t(p, x, kv, head_dim, beam)
     h = _num_heads(p, head_dim)
     q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)  # (B*K,H,1,Dh)
     k, v = read_cross_kv(kv, q.dtype)                            # (B,H,S,Dh)
@@ -201,6 +203,34 @@ def grouped_cross_attention(p: Params, x: jax.Array, kv, head_dim: int,
                    preferred_element_type=jnp.float32).astype(q.dtype)
     o = o.reshape(bk, h, 1, dh)
     return linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
+
+
+def _grouped_cross_attention_t(p: Params, x: jax.Array, kv: "CrossKV",
+                               head_dim: int, beam: int) -> jax.Array:
+    """Beam-grouped decode cross-attention via the fused Pallas kernel
+    (ops.cross_attention.decode_cross_attention_grouped); einsum fallback
+    off-TPU."""
+    from ..ops.linear import _on_tpu
+
+    bk = x.shape[0]
+    b = bk // beam
+    h = _num_heads(p, head_dim)
+    dh = head_dim
+    q = linear(x, p["q"]["w"], p["q"].get("b"))          # (B*K, 1, H*Dh)
+    # (B*K, H, Dh) -> (B, H, K, Dh) -> (BH, K, Dh), matching k_t's bh order
+    qg = (q.reshape(b, beam, h, dh).transpose(0, 2, 1, 3)
+          .reshape(b * h, beam, dh) * (dh ** -0.5)).astype(q.dtype)
+    if _on_tpu():
+        from ..ops.cross_attention import decode_cross_attention_grouped
+
+        o = decode_cross_attention_grouped(qg, kv.k_t, kv.v_t, kv.k_scale,
+                                           kv.v_scale, s_valid=kv.s_valid)
+    else:
+        o = jax.vmap(_cross_t_ref, in_axes=(1, None), out_axes=1)(qg, kv)
+    # (BH, K, Dh) -> (B*K, 1, H*Dh)
+    o = (o.reshape(b, h, beam, dh).transpose(0, 2, 1, 3)
+         .reshape(bk, 1, h * dh)).astype(x.dtype)
+    return linear(o, p["o"]["w"], p["o"].get("b"))
 
 
 def mlp(p: Params, x: jax.Array) -> jax.Array:

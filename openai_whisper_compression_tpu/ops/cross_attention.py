@@ -139,3 +139,93 @@ def decode_cross_attention(q: jax.Array, k_t: jax.Array, v_t: jax.Array,
 def pad_cross_len(s: int) -> int:
     """S padded to the lane width (128)."""
     return -(-s // 128) * 128
+
+
+# ---------------------------------------------------------------------------
+# Grouped (beam-search) variant: `beam` q rows share one K/V entry, so K/V is
+# streamed once per utterance instead of once per beam (the bandwidth win
+# that makes beam-5 affordable; see models.whisper.grouped_cross_attention
+# for the XLA reference).
+# ---------------------------------------------------------------------------
+
+def _beam_core(q, k, ks, v, vs, o_ref, s_valid: int):
+    """q (G,K,Dh) f32, k/v (G,Dh,S) f32; ks/vs (G,1,S) f32 or None."""
+    scores = jax.lax.dot_general(
+        q, k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (G, K, S)
+    if ks is not None:
+        scores = scores * ks[:, :, :]             # (G,1,S) broadcasts over K
+    g, kq, s_pad = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, kq, s_pad), 2)
+    scores = jnp.where(col < s_valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if vs is not None:
+        p = p * vs[:, :, :]
+    out = jax.lax.dot_general(
+        p / l, v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (G, K, Dh)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _kernel_beam(q_ref, k_ref, v_ref, o_ref, *, s_valid: int):
+    _beam_core(q_ref[:].astype(jnp.float32), k_ref[:].astype(jnp.float32),
+               None, v_ref[:].astype(jnp.float32), None, o_ref, s_valid)
+
+
+def _kernel_beam_int8(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
+                      s_valid: int):
+    _beam_core(q_ref[:].astype(jnp.float32), k_ref[:].astype(jnp.float32),
+               ks_ref[:].astype(jnp.float32), v_ref[:].astype(jnp.float32),
+               vs_ref[:].astype(jnp.float32), o_ref, s_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("s_valid", "block_g"))
+def decode_cross_attention_grouped(q: jax.Array, k_t: jax.Array,
+                                   v_t: jax.Array,
+                                   k_scale: jax.Array | None = None,
+                                   v_scale: jax.Array | None = None,
+                                   s_valid: int | None = None,
+                                   block_g: int = 8) -> jax.Array:
+    """Beam-grouped one-token cross-attention over transposed K/V.
+
+    q: (BH, K, Dh) — K beams per (batch, head), pre-scaled by 1/sqrt(Dh).
+    k_t/v_t: (BH, Dh, S_pad) bf16, or int8 with (BH, 1, S_pad) fp32 scales.
+    Returns (BH, K, Dh) in q.dtype.
+    """
+    bh, kq, dh = q.shape
+    s_pad = k_t.shape[2]
+    s_valid = s_pad if s_valid is None else s_valid
+    g = block_g
+    while bh % g:
+        g //= 2
+
+    kv_spec = pl.BlockSpec((g, dh, s_pad), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((g, 1, s_pad), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((g, kq, dh), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if k_scale is None:
+        kernel = functools.partial(_kernel_beam, s_valid=s_valid)
+        operands = (q, k_t, v_t)
+        in_specs = [q_spec, kv_spec, kv_spec]
+    else:
+        kernel = functools.partial(_kernel_beam_int8, s_valid=s_valid)
+        operands = (q, k_t, k_scale, v_t, v_scale)
+        in_specs = [q_spec, kv_spec, sc_spec, kv_spec, sc_spec]
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, kq, dh), q.dtype),
+        grid=(bh // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, kq, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * kq * s_pad * dh,
+            bytes_accessed=bh * 2 * dh * s_pad * k_t.dtype.itemsize,
+            transcendentals=bh * kq * s_pad),
+        interpret=_interpret(),
+    )(*operands)
