@@ -109,6 +109,80 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
     return logits, new_cache
 
 
+def prefill(params: Params, arch: WhisperArch, tokens: jax.Array,
+            cache: list, cross_kvs: list,
+            start: jax.Array | None = None) -> list:
+    """Run the (B, P) [prompt +] forced-prefix window through the decoder in
+    ONE batched pass, filling cache positions [0, P). Replaces P sequential
+    `decoder_step` calls (the HF-generate prefill the reference gets for
+    free inside `model.generate`, `data_utils.py:152`) — for long-form
+    prompt conditioning (P up to ~228) this is ~P× fewer passes.
+
+    start: optional (B,) first valid position (left-padded prompts).
+    Returns the updated cache."""
+    from .whisper import CrossKV
+
+    dec = params["decoder"]
+    b, p_len = tokens.shape
+    x = embed_tokens(dec, tokens)  # (B, P, d)
+    if start is None:
+        x = x + dec["pos"][:p_len][None].astype(x.dtype)
+    else:
+        pidx = jnp.maximum(jnp.arange(p_len)[None, :] - start[:, None], 0)
+        x = x + dec["pos"][pidx].astype(x.dtype)
+
+    iq = jnp.arange(p_len)
+    ok = iq[None, None, :] <= iq[None, :, None]          # causal (1, P, P)
+    if start is not None:
+        ok = jnp.logical_and(ok, iq[None, None, :] >= start[:, None, None])
+    mask = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)[:, None, :, :]
+
+    new_cache = []
+    for i, layer in enumerate(dec["layers"]):
+        p = layer["attn"]
+        h = _num_heads(p, arch.head_dim)
+        hs = layer_norm(x, layer["attn_ln"])
+        q, k, v = qkv_project(p, hs, h)
+        new_cache.append(kv_cache.update(cache[i], k, v, 0))
+        o = attention(q, k, v, mask)
+        x = x + linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
+
+        hs_c = layer_norm(x, layer["cross_ln"])
+        if isinstance(cross_kvs[i], CrossKV):
+            x = x + _cross_window_t(layer["cross"], hs_c, cross_kvs[i],
+                                    arch.head_dim)
+        else:
+            x = x + cross_attention(layer["cross"], hs_c, cross_kvs[i],
+                                    arch.head_dim)
+        x = x + mlp(layer, layer_norm(x, layer["mlp_ln"]))
+    return new_cache
+
+
+def _cross_window_t(p: Params, x: jax.Array, kv, head_dim: int) -> jax.Array:
+    """Multi-position (B, P, d) cross-attention over transposed K/V: the
+    P query positions share each (b, h) K/V entry, so this reuses the
+    beam-grouped fused kernel with P in the beam slot."""
+    from ..ops.linear import _on_tpu
+    from .whisper import _cross_t_ref, _num_heads
+
+    b, p_len, _ = x.shape
+    h = _num_heads(p, head_dim)
+    dh = head_dim
+    q = linear(x, p["q"]["w"], p["q"].get("b"))          # (B, P, H*Dh)
+    qg = (q.reshape(b, p_len, h, dh).transpose(0, 2, 1, 3)
+          .reshape(b * h, p_len, dh) * (dh ** -0.5)).astype(q.dtype)
+    if _on_tpu():
+        from ..ops.cross_attention import decode_cross_attention_grouped
+
+        o = decode_cross_attention_grouped(qg, kv.k_t, kv.v_t, kv.k_scale,
+                                           kv.v_scale, s_valid=kv.s_valid)
+    else:
+        o = jax.vmap(_cross_t_ref, in_axes=(1, None), out_axes=1)(qg, kv)
+    o = (o.reshape(b, h, p_len, dh).transpose(0, 2, 1, 3)
+         .reshape(b, p_len, h * dh)).astype(x.dtype)
+    return linear(o, p["o"]["w"], p["o"].get("b"))
+
+
 # ---------------------------------------------------------------------------
 # Greedy decode
 # ---------------------------------------------------------------------------
@@ -167,9 +241,10 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
                                 cross_kvs=cross_kvs, max_len=max_len,
                                 start=start)
 
-    # Prefill prompt window + forced prefix sequentially.
-    for i in range(pw + p_len - 1):
-        _, cache = step_fn(tokens[:, i], jnp.asarray(i), cache)
+    # Prefill prompt window + forced prefix in one batched decoder pass.
+    if pw + p_len > 1:
+        cache = prefill(params, arch, tokens[:, : pw + p_len - 1], cache,
+                        cross_kvs, start=start)
 
     first_gen = pw + p_len  # index of the first generated token
     limit = min(max_len, first_gen + cfg.max_new_tokens)

@@ -42,9 +42,16 @@ def make_eval_step(arch: WhisperArch, mesh: Mesh, decode_cfg=None):
     """Data-parallel transcription step: waveform batch sharded over 'dp'.
 
     This is the throughput scale-out for the eval harness (the per-chip path
-    stays identical; GSPMD splits the batch)."""
+    stays identical; GSPMD splits the batch). NOTE: on a >1-device mesh the
+    fused Pallas decode cross-attention is disabled (GSPMD cannot
+    auto-partition a pallas_call; the explicit shard_map serving path in
+    tp_forward is the kernel-compatible multi-chip route)."""
+    import dataclasses
+
     from ..evaluation.harness import make_transcribe_fn
 
+    if decode_cfg is not None and mesh.size > 1 and decode_cfg.cross_pallas:
+        decode_cfg = dataclasses.replace(decode_cfg, cross_pallas=False)
     fn = make_transcribe_fn(arch, decode_cfg) if decode_cfg else None
 
     def place_batch(wav):

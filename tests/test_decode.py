@@ -141,3 +141,52 @@ def test_beam_score_consistency(hf_pair, mel):
                             for t in range(len(g_seq) - 1)))
         # normalize by length (cfg.length_penalty = 1.0)
         assert score / len(seq) >= g_score / len(g_seq) - 1e-4
+
+
+def test_prefill_matches_sequential_steps(hf_pair, mel):
+    """Batched prefill fills the KV cache identically (and with matching
+    downstream logits) to stepping the prefix token by token — with and
+    without a left-padded prompt window."""
+    from openai_whisper_compression_tpu.models import cache as kv_cache
+    from openai_whisper_compression_tpu.models.whisper import (
+        encode, precompute_cross_kv_t)
+
+    _, params, arch = hf_pair
+    enc = encode(params, arch, jnp.asarray(mel))
+    b = enc.shape[0]
+    cross = precompute_cross_kv_t(params, arch, enc)
+    max_len = 16
+    g = np.random.default_rng(11)
+
+    for start in (None, jnp.asarray([0, 2], jnp.int32)):
+        p_len = 5
+        toks = jnp.asarray(g.integers(0, arch.vocab_size, (b, p_len)),
+                           jnp.int32)
+        c0 = kv_cache.init_cache(params, arch, b, max_len, dtype=enc.dtype)
+        c_seq = c0
+        for i in range(p_len):
+            _, c_seq = decode.decoder_step(params, arch, toks[:, i],
+                                           jnp.asarray(i), c_seq, cross,
+                                           max_len, start=start)
+        c_pre = decode.prefill(params, arch, toks, c0, cross, start=start)
+        # compare only positions >= start (left-pad slots hold all-masked
+        # softmax garbage in both paths and are never attended later)
+        s_np = np.zeros(b, int) if start is None else np.asarray(start)
+        valid = np.arange(p_len)[None, :] >= s_np[:, None]  # (B, P)
+        for a, bb in zip(c_seq, c_pre):
+            for key in ("k", "v"):
+                x1 = np.asarray(a[key], np.float32)[:, :, :p_len]
+                x2 = np.asarray(bb[key], np.float32)[:, :, :p_len]
+                m = valid[:, None, :, None]
+                np.testing.assert_allclose(np.where(m, x1, 0),
+                                           np.where(m, x2, 0), atol=1e-5)
+        # next-step logits from both caches agree
+        nxt = jnp.asarray(g.integers(0, arch.vocab_size, (b,)), jnp.int32)
+        l_seq, _ = decode.decoder_step(params, arch, nxt,
+                                       jnp.asarray(p_len), c_seq, cross,
+                                       max_len, start=start)
+        l_pre, _ = decode.decoder_step(params, arch, nxt,
+                                       jnp.asarray(p_len), c_pre, cross,
+                                       max_len, start=start)
+        np.testing.assert_allclose(np.asarray(l_seq), np.asarray(l_pre),
+                                   atol=1e-4)
