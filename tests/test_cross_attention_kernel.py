@@ -124,3 +124,31 @@ def test_beam_decode_transposed_path_token_parity(rng):
     t0, l0 = run(False)
     np.testing.assert_array_equal(l1, l0)
     np.testing.assert_array_equal(t1, t0)
+
+
+def test_transposed_path_with_pruned_heads(rng):
+    """Physically head-pruned params (per-layer head counts differ) decode
+    identically through the transposed-KV path and the standard path."""
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.models import decode, params as P
+    from openai_whisper_compression_tpu.models.whisper import encode
+    from openai_whisper_compression_tpu.prune.structured import prune_heads_by_l1
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(9))
+    params = prune_heads_by_l1(params, arch, 0.5, physical=True)
+    mel = jnp.asarray(rng.standard_normal(
+        (2, arch.num_mel_bins, 2 * arch.max_source_positions)), jnp.float32)
+    enc = encode(params, arch, mel)
+
+    def run(cross_pallas):
+        cfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                           task_token_id=None, notimestamps=False,
+                           cross_pallas=cross_pallas)
+        t, l = decode.greedy_decode(params, arch, enc, cfg)
+        return np.asarray(t), np.asarray(l)
+
+    t1, l1 = run(True)
+    t0, l0 = run(False)
+    np.testing.assert_array_equal(l1, l0)
+    np.testing.assert_array_equal(t1, t0)
