@@ -147,22 +147,27 @@ def _cross_attention_t(p: Params, x: jax.Array, kv: "CrossKV",
     """Decode-step (q_len == 1) cross-attention over transposed K/V via the
     fused Pallas kernel (ops.cross_attention); exact-math einsum fallback
     off-TPU."""
-    from ..ops.linear import _on_tpu
-
     b = x.shape[0]
     h = _num_heads(p, head_dim)
     dh = head_dim
     q = linear(x, p["q"]["w"], p["q"].get("b"))          # (B, 1, H*Dh)
     qf = (q.reshape(b * h, dh) * (dh ** -0.5)).astype(q.dtype)
+    o = cross_t_apply(qf, kv).reshape(b, 1, h * dh).astype(x.dtype)
+    return linear(o, p["o"]["w"], p["o"].get("b"))
+
+
+def cross_t_apply(qf: jax.Array, kv: "CrossKV") -> jax.Array:
+    """(BH, Dh) pre-scaled q × transposed KV -> (BH, Dh): fused Pallas
+    kernel on TPU, exact-math einsum elsewhere. Shard-map-safe (operates on
+    whatever local shard it is handed — see parallel.tp_forward)."""
+    from ..ops.linear import _on_tpu
+
     if _on_tpu():
         from ..ops.cross_attention import decode_cross_attention
 
-        o = decode_cross_attention(qf, kv.k_t, kv.v_t, kv.k_scale,
-                                   kv.v_scale, s_valid=kv.s_valid)
-    else:
-        o = _cross_t_ref(qf, kv)
-    o = o.reshape(b, 1, h * dh).astype(x.dtype)
-    return linear(o, p["o"]["w"], p["o"].get("b"))
+        return decode_cross_attention(qf, kv.k_t, kv.v_t, kv.k_scale,
+                                      kv.v_scale, s_valid=kv.s_valid)
+    return _cross_t_ref(qf, kv)
 
 
 def _cross_t_ref(qf: jax.Array, kv: "CrossKV") -> jax.Array:

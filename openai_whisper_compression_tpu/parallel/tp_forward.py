@@ -130,15 +130,21 @@ def _spec_tree(params: Any, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 def _local_cross_kv(params: Any, arch: WhisperArch, enc_out: jax.Array):
-    """Per-layer cross K/V from the LOCAL column-parallel k/v projections:
-    each shard holds its own heads' (B, H/tp, S, Dh)."""
+    """Per-layer transposed CrossKV from the LOCAL column-parallel k/v
+    projections: each shard holds its own heads' (B·H/tp, Dh, S_pad), in
+    the fused-kernel layout (the Pallas decode cross-attention runs
+    shard-locally under shard_map — models.whisper.cross_t_apply)."""
+    from ..models.whisper import CrossKV, _transpose_kv
+
+    s = enc_out.shape[1]
     kvs = []
     for layer in params["decoder"]["layers"]:
         p = layer["cross"]
         h = _local_width(p["k"]["w"]) // arch.head_dim
-        k = split_heads(linear(enc_out, p["k"]["w"]), h)
-        v = split_heads(linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
-        kvs.append((k, v))
+        k_t = _transpose_kv(linear(enc_out, p["k"]["w"]), h)
+        v_t = _transpose_kv(linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
+        kvs.append(CrossKV(k_t.astype(enc_out.dtype),
+                           v_t.astype(enc_out.dtype), s_valid=s))
     return kvs
 
 
@@ -178,10 +184,14 @@ def _decoder_step_local(params: Any, arch: WhisperArch, tok: jax.Array,
         c = layer["cross"]
         hc = layer_norm(x, layer["cross_ln"])
         hq = _local_width(c["q"]["w"]) // arch.head_dim
-        cq = split_heads(linear(hc, c["q"]["w"], c["q"].get("b")), hq)
-        ck, cv = cross_kvs[i]
-        co = linear(merge_heads(attention(cq, ck.astype(cq.dtype),
-                                          cv.astype(cq.dtype))), c["o"]["w"])
+        dh = arch.head_dim
+        from ..models.whisper import cross_t_apply
+
+        cq = linear(hc, c["q"]["w"], c["q"].get("b"))      # (B, 1, Hloc*Dh)
+        qf = (cq.reshape(-1, dh) * (dh ** -0.5)).astype(cq.dtype)
+        co = cross_t_apply(qf, cross_kvs[i])
+        co = co.reshape(cq.shape[0], 1, hq * dh).astype(hc.dtype)
+        co = linear(co, c["o"]["w"])                       # bias post-psum
         co = jax.lax.psum(co, axis)
         cb = c["o"].get("b")
         x = x + (co + cb.astype(co.dtype) if cb is not None else co)
