@@ -49,6 +49,11 @@ def main() -> None:
                     help="50%% structured head+FFN pruning before quant")
     ap.add_argument("--merge-at", type=int, default=None,
                     help="encoder adjacent-token merging before this layer")
+    ap.add_argument("--fast-gelu", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="tanh-approximate encoder GELU; its ~3e-3 activation "
+                         "delta is below the bf16 rounding floor the model "
+                         "already runs at (490->445 ms/batch)")
     args = ap.parse_args()
 
     import jax
@@ -85,7 +90,8 @@ def main() -> None:
                        kv_int8=args.kv_int8,
                        cross_kv_int8=args.cross_kv_int8,
                        suppress_tokens=(arch.eos_token_id,))
-    fn = make_transcribe_fn(arch, cfg, fast_mel=True, merge_at=args.merge_at)
+    fn = make_transcribe_fn(arch, cfg, fast_mel=True, merge_at=args.merge_at,
+                            fast_gelu=args.fast_gelu)
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((args.batch, 480_000)) * 0.1,

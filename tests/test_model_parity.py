@@ -193,3 +193,18 @@ def test_export_compressed_pipeline(hf_pair):
     w_exp = model2.model.encoder.layers[0].fc1.weight.detach().numpy()
     rel = np.linalg.norm(w_orig - w_exp) / np.linalg.norm(w_orig)
     assert 0 < rel < 0.01
+
+
+def test_fast_gelu_encoder_accuracy(hf_pair):
+    """tanh-approximate encoder GELU stays within ~1e-2 relative of the
+    exact-erf encoder output (opt-in speed/parity trade)."""
+    import jax.numpy as jnp
+
+    _, params, arch = hf_pair
+    g = np.random.default_rng(5)
+    mel = jnp.asarray(g.standard_normal(
+        (2, arch.num_mel_bins, 2 * arch.max_source_positions)), jnp.float32)
+    exact = np.asarray(whisper.encode(params, arch, mel))
+    fast = np.asarray(whisper.encode(params, arch, mel, fast_gelu=True))
+    rel = np.abs(fast - exact).max() / max(np.abs(exact).max(), 1e-9)
+    assert 0 < rel < 1e-2
