@@ -45,6 +45,10 @@ def main() -> None:
                     default=True,
                     help="int8 cross-attn K/V (dequant fused into the Pallas "
                          "decode kernel; measured 535->490 ms/batch)")
+    ap.add_argument("--cross-kv-int4", action="store_true",
+                    help="int4 cross-attn K/V: halves HBM *capacity* but "
+                         "measured SLOWER than int8 (512 vs 445 ms/batch — "
+                         "nibble unpack is VPU-bound); memory knob only")
     ap.add_argument("--structured50", action="store_true",
                     help="50%% structured head+FFN pruning before quant")
     ap.add_argument("--merge-at", type=int, default=None,
@@ -89,6 +93,7 @@ def main() -> None:
     cfg = DecodeConfig(max_new_tokens=args.tokens, beam_size=args.beam,
                        kv_int8=args.kv_int8,
                        cross_kv_int8=args.cross_kv_int8,
+                       cross_kv_int4=args.cross_kv_int4,
                        suppress_tokens=(arch.eos_token_id,))
     fn = make_transcribe_fn(arch, cfg, fast_mel=True, merge_at=args.merge_at,
                             fast_gelu=args.fast_gelu)

@@ -105,6 +105,8 @@ class DecodeConfig:
     length_penalty: float = 1.0
     kv_int8: bool = False        # int8 self-attn KV cache (BASELINE config 4)
     cross_kv_int8: bool = False  # int8 cross-attn K/V (read every step)
+    cross_kv_int4: bool = False  # int4 cross-KV (halves the stream again;
+    #                              takes precedence over cross_kv_int8)
     # fused Pallas decode cross-attention over transposed K/V (greedy path;
     # ops.cross_attention). With cross_kv_int8 the int8 dequant fuses into
     # the kernel — 2.2x faster per step than the XLA path on v5e.

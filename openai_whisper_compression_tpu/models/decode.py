@@ -219,8 +219,8 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     if cfg.cross_pallas:
         from .whisper import precompute_cross_kv_t
 
-        cross_kvs = precompute_cross_kv_t(params, arch, enc_out,
-                                          int8=cfg.cross_kv_int8)
+        bits = 4 if cfg.cross_kv_int4 else (8 if cfg.cross_kv_int8 else 16)
+        cross_kvs = precompute_cross_kv_t(params, arch, enc_out, bits=bits)
     else:
         cross_kvs = precompute_cross_kv(params, arch, enc_out,
                                         int8=cfg.cross_kv_int8)
@@ -332,8 +332,8 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     if cfg.cross_pallas:
         from .whisper import precompute_cross_kv_t
 
-        cross_kvs = precompute_cross_kv_t(params, arch, enc_out,
-                                          int8=cfg.cross_kv_int8)
+        bits = 4 if cfg.cross_kv_int4 else (8 if cfg.cross_kv_int8 else 16)
+        cross_kvs = precompute_cross_kv_t(params, arch, enc_out, bits=bits)
     else:
         cross_kvs = precompute_cross_kv(params, arch, enc_out,
                                         int8=cfg.cross_kv_int8)

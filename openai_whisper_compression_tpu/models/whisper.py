@@ -172,8 +172,12 @@ def cross_t_apply(qf: jax.Array, kv: "CrossKV") -> jax.Array:
 
 def _cross_t_ref(qf: jax.Array, kv: "CrossKV") -> jax.Array:
     """einsum reference for the transposed layout (same math as the kernel)."""
-    k = kv.k_t.astype(jnp.float32)
-    v = kv.v_t.astype(jnp.float32)
+    if kv.k_t.shape[1] == qf.shape[1] // 2:  # split-half packed int4
+        k = unpack_kv4_t(kv.k_t)
+        v = unpack_kv4_t(kv.v_t)
+    else:
+        k = kv.k_t.astype(jnp.float32)
+        v = kv.v_t.astype(jnp.float32)
     scores = jnp.einsum("gd,gds->gs", qf.astype(jnp.float32), k)
     if kv.k_scale is not None:
         scores = scores * kv.k_scale[:, 0, :]
@@ -344,12 +348,45 @@ def _quant_kv8_t(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q.astype(jnp.int8), scale
 
 
+def _quant_kv4_t(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """int4-quantize transposed K/V, split-half packed along Dh: byte row d
+    holds element d (low nibble) and d + Dh/2 (high nibble), per-(bh,
+    position) absmax scales (see ops.cross_attention._unpack4)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                        1e-12) / 7.0
+    q = jnp.clip(jnp.round(xf / scale), -7, 7).astype(jnp.int32)
+    dh = x.shape[1]
+    lo, hi = q[:, : dh // 2], q[:, dh // 2:]
+    packed = (lo & 0xF) | ((hi & 0xF) << 4)
+    return packed.astype(jnp.int8), scale
+
+
+def unpack_kv4_t(packed: jax.Array) -> jax.Array:
+    """Inverse of _quant_kv4_t's packing (without scales): (BH, Dh/2, S)
+    int8 -> (BH, Dh, S) f32 in [-7, 7]."""
+    u = packed.astype(jnp.int32) & 0xFF
+    lo = u & 0xF
+    hi = (u >> 4) & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+
+
 def precompute_cross_kv_t(params: Params, arch: WhisperArch,
                           enc_out: jax.Array,
-                          int8: bool = False) -> list[CrossKV]:
+                          int8: bool = False,
+                          bits: int | None = None) -> list[CrossKV]:
     """Transposed-layout cross-KV for the fused Pallas decode kernel —
     measured 2.2x (int8) / 1.2x (bf16) faster per decode step than the XLA
-    einsum path at whisper-small batch-64 shapes (see ops.cross_attention)."""
+    einsum path at whisper-small batch-64 shapes (see ops.cross_attention).
+
+    bits: 16 (dense, default), 8, or 4 (split-half packed nibbles). int8 is
+    both faster AND half the capacity (dequant folds into the kernel's score
+    vectors). int4 halves HBM *capacity* again but measured SLOWER than int8
+    on v5e (512 vs 445 ms/batch headline — the nibble unpack is VPU-bound):
+    use it for memory headroom (e.g. very large batches), not speed."""
+    bits = bits if bits is not None else (8 if int8 else 16)
     s = enc_out.shape[1]
     kvs = []
     for layer in params["decoder"]["layers"]:
@@ -357,7 +394,11 @@ def precompute_cross_kv_t(params: Params, arch: WhisperArch,
         h = _num_heads(p, arch.head_dim)
         k_t = _transpose_kv(linear(enc_out, p["k"]["w"]), h)
         v_t = _transpose_kv(linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
-        if int8:
+        if bits == 4:
+            k_t, ks = _quant_kv4_t(k_t)
+            v_t, vs = _quant_kv4_t(v_t)
+            kvs.append(CrossKV(k_t, v_t, ks, vs, s_valid=s))
+        elif bits == 8:
             k_t, ks = _quant_kv8_t(k_t)
             v_t, vs = _quant_kv8_t(v_t)
             kvs.append(CrossKV(k_t, v_t, ks, vs, s_valid=s))

@@ -71,6 +71,32 @@ def _kernel_int8(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, s_valid: int):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _unpack4(packed: jax.Array) -> jax.Array:
+    """(G, Dh/2, S) split-half packed int4 -> (G, Dh, S) f32.
+
+    Byte row d holds element d (low nibble) and d + Dh/2 (high nibble), so
+    concat along the Dh axis restores natural order (the split-half scheme
+    of ops.quant_matmul)."""
+    u = packed.astype(jnp.int32) & 0xFF
+    lo = u & 0xF
+    hi = (u >> 4) & 0xF
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+
+
+def _kernel_int4(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, s_valid: int):
+    q = q_ref[:].astype(jnp.float32)               # (G, Dh)
+    k = _unpack4(k_ref[:])                         # (G, Dh, S)
+    scores = jnp.sum(q[:, :, None] * k, axis=1)    # (G, S)
+    scores = scores * ks_ref[:, 0, :]
+    p, l = _softmax_masked(scores, s_valid)
+    p = p * vs_ref[:, 0, :]
+    v = _unpack4(v_ref[:])
+    out = jnp.sum(v * (p / l)[:, None, :], axis=2)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("s_valid", "block_g"))
 def decode_cross_attention(q: jax.Array, k_t: jax.Array, v_t: jax.Array,
                            k_scale: jax.Array | None = None,
@@ -106,20 +132,22 @@ def decode_cross_attention(q: jax.Array, k_t: jax.Array, v_t: jax.Array,
         ]
         bytes_acc = bh * (2 * dh * s_pad * k_t.dtype.itemsize + 4 * dh)
     else:
-        kernel = functools.partial(_kernel_int8, s_valid=s_valid)
+        dh_store = k_t.shape[1]  # Dh (int8) or Dh/2 (split-half packed int4)
+        kern = _kernel_int4 if dh_store == dh // 2 else _kernel_int8
+        kernel = functools.partial(kern, s_valid=s_valid)
         operands = (q, k_t, k_scale, v_t, v_scale)
         in_specs = [
             pl.BlockSpec((g, dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, dh, s_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, dh_store, s_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 1, s_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, dh, s_pad), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, dh_store, s_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 1, s_pad), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        bytes_acc = bh * (2 * dh * s_pad + 8 * s_pad + 4 * dh)
+        bytes_acc = bh * (2 * dh_store * s_pad + 8 * s_pad + 4 * dh)
 
     return pl.pallas_call(
         kernel,
@@ -181,6 +209,13 @@ def _kernel_beam_int8(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
                vs_ref[:].astype(jnp.float32), o_ref, s_valid)
 
 
+def _kernel_beam_int4(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *,
+                      s_valid: int):
+    _beam_core(q_ref[:].astype(jnp.float32), _unpack4(k_ref[:]),
+               ks_ref[:].astype(jnp.float32), _unpack4(v_ref[:]),
+               vs_ref[:].astype(jnp.float32), o_ref, s_valid)
+
+
 @functools.partial(jax.jit, static_argnames=("s_valid", "block_g"))
 def decode_cross_attention_grouped(q: jax.Array, k_t: jax.Array,
                                    v_t: jax.Array,
@@ -201,7 +236,8 @@ def decode_cross_attention_grouped(q: jax.Array, k_t: jax.Array,
     while bh % g:
         g //= 2
 
-    kv_spec = pl.BlockSpec((g, dh, s_pad), lambda i: (i, 0, 0),
+    dh_store = k_t.shape[1]  # Dh, or Dh/2 for split-half packed int4
+    kv_spec = pl.BlockSpec((g, dh_store, s_pad), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((g, 1, s_pad), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -212,7 +248,8 @@ def decode_cross_attention_grouped(q: jax.Array, k_t: jax.Array,
         operands = (q, k_t, v_t)
         in_specs = [q_spec, kv_spec, kv_spec]
     else:
-        kernel = functools.partial(_kernel_beam_int8, s_valid=s_valid)
+        kern = _kernel_beam_int4 if dh_store == dh // 2 else _kernel_beam_int8
+        kernel = functools.partial(kern, s_valid=s_valid)
         operands = (q, k_t, k_scale, v_t, v_scale)
         in_specs = [q_spec, kv_spec, sc_spec, kv_spec, sc_spec]
 

@@ -152,3 +152,64 @@ def test_transposed_path_with_pruned_heads(rng):
     t0, l0 = run(False)
     np.testing.assert_array_equal(l1, l0)
     np.testing.assert_array_equal(t1, t0)
+
+
+def test_kernel_int4_matches_dequant_ref():
+    """Split-half packed int4 K/V: kernel output matches the dequantized
+    einsum reference; error vs exact stays bounded."""
+    from openai_whisper_compression_tpu.models.whisper import (
+        _quant_kv4_t, unpack_kv4_t)
+
+    g = np.random.default_rng(4)
+    bh, dh, s = 16, 64, 256
+    sp = pad_cross_len(s)
+    # 0.3 scale ≈ realistic post-LN score magnitudes; raw N(0,1) makes the
+    # softmax adversarially peaked (scores ±8) and int4 error explodes
+    q = jnp.asarray(g.standard_normal((bh, dh)) * 0.3, jnp.float32)
+    k = jnp.asarray(g.standard_normal((bh, dh, sp)) * 0.3, jnp.float32)
+    v = jnp.asarray(g.standard_normal((bh, dh, sp)) * 0.3, jnp.float32)
+
+    k4, ks = _quant_kv4_t(k)
+    v4, vs = _quant_kv4_t(v)
+    assert k4.shape == (bh, dh // 2, sp)
+    # pack/unpack round-trip
+    np.testing.assert_array_equal(
+        np.asarray(unpack_kv4_t(k4) * ks), np.asarray(
+            jnp.clip(jnp.round(k / ks), -7, 7) * ks))
+
+    out = decode_cross_attention(q, k4, v4, ks, vs, s_valid=s)
+    ref = _ref(q, (unpack_kv4_t(k4) * ks)[:, :, :s],
+               (unpack_kv4_t(v4) * vs)[:, :, :s])
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=0.02)
+    exact = _ref(q, k[:, :, :s], v[:, :, :s])
+    err = jnp.abs(out - exact)
+    # int4 is coarse on adversarial random-normal data: bound the mean
+    # tightly and the tail loosely
+    assert float(err.mean()) < 0.08
+    assert float(err.max()) < 1.5
+
+
+def test_greedy_decode_int4_cross_kv(rng):
+    """End-to-end greedy decode with int4 cross-KV runs and mostly agrees
+    with the dense decode on the tiny model."""
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.models import decode, params as P
+    from openai_whisper_compression_tpu.models.whisper import encode
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(7))
+    mel = jnp.asarray(rng.standard_normal(
+        (2, arch.num_mel_bins, 2 * arch.max_source_positions)), jnp.float32)
+    enc = encode(params, arch, mel)
+
+    def run(**kw):
+        cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                           task_token_id=None, notimestamps=False, **kw)
+        t, l = decode.greedy_decode(params, arch, enc, cfg)
+        return np.asarray(t)
+
+    t4 = run(cross_kv_int4=True)
+    t_dense = run()
+    agree = (t4 == t_dense).mean()
+    assert agree > 0.5, f"int4 cross-KV diverged too much: {agree}"
