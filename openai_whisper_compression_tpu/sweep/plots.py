@@ -72,3 +72,53 @@ def plot_sweep(results: dict[str, Any], save_dir: str,
     ax.set_title("Throughput per config")
     save(fig, "rtfx")
     return paths
+
+
+DEFAULT_CURVE_METRICS = ("wer", "cer", "rtf", "rtfx",
+                         "avg_latency_per_batch_s")
+
+
+def plot_metric_curves(results: dict[str, Any], save_dir: str,
+                       metrics: tuple[str, ...] = DEFAULT_CURVE_METRICS,
+                       prefix: str = "curves") -> list[str]:
+    """Per-metric curves over the config axis with one line per split —
+    parity with the reference's per-experiment `create_plots`
+    (`unstructured_L1_baseline.py:871-1126`: each metric vs pruning %,
+    clean/other split lines). The x axis is each config's sparsity when the
+    sweep varies it (pruning ladders), else the config index."""
+    os.makedirs(save_dir, exist_ok=True)
+    ok = _ok(results)
+    if not ok:
+        return []
+    names = list(ok)
+    sparsities = [ok[n]["sparsity"] for n in names]
+    varies = len({round(s, 3) for s in sparsities}) > 1
+    x = sparsities if varies else list(range(len(names)))
+    xlabel = "sparsity" if varies else "config"
+    splits = sorted({s for n in names for s in ok[n]["splits"]})
+    paths = []
+    for metric in metrics:
+        fig, ax = plt.subplots(figsize=(9, 4.5))
+        plotted = False
+        for split in splits:
+            y = [ok[n]["splits"].get(split, {}).get(metric) for n in names]
+            if any(v is not None for v in y):
+                ax.plot(x, [v if v is not None else float("nan") for v in y],
+                        marker="o", label=f"{split} split")
+                plotted = True
+        if not plotted:
+            plt.close(fig)
+            continue
+        if not varies:
+            ax.set_xticks(x)
+            ax.set_xticklabels(names, rotation=75, fontsize=6, ha="right")
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(metric)
+        ax.set_title(f"{metric} vs {xlabel}")
+        ax.legend()
+        p = os.path.join(save_dir, f"{prefix}_{metric}.png")
+        fig.tight_layout()
+        fig.savefig(p, dpi=110)
+        plt.close(fig)
+        paths.append(p)
+    return paths

@@ -143,3 +143,30 @@ def test_cli_sensitivity(tmp_path, capsys):
     assert (tmp_path / "cfg.json").exists()
     cfg = json.loads((tmp_path / "cfg.json").read_text())
     assert "recipe" in cfg
+
+
+def test_plot_metric_curves(tmp_path):
+    """Per-metric per-split curves (reference create_plots parity)."""
+    results = {
+        f"p{i}": {
+            "model_size_mb": 1.0, "sparsity": i / 10, "gflops": 1.0,
+            "splits": {
+                "test_clean": {"wer": 0.1 * i, "cer": 0.05 * i, "rtf": 0.01,
+                               "rtfx": 100 - i, "avg_latency_per_batch_s": 0.1},
+                "test_other": {"wer": 0.12 * i, "cer": 0.06 * i, "rtf": 0.01,
+                               "rtfx": 90 - i, "avg_latency_per_batch_s": 0.1},
+            },
+        }
+        for i in range(4)
+    }
+    results["boom"] = {"error": "x"}
+    paths = plots.plot_metric_curves(results, str(tmp_path))
+    assert len(paths) == 5
+    assert all(os.path.getsize(p) > 0 for p in paths)
+
+    # constant sparsity -> config-index axis, still plots
+    for r in results.values():
+        if "sparsity" in r:
+            r["sparsity"] = 0.0
+    paths = plots.plot_metric_curves(results, str(tmp_path), prefix="c2")
+    assert len(paths) == 5
