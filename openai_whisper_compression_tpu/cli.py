@@ -108,7 +108,8 @@ def cmd_sweep(args):
     summarize(results)
     if args.save_path:
         plots.plot_sweep(results, args.save_path, prefix=args.sweep)
-        plots.plot_metric_curves(results, args.save_path, prefix=args.sweep)
+        plots.plot_metric_curves(results, args.save_path,
+                                 prefix=f"{args.sweep}_curve")
     return results
 
 

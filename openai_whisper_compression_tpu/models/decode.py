@@ -119,6 +119,14 @@ def prefill(params: Params, arch: WhisperArch, tokens: jax.Array,
     prompt conditioning (P up to ~228) this is ~P× fewer passes.
 
     start: optional (B,) first valid position (left-padded prompts).
+
+    With an int8 self-KV cache (kv_int8), prefill attends to the EXACT k/v
+    of the window while writing the quantized values into the cache — the
+    standard prefill semantics (higher fidelity than stepping through the
+    quantized cache, which is what the pre-batched implementation did);
+    generated tokens can differ marginally from sequential stepping in that
+    mode.
+
     Returns the updated cache."""
     from .whisper import CrossKV
 
@@ -162,8 +170,7 @@ def _cross_window_t(p: Params, x: jax.Array, kv, head_dim: int) -> jax.Array:
     """Multi-position (B, P, d) cross-attention over transposed K/V: the
     P query positions share each (b, h) K/V entry, so this reuses the
     beam-grouped fused kernel with P in the beam slot."""
-    from ..ops.linear import _on_tpu
-    from .whisper import _cross_t_ref, _num_heads
+    from .whisper import grouped_cross_t_apply
 
     b, p_len, _ = x.shape
     h = _num_heads(p, head_dim)
@@ -171,13 +178,7 @@ def _cross_window_t(p: Params, x: jax.Array, kv, head_dim: int) -> jax.Array:
     q = linear(x, p["q"]["w"], p["q"].get("b"))          # (B, P, H*Dh)
     qg = (q.reshape(b, p_len, h, dh).transpose(0, 2, 1, 3)
           .reshape(b * h, p_len, dh) * (dh ** -0.5)).astype(q.dtype)
-    if _on_tpu():
-        from ..ops.cross_attention import decode_cross_attention_grouped
-
-        o = decode_cross_attention_grouped(qg, kv.k_t, kv.v_t, kv.k_scale,
-                                           kv.v_scale, s_valid=kv.s_valid)
-    else:
-        o = jax.vmap(_cross_t_ref, in_axes=(1, None), out_axes=1)(qg, kv)
+    o = grouped_cross_t_apply(qg, kv)
     o = (o.reshape(b, h, p_len, dh).transpose(0, 2, 1, 3)
          .reshape(b, p_len, h * dh)).astype(x.dtype)
     return linear(o, p["o"]["w"], p["o"].get("b"))
@@ -222,6 +223,9 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         bits = 4 if cfg.cross_kv_int4 else (8 if cfg.cross_kv_int8 else 16)
         cross_kvs = precompute_cross_kv_t(params, arch, enc_out, bits=bits)
     else:
+        if cfg.cross_kv_int4:
+            raise ValueError("cross_kv_int4 requires cross_pallas=True "
+                             "(only the transposed-KV layout packs nibbles)")
         cross_kvs = precompute_cross_kv(params, arch, enc_out,
                                         int8=cfg.cross_kv_int8)
     cache = kv_cache.init_cache(params, arch, b, max_len,
@@ -335,6 +339,9 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         bits = 4 if cfg.cross_kv_int4 else (8 if cfg.cross_kv_int8 else 16)
         cross_kvs = precompute_cross_kv_t(params, arch, enc_out, bits=bits)
     else:
+        if cfg.cross_kv_int4:
+            raise ValueError("cross_kv_int4 requires cross_pallas=True "
+                             "(only the transposed-KV layout packs nibbles)")
         cross_kvs = precompute_cross_kv(params, arch, enc_out,
                                         int8=cfg.cross_kv_int8)
     cache = kv_cache.init_cache(params, arch, b * beam, max_len,

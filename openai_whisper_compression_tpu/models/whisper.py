@@ -132,6 +132,10 @@ def self_attention(p: Params, x: jax.Array, head_dim: int,
 def cross_attention(p: Params, x: jax.Array, kv, head_dim: int,
                     head_mask: jax.Array | None = None) -> jax.Array:
     if isinstance(kv, CrossKV):  # transposed fused-kernel layout (decode)
+        if head_mask is not None:
+            raise ValueError("head_mask is not supported on the transposed-"
+                             "KV path; use standard-layout cross-KV "
+                             "(precompute_cross_kv / cross_pallas=False)")
         return _cross_attention_t(p, x, kv, head_dim)
     h = _num_heads(p, head_dim)
     q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)
@@ -166,7 +170,7 @@ def cross_t_apply(qf: jax.Array, kv: "CrossKV") -> jax.Array:
         from ..ops.cross_attention import decode_cross_attention
 
         return decode_cross_attention(qf, kv.k_t, kv.v_t, kv.k_scale,
-                                      kv.v_scale, s_valid=kv.s_valid)
+                                      kv.v_scale, s_valid=kv.valid_len)
     return _cross_t_ref(qf, kv)
 
 
@@ -182,7 +186,7 @@ def _cross_t_ref(qf: jax.Array, kv: "CrossKV") -> jax.Array:
     if kv.k_scale is not None:
         scores = scores * kv.k_scale[:, 0, :]
     s_pad = k.shape[2]
-    mask = (jnp.arange(s_pad) < kv.s_valid)[None, :]
+    mask = (jnp.arange(s_pad) < kv.valid_len)[None, :]
     scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
     if kv.v_scale is not None:  # fold v dequant scale, like the kernel
@@ -214,13 +218,25 @@ def grouped_cross_attention(p: Params, x: jax.Array, kv, head_dim: int,
     return linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
 
 
-def _grouped_cross_attention_t(p: Params, x: jax.Array, kv: "CrossKV",
-                               head_dim: int, beam: int) -> jax.Array:
-    """Beam-grouped decode cross-attention via the fused Pallas kernel
-    (ops.cross_attention.decode_cross_attention_grouped); einsum fallback
-    off-TPU."""
+def grouped_cross_t_apply(qg: jax.Array, kv: "CrossKV") -> jax.Array:
+    """(BH, K, Dh) pre-scaled grouped q × transposed KV -> (BH, K, Dh).
+    K rows per (b, h) share one K/V entry (beam rows, or prefill positions —
+    models.decode._cross_window_t). Fused Pallas kernel on TPU, vmapped
+    einsum reference elsewhere."""
     from ..ops.linear import _on_tpu
 
+    if _on_tpu():
+        from ..ops.cross_attention import decode_cross_attention_grouped
+
+        return decode_cross_attention_grouped(qg, kv.k_t, kv.v_t, kv.k_scale,
+                                              kv.v_scale,
+                                              s_valid=kv.valid_len)
+    return jax.vmap(_cross_t_ref, in_axes=(1, None), out_axes=1)(qg, kv)
+
+
+def _grouped_cross_attention_t(p: Params, x: jax.Array, kv: "CrossKV",
+                               head_dim: int, beam: int) -> jax.Array:
+    """Beam-grouped decode cross-attention via the fused Pallas kernel."""
     bk = x.shape[0]
     b = bk // beam
     h = _num_heads(p, head_dim)
@@ -229,13 +245,7 @@ def _grouped_cross_attention_t(p: Params, x: jax.Array, kv: "CrossKV",
     # (B*K, H, Dh) -> (B, H, K, Dh) -> (BH, K, Dh), matching k_t's bh order
     qg = (q.reshape(b, beam, h, dh).transpose(0, 2, 1, 3)
           .reshape(b * h, beam, dh) * (dh ** -0.5)).astype(q.dtype)
-    if _on_tpu():
-        from ..ops.cross_attention import decode_cross_attention_grouped
-
-        o = decode_cross_attention_grouped(qg, kv.k_t, kv.v_t, kv.k_scale,
-                                           kv.v_scale, s_valid=kv.s_valid)
-    else:
-        o = jax.vmap(_cross_t_ref, in_axes=(1, None), out_axes=1)(qg, kv)
+    o = grouped_cross_t_apply(qg, kv)
     # (BH, K, Dh) -> (B*K, 1, H*Dh)
     o = (o.reshape(b, h, beam, dh).transpose(0, 2, 1, 3)
          .reshape(bk, 1, h * dh)).astype(x.dtype)
@@ -327,7 +337,13 @@ class CrossKV:
     v_t: jax.Array
     k_scale: jax.Array | None = None
     v_scale: jax.Array | None = None
+    # 0 means "all S_pad positions valid" (use valid_len; a raw default of 0
+    # would otherwise mask out everything)
     s_valid: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def valid_len(self) -> int:
+        return self.s_valid if self.s_valid > 0 else self.k_t.shape[2]
 
 
 def _transpose_kv(x: jax.Array, h: int) -> jax.Array:
@@ -364,13 +380,11 @@ def _quant_kv4_t(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def unpack_kv4_t(packed: jax.Array) -> jax.Array:
     """Inverse of _quant_kv4_t's packing (without scales): (BH, Dh/2, S)
-    int8 -> (BH, Dh, S) f32 in [-7, 7]."""
-    u = packed.astype(jnp.int32) & 0xFF
-    lo = u & 0xF
-    hi = (u >> 4) & 0xF
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    return jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+    int8 -> (BH, Dh, S) f32 in [-7, 7]. Delegates to the kernel's unpack so
+    the CPU reference path can never drift from what the TPU kernel decodes."""
+    from ..ops.cross_attention import _unpack4
+
+    return _unpack4(packed)
 
 
 def precompute_cross_kv_t(params: Params, arch: WhisperArch,

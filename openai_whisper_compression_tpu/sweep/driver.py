@@ -48,9 +48,24 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
     all_results: dict[str, Any] = {}
     results_file = (os.path.join(save_path, "all_results.json")
                     if save_path else None)
+    # Fingerprint of everything that changes a config's numbers: resuming
+    # against results produced under a different eval/decode setup would
+    # silently report stale numbers, so a mismatch restarts from scratch.
+    import dataclasses
+
+    fingerprint = {"eval": dataclasses.asdict(eval_cfg),
+                   "decode": dataclasses.asdict(decode_cfg),
+                   "splits": sorted(k for k, v in datasets.items() if v)}
+    fingerprint = json.loads(json.dumps(fingerprint, default=str))
     if resume and results_file and os.path.exists(results_file):
         with open(results_file) as f:
-            all_results = json.load(f)
+            saved = json.load(f)
+        if saved.pop("_meta", {}).get("fingerprint") == fingerprint:
+            all_results = saved
+        else:
+            logger.warning("all_results.json was produced under a different "
+                           "eval/decode configuration — ignoring it and "
+                           "rerunning every config")
     # One jitted transcribe fn shared across configs: same-pytree-structure
     # configs (e.g. the whole L1 ladder) reuse a single compilation.
     shared_fn = harness.make_transcribe_fn(arch, decode_cfg)
@@ -60,7 +75,9 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
             os.makedirs(save_path, exist_ok=True)
             tmp = results_file + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(all_results, f, indent=2, default=str)
+                json.dump({**all_results,
+                           "_meta": {"fingerprint": fingerprint}},
+                          f, indent=2, default=str)
             os.replace(tmp, results_file)
 
     for cfg in configs:

@@ -93,7 +93,11 @@ def plot_metric_curves(results: dict[str, Any], save_dir: str,
     names = list(ok)
     sparsities = [ok[n]["sparsity"] for n in names]
     varies = len({round(s, 3) for s in sparsities}) > 1
-    x = sparsities if varies else list(range(len(names)))
+    if varies:  # sort by sparsity so curves don't double back
+        names = [n for _, n in sorted(zip(sparsities, names))]
+        x = sorted(sparsities)
+    else:
+        x = list(range(len(names)))
     xlabel = "sparsity" if varies else "config"
     splits = sorted({s for n in names for s in ok[n]["splits"]})
     paths = []

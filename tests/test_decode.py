@@ -190,3 +190,23 @@ def test_prefill_matches_sequential_steps(hf_pair, mel):
                                        max_len, start=start)
         np.testing.assert_allclose(np.asarray(l_seq), np.asarray(l_pre),
                                    atol=1e-4)
+
+
+def test_prefill_with_int8_kv_cache(hf_pair, mel):
+    """Prefill writes a quantized cache while attending to exact k/v (the
+    standard prefill semantics); decode with kv_int8 runs end-to-end and
+    mostly agrees with the fp-cache decode."""
+    from openai_whisper_compression_tpu.models.whisper import encode
+
+    _, params, arch = hf_pair
+    enc = whisper.encode(params, arch, jnp.asarray(mel))
+
+    def run(**kw):
+        cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                           task_token_id=None, notimestamps=False, **kw)
+        t, l = decode.greedy_decode(params, arch, enc, cfg)
+        return np.asarray(t)
+
+    t8 = run(kv_int8=True)
+    tf = run()
+    assert (t8 == tf).mean() > 0.6, "int8 self-KV diverged too much"

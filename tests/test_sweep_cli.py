@@ -97,15 +97,24 @@ def test_run_sweep_resume(setup, tmp_path):
     assert "error" in r1["flaky"] and "error" not in r1["good"]
     # incremental flush happened even though 'flaky' errored
     saved = json.loads((tmp_path / "all_results.json").read_text())
-    assert set(saved) == {"good", "flaky"}
+    assert set(saved) == {"good", "flaky", "_meta"}
+    assert "_meta" not in r1  # meta is a disk-only artifact
 
     r2 = run_sweep(params, arch, configs, datasets, tok, **kw)
     assert calls["good"] == 1          # skipped on resume
     assert calls["flaky"] == 2         # retried and succeeded
     assert "error" not in r2["flaky"]
 
+    # a changed decode config invalidates the fingerprint -> full rerun
+    kw2 = dict(kw)
+    kw2["decode_cfg"] = DecodeConfig(max_new_tokens=5,
+                                     language_token_id=None,
+                                     task_token_id=None, notimestamps=False)
+    run_sweep(params, arch, configs, datasets, tok, **kw2)
+    assert calls["good"] == 2          # stale results were NOT reused
+
     r3 = run_sweep(params, arch, configs, datasets, tok, resume=False, **kw)
-    assert calls["good"] == 2          # resume=False reruns everything
+    assert calls["good"] == 3          # resume=False reruns everything
     assert "error" not in r3["flaky"]
 
 
