@@ -111,6 +111,13 @@ class DecodeConfig:
     # ops.cross_attention). With cross_kv_int8 the int8 dequant fuses into
     # the kernel — 2.2x faster per step than the XLA path on v5e.
     cross_pallas: bool = True
+    # OpenAI timestamp decoding rules (active when notimestamps=False and the
+    # vocab has timestamp tokens): timestamps open every segment, appear in
+    # non-decreasing pairs, and win over text when their total probability
+    # dominates. max_initial_timestamp_index bounds the first timestamp
+    # (50 ≈ 1.0 s at 0.02 s/token, OpenAI's default).
+    timestamp_rules: bool = True
+    max_initial_timestamp_index: int = 50
 
 
 @dataclass

@@ -74,6 +74,102 @@ def transcribe_long(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     }
 
 
+def segments_from_tokens(arch: WhisperArch,
+                         gen: np.ndarray) -> tuple[list[dict], float | None]:
+    """Parse a generated token stream (timestamp rules active) into
+    segments: [{"start", "end", "tokens"}] with times in seconds relative to
+    the window. Returns (segments, seek_seconds) where seek_seconds is the
+    end of the last COMPLETE segment (None when the stream has no closing
+    timestamp — caller then advances a full window). Mirrors OpenAI
+    whisper's transcribe() seek logic."""
+    from ..models.decode import timestamp_token_to_seconds
+
+    ts_begin = arch.no_timestamps_token_id + 1
+    segments: list[dict] = []
+    start_tok: int | None = None
+    text: list[int] = []
+    last_end: float | None = None
+    for t in np.asarray(gen).tolist():
+        if t == arch.eos_token_id:
+            break
+        if t >= ts_begin:
+            if start_tok is None:
+                start_tok = t
+            elif text:  # closing timestamp of a segment
+                segments.append({
+                    "start": timestamp_token_to_seconds(arch, start_tok),
+                    "end": timestamp_token_to_seconds(arch, t),
+                    "tokens": text,
+                })
+                last_end = segments[-1]["end"]
+                start_tok = None
+                text = []
+            else:  # consecutive timestamps: pause; restart the segment
+                start_tok = t
+        elif start_tok is not None:
+            text.append(t)
+    if text and start_tok is not None:
+        # trailing unterminated segment: keep the text, no seek anchor
+        segments.append({
+            "start": timestamp_token_to_seconds(arch, start_tok),
+            "end": None, "tokens": text,
+        })
+    return segments, last_end
+
+
+def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
+                    cfg: DecodeConfig | None = None,
+                    transcribe_fn=None) -> dict:
+    """Timestamp-seeking long-form transcription (OpenAI transcribe()
+    semantics): decode a 30 s window with timestamp rules, advance to the
+    end of the last complete segment, repeat. Falls back to full-window
+    advance when no closing timestamp was emitted.
+
+    Returns {"text", "segments" (absolute times), "num_windows"}."""
+    from ..models.decode import _timestamps_enabled, forced_prefix
+
+    cfg = cfg or DecodeConfig(notimestamps=False)
+    if not _timestamps_enabled(arch, cfg):
+        raise ValueError("transcribe_seek requires timestamp decoding "
+                         "(notimestamps=False and a vocab with timestamp "
+                         "tokens); use transcribe_long otherwise")
+    n_samples = samples_for_arch(arch)
+    if transcribe_fn is None:
+        transcribe_fn = make_transcribe_fn(arch, cfg)
+    first_gen = len(forced_prefix(arch, cfg))
+
+    wav = np.asarray(wav, np.float32)
+    pos = 0
+    windows = 0
+    all_segments: list[dict] = []
+    while pos < len(wav):
+        buf = np.zeros((1, n_samples), np.float32)
+        piece = wav[pos: pos + n_samples]
+        buf[0, : len(piece)] = piece
+        tokens, lengths = transcribe_fn(params, jnp.asarray(buf))
+        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+        gen = tokens[0, first_gen: lengths[0]]
+        segments, seek_s = segments_from_tokens(arch, gen)
+        t0 = pos / 16000.0
+        for s in segments:
+            all_segments.append({
+                "start": t0 + s["start"],
+                "end": None if s["end"] is None else t0 + s["end"],
+                "text": tokenizer.decode(s["tokens"]),
+            })
+        windows += 1
+        advance = (int(seek_s * 16000) if seek_s else n_samples)
+        pos += max(advance, 1)  # never stall
+        if len(piece) < n_samples:
+            break  # final (padded) window consumed everything
+    return {
+        "text": " ".join(s["text"] for s in all_segments if s["text"]),
+        "segments": all_segments,
+        "num_windows": windows,
+        "audio_seconds": len(wav) / 16000.0,
+    }
+
+
 def _transcribe_conditioned(params, arch: WhisperArch, chunks, tokenizer,
                             cfg: DecodeConfig, n_samples: int,
                             pw: int) -> list[str]:

@@ -185,6 +185,88 @@ def _cross_window_t(p: Params, x: jax.Array, kv, head_dim: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Timestamp rules (OpenAI ApplyTimestampRules semantics, jittable)
+# ---------------------------------------------------------------------------
+
+def _timestamps_enabled(arch: WhisperArch, cfg: DecodeConfig) -> bool:
+    """Timestamp rules apply when the prefix omits <|notimestamps|> and the
+    vocab actually contains timestamp tokens (ids > no_timestamps)."""
+    return (cfg.timestamp_rules and not cfg.notimestamps
+            and arch.no_timestamps_token_id + 1 < arch.vocab_size)
+
+
+def _apply_timestamp_rules(logits: jax.Array, tokens: jax.Array,
+                           pos: jax.Array, first_gen: int, last_ts: jax.Array,
+                           arch: WhisperArch,
+                           cfg: DecodeConfig) -> jax.Array:
+    """Bias `logits` (B, V) for the token at position pos+1 following
+    OpenAI's rules (whisper/decoding.py ApplyTimestampRules; the reference
+    inherits them through HF `generate`'s timestamp processor):
+
+    1. <|notimestamps|> is never sampled.
+    2. After a lone timestamp, only a timestamp or EOT may follow (pairs);
+       after a timestamp pair, text must follow.
+    3. Timestamps are non-decreasing: ts < last emitted are suppressed.
+    4. The first generated token is a timestamp, bounded by
+       max_initial_timestamp_index.
+    5. If total timestamp probability beats the best text token, text is
+       suppressed.
+
+    tokens: (B, L) buffer; last_ts: (B,) highest emitted timestamp id.
+    """
+    ts_begin = arch.no_timestamps_token_id + 1
+    vocab = arch.vocab_size
+    ids = jnp.arange(vocab)
+    is_ts_id = ids >= ts_begin
+    eot = arch.eos_token_id
+
+    logits = logits.at[:, arch.no_timestamps_token_id].add(NEG_INF)  # rule 1
+
+    last = tokens[:, pos]
+    penult_idx = jnp.maximum(pos - 1, 0)
+    penult = tokens[:, penult_idx]
+    last_is_ts = jnp.logical_and(pos >= first_gen, last >= ts_begin)
+    penult_is_ts = jnp.logical_and(
+        jnp.logical_and(pos - 1 >= first_gen, pos >= 1), penult >= ts_begin)
+
+    # rule 2: lone timestamp -> suppress text (except EOT);
+    #         completed pair -> suppress timestamps
+    force_ts = jnp.logical_and(last_is_ts, ~penult_is_ts)[:, None]
+    block_ts = jnp.logical_and(last_is_ts, penult_is_ts)[:, None]
+    text_mask = jnp.logical_and(~is_ts_id, ids != eot)[None, :]
+    logits = logits + jnp.where(jnp.logical_and(force_ts, text_mask),
+                                NEG_INF, 0.0)
+    logits = logits + jnp.where(jnp.logical_and(block_ts, is_ts_id[None, :]),
+                                NEG_INF, 0.0)
+
+    # rule 3: non-decreasing timestamps
+    logits = logits + jnp.where(
+        jnp.logical_and(is_ts_id[None, :], ids[None, :] < last_ts[:, None]),
+        NEG_INF, 0.0)
+
+    # rule 4: first generated token must be an (early) timestamp
+    first = (pos == first_gen - 1)
+    max_init = min(ts_begin + cfg.max_initial_timestamp_index, vocab - 1)
+    init_bad = jnp.logical_or(~is_ts_id, ids > max_init)[None, :]
+    logits = logits + jnp.where(jnp.logical_and(first, init_bad), NEG_INF, 0.0)
+
+    # rule 5: aggregated timestamp probability vs best text token
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ts_logp = jax.nn.logsumexp(
+        jnp.where(is_ts_id[None, :], logp, NEG_INF), axis=-1)   # (B,)
+    max_text = jnp.max(jnp.where(is_ts_id[None, :], NEG_INF, logp), axis=-1)
+    ts_wins = (ts_logp > max_text)[:, None]
+    logits = logits + jnp.where(
+        jnp.logical_and(ts_wins, text_mask), NEG_INF, 0.0)
+    return logits
+
+
+def timestamp_token_to_seconds(arch: WhisperArch, token: int) -> float:
+    """<|t|> token id -> seconds (0.02 s per step, OpenAI convention)."""
+    return (token - (arch.no_timestamps_token_id + 1)) * 0.02
+
+
+# ---------------------------------------------------------------------------
 # Greedy decode
 # ---------------------------------------------------------------------------
 
@@ -252,24 +334,33 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
 
     first_gen = pw + p_len  # index of the first generated token
     limit = min(max_len, first_gen + cfg.max_new_tokens)
+    use_ts = _timestamps_enabled(arch, cfg)
+    ts_begin = arch.no_timestamps_token_id + 1
 
     def cond(state):
-        tokens, cache, pos, finished = state
+        tokens, cache, pos, finished, last_ts = state
         return jnp.logical_and(pos < limit - 1, ~jnp.all(finished))
 
     def body(state):
-        tokens, cache, pos, finished = state
+        tokens, cache, pos, finished, last_ts = state
         logits, cache = step_fn(tokens[:, pos], pos, cache)
         logits = logits + sup
         logits = jnp.where(pos == first_gen - 1, logits + begin_sup, logits)
+        if use_ts:
+            logits = _apply_timestamp_rules(logits, tokens, pos, first_gen,
+                                            last_ts, arch, cfg)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, eot, nxt)
+        if use_ts:
+            last_ts = jnp.where(jnp.logical_and(~finished, nxt >= ts_begin),
+                                nxt, last_ts)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = jnp.logical_or(finished, nxt == eot)
-        return tokens, cache, pos + 1, finished
+        return tokens, cache, pos + 1, finished, last_ts
 
-    state = (tokens, cache, jnp.asarray(first_gen - 1), jnp.zeros((b,), bool))
-    tokens, _, pos, _ = lax.while_loop(cond, body, state)
+    state = (tokens, cache, jnp.asarray(first_gen - 1), jnp.zeros((b,), bool),
+             jnp.full((b,), ts_begin, jnp.int32))
+    tokens, _, pos, _, _ = lax.while_loop(cond, body, state)
     lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
     return tokens, lengths
 
