@@ -275,6 +275,85 @@ def make_tp_decoder(arch: WhisperArch, mesh: Mesh, params_template: Any,
     return jax.jit(fn), place_params
 
 
+# ---------------------------------------------------------------------------
+# Megatron-style sequence parallelism (SP) on top of TP: between the
+# attention/FFN blocks, activations (layernorms, residual stream) live
+# SHARDED along the sequence dim on the same 'tp' group — T/tp activation
+# memory per device at the same communication volume as plain TP (each
+# psum splits into an all_gather before the block and a psum_scatter after).
+# New component with no reference counterpart (SURVEY.md §2c); Whisper's
+# fixed 1500-frame context makes ring/Ulysses CP unnecessary, but Megatron
+# SP still cuts encoder activation memory for large batches.
+# ---------------------------------------------------------------------------
+
+def _local_attn_sp(p: dict, x_shard: jax.Array, head_dim: int,
+                   axis: str) -> jax.Array:
+    """x_shard: (B, T/tp, d) post-LN shard -> (B, T/tp, d) attention output
+    shard. all_gather(T) -> local-head attention over full T -> row-parallel
+    o-proj partials -> psum_scatter(T)."""
+    x = jax.lax.all_gather(x_shard, axis, axis=1, tiled=True)  # (B, T, d)
+    h = _local_width(p["q"]["w"]) // head_dim
+    q = split_heads(linear(x, p["q"]["w"], p["q"].get("b")), h)
+    k = split_heads(linear(x, p["k"]["w"]), h)
+    v = split_heads(linear(x, p["v"]["w"], p["v"].get("b")), h)
+    o = linear(merge_heads(attention(q, k, v)), p["o"]["w"])  # partial sums
+    o = jax.lax.psum_scatter(o, axis, scatter_dimension=1, tiled=True)
+    b = p["o"].get("b")
+    return o + b.astype(o.dtype) if b is not None else o
+
+
+def _local_mlp_sp(p: dict, x_shard: jax.Array, axis: str) -> jax.Array:
+    x = jax.lax.all_gather(x_shard, axis, axis=1, tiled=True)
+    h = gelu(linear(x, p["fc1"]["w"], p["fc1"].get("b")))
+    y = linear(h, p["fc2"]["w"])  # row-parallel partials
+    y = jax.lax.psum_scatter(y, axis, scatter_dimension=1, tiled=True)
+    b = p["fc2"].get("b")
+    return y + b.astype(y.dtype) if b is not None else y
+
+
+def _encode_local_sp(params: Any, mel: jax.Array, arch: WhisperArch,
+                     axis: str) -> jax.Array:
+    """Shard-local SP+TP encoder body: conv stem replicated, then the
+    residual stream stays T-sharded between blocks."""
+    enc = params["encoder"]
+    x = gelu(_conv1d(mel, enc["conv1"]["w"], enc["conv1"]["b"], stride=1))
+    x = gelu(_conv1d(x, enc["conv2"]["w"], enc["conv2"]["b"], stride=2))
+    x = x.transpose(0, 2, 1)
+    x = x + enc["pos"][: x.shape[1]].astype(x.dtype)
+    # scatter the sequence: each device keeps its T/tp slice
+    tp = jax.lax.axis_size(axis)
+    t_local = x.shape[1] // tp
+    i = jax.lax.axis_index(axis)
+    x = jax.lax.dynamic_slice_in_dim(x, i * t_local, t_local, axis=1)
+    # (slicing by axis_index already makes x device-varying on `axis`)
+    for layer in enc["layers"]:
+        x = x + _local_attn_sp(layer["attn"], layer_norm(x, layer["attn_ln"]),
+                               arch.head_dim, axis)
+        x = x + _local_mlp_sp(layer, layer_norm(x, layer["mlp_ln"]), axis)
+    # LN is per-token: exact on the T-shard. The out_spec reassembles the
+    # full sequence from the shards — no final gather needed.
+    return layer_norm(x, enc["ln"])
+
+
+def make_tp_sp_encoder(arch: WhisperArch, mesh: Mesh, params_template: Any):
+    """(encode_fn, place_params) for the sequence-parallel TP encoder.
+    Requires T (post-conv) divisible by the tp axis size."""
+    template = tp_compatible(params_template, mesh)
+    pspecs = _spec_tree(template, mesh)
+
+    fn = shard_map(
+        partial(_encode_local_sp, arch=arch, axis="tp"),
+        mesh=mesh,
+        in_specs=(pspecs, P("dp")),
+        out_specs=P("dp", "tp"),  # (B, T, d): batch over dp, seq over tp
+    )
+
+    def place_params(params):
+        return mesh_lib.shard_params(tp_compatible(params, mesh), mesh)
+
+    return jax.jit(fn), place_params
+
+
 def make_tp_encoder(arch: WhisperArch, mesh: Mesh, params_template: Any):
     """Build (encode_fn, place_params): an explicit-TP encoder whose local
     computation is the standard single-device code (Pallas kernels included).

@@ -84,3 +84,30 @@ def test_tp_greedy_decode_matches_single_device(setup):
 
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_tp))
     np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_tp))
+
+
+def test_tp_sp_encoder_matches_single_device(setup):
+    """Megatron sequence-parallel encoder (T-sharded residual stream,
+    all_gather/psum_scatter around blocks) matches the single-device
+    encoder."""
+    from openai_whisper_compression_tpu.parallel.tp_forward import (
+        make_tp_sp_encoder)
+
+    arch, params, mesh, mel = setup
+    ref = np.asarray(encode(params, arch, mel))
+    fn, place = make_tp_sp_encoder(arch, mesh, params)
+    out = np.asarray(fn(place(params), mel))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_tp_sp_encoder_quantized(setup):
+    from openai_whisper_compression_tpu.parallel.tp_forward import (
+        make_tp_sp_encoder)
+    from openai_whisper_compression_tpu.quant import api as quant_api
+
+    arch, params, mesh, mel = setup
+    qp = quant_api.quantize_params(params, "int8")
+    ref = np.asarray(encode(qp, arch, mel))
+    fn, place = make_tp_sp_encoder(arch, mesh, qp)
+    out = np.asarray(fn(place(qp), mel))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=5e-4)
