@@ -400,12 +400,27 @@ def precompute_cross_kv_t(params: Params, arch: WhisperArch,
     vectors). int4 halves HBM *capacity* again but measured SLOWER than int8
     on v5e (512 vs 445 ms/batch headline — the nibble unpack is VPU-bound):
     use it for memory headroom (e.g. very large batches), not speed."""
+    from ..ops.linear import _on_tpu
+
     bits = bits if bits is not None else (8 if int8 else 16)
-    s = enc_out.shape[1]
+    s, d = enc_out.shape[1], enc_out.shape[2]
+    use_tq = bits == 8 and _on_tpu()
+    if use_tq:
+        from ..ops.cross_attention import transpose_quant_supported
+
+        use_tq = transpose_quant_supported(s, d)
     kvs = []
     for layer in params["decoder"]["layers"]:
         p = layer["cross"]
         h = _num_heads(p, arch.head_dim)
+        if use_tq:  # fused Pallas transpose+quantize (2.9x the XLA chain)
+            from ..ops.cross_attention import transpose_quant_kv
+
+            k_t, ks = transpose_quant_kv(linear(enc_out, p["k"]["w"]), h)
+            v_t, vs = transpose_quant_kv(
+                linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
+            kvs.append(CrossKV(k_t, v_t, ks, vs, s_valid=s))
+            continue
         k_t = _transpose_kv(linear(enc_out, p["k"]["w"]), h)
         v_t = _transpose_kv(linear(enc_out, p["v"]["w"], p["v"].get("b")), h)
         if bits == 4:

@@ -213,3 +213,22 @@ def test_greedy_decode_int4_cross_kv(rng):
     t_dense = run()
     agree = (t4 == t_dense).mean()
     assert agree > 0.5, f"int4 cross-KV diverged too much: {agree}"
+
+
+def test_transpose_quant_kernel_matches_xla_chain():
+    """Fused transpose+quant produces byte-identical int8 data and scales to
+    the plain transpose->pad->quant chain."""
+    from openai_whisper_compression_tpu.models.whisper import (
+        _quant_kv8_t, _transpose_kv)
+    from openai_whisper_compression_tpu.ops.cross_attention import (
+        transpose_quant_kv, transpose_quant_supported)
+
+    g = np.random.default_rng(8)
+    b, s, h, dh = 3, 200, 4, 16
+    x = jnp.asarray(g.standard_normal((b, s, h * dh)) * 0.4, jnp.float32)
+    assert transpose_quant_supported(s, h * dh)
+    q, sc = transpose_quant_kv(x, h)
+    q_ref, sc_ref = _quant_kv8_t(_transpose_kv(x, h))
+    assert q.shape == q_ref.shape == (b * h, dh, pad_cross_len(s))
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(sc_ref), rtol=1e-6)
