@@ -13,6 +13,7 @@ bench:
 
 example:
 	python examples/compress_store_serve.py
+	python examples/timestamps_and_profiling.py
 
 # static hygiene: compileall + AST unused-import scan
 check:
