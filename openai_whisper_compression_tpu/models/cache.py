@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import WhisperArch
-from ..ops.qtensor import QTensor
 
 Params = dict[str, Any]
 

@@ -20,7 +20,7 @@ from ..config import DecodeConfig, WhisperArch
 from . import cache as kv_cache
 from .whisper import (NEG_INF, attention, cross_attention, embed_tokens,
                       layer_norm, linear, merge_heads, mlp, precompute_cross_kv,
-                      project_out, qkv_project, split_heads, _num_heads)
+                      project_out, qkv_project, _num_heads)
 
 Params = dict[str, Any]
 

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.params import get_leaf, named_leaves, set_leaf
+from ..models.params import named_leaves, set_leaf
 from ..ops.qtensor import QTensor
 
 # Default scope = every linear weight (reference global L1 targets all

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import WhisperArch
-from ..models.params import get_leaf, named_leaves, set_leaf
-from .magnitude import LINEAR_RE, _copy_tree
+from ..models.params import named_leaves, set_leaf
+from .magnitude import _copy_tree
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-from ..models.params import get_leaf, named_leaves, set_leaf, tree_cast
+from ..models.params import named_leaves, set_leaf, tree_cast
 from ..ops.qtensor import QTensor
 from .core import QUANTIZERS
 

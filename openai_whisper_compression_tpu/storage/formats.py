@@ -15,7 +15,6 @@ All loaders rebuild the exact parameter pytree (QTensor leaves included) and
 
 from __future__ import annotations
 
-import dataclasses
 import gzip
 import io
 import json
@@ -27,7 +26,7 @@ from typing import Any
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.params import named_leaves, set_leaf
+from ..models.params import named_leaves
 from ..ops.qtensor import QTensor
 
 FORMAT_VERSION = 1
