@@ -111,6 +111,10 @@ class DecodeConfig:
     # ops.cross_attention). With cross_kv_int8 the int8 dequant fuses into
     # the kernel — 2.2x faster per step than the XLA path on v5e.
     cross_pallas: bool = True
+    # fused Pallas decode self-attention over the KV cache (replaces ~20
+    # small XLA ops per layer per step; ops.self_attention_step). Applies to
+    # fp caches; the int8 KV cache falls back to the XLA path.
+    self_pallas: bool = True
     # OpenAI timestamp decoding rules (active when notimestamps=False and the
     # vocab has timestamp tokens): timestamps open every segment, appear in
     # non-decreasing pairs, and win over text when their total probability

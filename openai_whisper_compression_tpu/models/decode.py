@@ -54,7 +54,8 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
                  pos: jax.Array, cache: list, cross_kvs: list,
                  max_len: int,
                  start: jax.Array | None = None,
-                 beam: int = 1) -> tuple[jax.Array, list]:
+                 beam: int = 1,
+                 self_pallas: bool = True) -> tuple[jax.Array, list]:
     """tok: (B,) int32 current tokens; pos: scalar step index.
 
     start: optional (B,) first valid cache position per sequence (prompt
@@ -81,6 +82,10 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
         valid = jnp.logical_and(valid, idx[None, :] >= start[:, None])
     mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, None, :]
 
+    from ..ops.linear import _on_tpu
+
+    use_sas = self_pallas and _on_tpu()
+
     new_cache = []
     for i, layer in enumerate(dec["layers"]):
         p = layer["attn"]
@@ -89,9 +94,29 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
         q, k, v = qkv_project(p, hs, h)
         entry = kv_cache.update(cache[i], k, v, pos)
         new_cache.append(entry)
-        k_all, v_all = kv_cache.read(entry, q.dtype)
-        o = attention(q, k_all, v_all, mask)
-        x = x + linear(merge_heads(o), p["o"]["w"], p["o"].get("b"))
+        if use_sas and "k_scale" not in entry:
+            # fused Pallas step attention (ops.self_attention_step); the
+            # cache row at `pos` was written by `update` just above, so the
+            # kernel attends over the current window directly.
+            from ..ops.self_attention_step import decode_self_attention
+
+            dh = arch.head_dim
+            bh = b * h
+            qf = (q.reshape(bh, dh) * (dh ** -0.5)).astype(q.dtype)
+            start_bh = None
+            if start is not None:
+                start_bh = jnp.repeat(start, h)
+            o_flat = decode_self_attention(
+                qf,
+                entry["k"].reshape(bh, max_len, dh),
+                entry["v"].reshape(bh, max_len, dh),
+                pos, start=start_bh)
+            o_merged = o_flat.reshape(b, 1, h * dh)
+        else:
+            k_all, v_all = kv_cache.read(entry, q.dtype)
+            o = attention(q, k_all, v_all, mask)
+            o_merged = merge_heads(o)
+        x = x + linear(o_merged, p["o"]["w"], p["o"].get("b"))
 
         hs_c = layer_norm(x, layer["cross_ln"])
         if beam > 1:
@@ -325,7 +350,7 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
 
     step_fn = functools.partial(decoder_step, params, arch,
                                 cross_kvs=cross_kvs, max_len=max_len,
-                                start=start)
+                                start=start, self_pallas=cfg.self_pallas)
 
     # Prefill prompt window + forced prefix in one batched decoder pass.
     if pw + p_len > 1:
@@ -443,7 +468,7 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
 
     step_fn = functools.partial(decoder_step, params, arch,
                                 cross_kvs=cross_kvs, max_len=max_len,
-                                beam=beam)
+                                beam=beam, self_pallas=cfg.self_pallas)
     for i in range(p_len - 1):
         _, cache = step_fn(tokens[:, i], jnp.asarray(i), cache)
 
