@@ -174,7 +174,7 @@ def _transcribe_conditioned(params, arch: WhisperArch, chunks, tokenizer,
                             cfg: DecodeConfig, n_samples: int,
                             pw: int) -> list[str]:
     from ..audio import features
-    from ..models.decode import forced_prefix, greedy_decode
+    from ..models.decode import beam_decode, forced_prefix
     from ..models.whisper import encode
 
     p_len = len(forced_prefix(arch, cfg))
@@ -186,8 +186,10 @@ def _transcribe_conditioned(params, arch: WhisperArch, chunks, tokenizer,
         mel = features.preprocess(wav, arch.num_mel_bins,
                                   length=n_samples).astype(jnp.float32)
         enc = encode(params, arch, mel)
-        return greedy_decode(params, arch, enc, cfg,
-                             prompt_tokens=prompt, prompt_lens=plen)
+        # beam_decode falls back to greedy at beam_size<=1; both support
+        # prompt conditioning + timestamp rules
+        return beam_decode(params, arch, enc, cfg,
+                           prompt_tokens=prompt, prompt_lens=plen)
 
     texts: list[str] = []
     prompt = np.full((1, pw), eot, np.int32)

@@ -426,24 +426,35 @@ def transcribe_tokens(params: Params, arch: WhisperArch, mel: jax.Array,
 
 def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
                 cfg: DecodeConfig | None = None,
-                max_len: int | None = None) -> tuple[jax.Array, jax.Array]:
+                max_len: int | None = None,
+                prompt_tokens: jax.Array | None = None,
+                prompt_lens: jax.Array | None = None
+                ) -> tuple[jax.Array, jax.Array]:
     """Batched beam search; returns best hypothesis per batch element.
 
     Shape-static: all K beams advance every step; finished beams are frozen
     by forcing EOT with probability one. Scores use sum-logprob with length
     penalty `(len)^alpha` applied at selection (HF `length_penalty` semantics).
+
+    Supports prompt conditioning (`prompt_tokens` (B, P) right-aligned +
+    `prompt_lens`, as in `greedy_decode`) and the OpenAI timestamp rules —
+    the prompt+prefix window is prefilled ONCE at batch B (all beams are
+    identical until the first generated token) and the caches tiled to B·K.
     """
     cfg = cfg or DecodeConfig()
     beam = cfg.beam_size
     if beam <= 1:
-        return greedy_decode(params, arch, enc_out, cfg, max_len)
+        return greedy_decode(params, arch, enc_out, cfg, max_len,
+                             prompt_tokens=prompt_tokens,
+                             prompt_lens=prompt_lens)
     b, src, d = enc_out.shape
     eot = arch.eos_token_id
     vocab = arch.vocab_size
 
     prefix = forced_prefix(arch, cfg)
     p_len = len(prefix)
-    max_len = max_len or _auto_cache_len(arch, p_len, cfg)
+    pw = 0 if prompt_tokens is None else prompt_tokens.shape[1]
+    max_len = max_len or _auto_cache_len(arch, pw + p_len, cfg)
     sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
     begin_sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
 
@@ -460,22 +471,39 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
                              "(only the transposed-KV layout packs nibbles)")
         cross_kvs = precompute_cross_kv(params, arch, enc_out,
                                         int8=cfg.cross_kv_int8)
-    cache = kv_cache.init_cache(params, arch, b * beam, max_len,
-                                dtype=enc_out.dtype, int8=cfg.kv_int8)
 
-    tokens = jnp.full((b * beam, max_len), eot, jnp.int32)
-    tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])
+    # Prefill the [prompt +] forced prefix at batch B, then tile to B*K.
+    cache_b = kv_cache.init_cache(params, arch, b, max_len,
+                                  dtype=enc_out.dtype, int8=cfg.kv_int8)
+    tokens_b = jnp.full((b, max_len), eot, jnp.int32)
+    start_b = None
+    if pw:
+        tokens_b = tokens_b.at[:, :pw].set(prompt_tokens.astype(jnp.int32))
+        if prompt_lens is None:
+            prompt_lens = jnp.full((b,), pw, jnp.int32)
+        start_b = (pw - prompt_lens).astype(jnp.int32)
+    tokens_b = tokens_b.at[:, pw: pw + p_len].set(
+        jnp.asarray(prefix, jnp.int32)[None])
+    first_gen = pw + p_len
+    if first_gen > 1:
+        cache_b = prefill(params, arch, tokens_b[:, : first_gen - 1],
+                          cache_b, cross_kvs, start=start_b)
+
+    cache = jax.tree.map(lambda x: jnp.repeat(x, beam, axis=0), cache_b)
+    tokens = jnp.repeat(tokens_b, beam, axis=0)
+    start = None if start_b is None else jnp.repeat(start_b, beam)
 
     step_fn = functools.partial(decoder_step, params, arch,
                                 cross_kvs=cross_kvs, max_len=max_len,
-                                beam=beam, self_pallas=cfg.self_pallas)
-    for i in range(p_len - 1):
-        _, cache = step_fn(tokens[:, i], jnp.asarray(i), cache)
+                                start=start, beam=beam,
+                                self_pallas=cfg.self_pallas)
 
     # scores: beam 0 starts at 0, others at -inf so step 1 fans out from beam 0
     scores = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (beam - 1), jnp.float32), (b,))
     finished = jnp.zeros((b * beam,), bool)
-    limit = min(max_len, p_len + cfg.max_new_tokens)
+    limit = min(max_len, first_gen + cfg.max_new_tokens)
+    use_ts = _timestamps_enabled(arch, cfg)
+    ts_begin = arch.no_timestamps_token_id + 1
 
     def gather_beams(tree, idx):
         """Reindex the (B*K, ...) leading axis by per-batch beam indices
@@ -484,14 +512,18 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         return jax.tree.map(lambda x: x[flat], tree)
 
     def cond(state):
-        _, _, pos, finished, _ = state
+        _, _, pos, finished, _, _ = state
         return jnp.logical_and(pos < limit - 1, ~jnp.all(finished))
 
     def body(state):
-        tokens, cache, pos, finished, scores = state
+        tokens, cache, pos, finished, scores, last_ts = state
         logits, cache = step_fn(tokens[:, pos], pos, cache)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1) + sup
-        logp = jnp.where(pos == p_len - 1, logp + begin_sup, logp)
+        logits = logits + sup
+        logits = jnp.where(pos == first_gen - 1, logits + begin_sup, logits)
+        if use_ts:
+            logits = _apply_timestamp_rules(logits, tokens, pos, first_gen,
+                                            last_ts, arch, cfg)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         # finished beams: only EOT allowed, at zero cost (freeze the score)
         frozen = jnp.full((vocab,), NEG_INF, jnp.float32).at[eot].set(0.0)
         logp = jnp.where(finished[:, None], frozen[None], logp)
@@ -502,20 +534,25 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         src_beam = top_idx // vocab                       # (B, K)
         tok_next = (top_idx % vocab).astype(jnp.int32)    # (B, K)
 
-        tokens, cache, finished = gather_beams(
-            (tokens, cache, finished), src_beam)
+        tokens, cache, finished, last_ts = gather_beams(
+            (tokens, cache, finished, last_ts), src_beam)
+        nxt = tok_next.reshape(-1)
         tokens = lax.dynamic_update_slice(
-            tokens, tok_next.reshape(-1, 1), (0, pos + 1))
-        finished = jnp.logical_or(finished, tok_next.reshape(-1) == eot)
-        return tokens, cache, pos + 1, finished, top_scores.reshape(-1)
+            tokens, nxt[:, None], (0, pos + 1))
+        if use_ts:
+            last_ts = jnp.where(jnp.logical_and(~finished, nxt >= ts_begin),
+                                nxt, last_ts)
+        finished = jnp.logical_or(finished, nxt == eot)
+        return tokens, cache, pos + 1, finished, top_scores.reshape(-1), last_ts
 
-    state = (tokens, cache, jnp.asarray(p_len - 1), finished, scores)
-    tokens, _, pos, finished, scores = lax.while_loop(cond, body, state)
+    state = (tokens, cache, jnp.asarray(first_gen - 1), finished, scores,
+             jnp.full((b * beam,), ts_begin, jnp.int32))
+    tokens, _, pos, finished, scores, _ = lax.while_loop(cond, body, state)
 
     # pick best beam per batch with length penalty
-    gen_len = _gen_lengths(tokens, p_len, pos, eot).astype(jnp.float32)
+    gen_len = _gen_lengths(tokens, first_gen, pos, eot).astype(jnp.float32)
     adj = scores / jnp.power(gen_len, cfg.length_penalty)
     best = jnp.argmax(adj.reshape(b, beam), axis=1)       # (B,)
     flat = jnp.arange(b) * beam + best
-    lengths = p_len + _gen_lengths(tokens, p_len, pos, eot)
+    lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
     return tokens[flat], lengths[flat]
