@@ -94,10 +94,11 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
         q, k, v = qkv_project(p, hs, h)
         entry = kv_cache.update(cache[i], k, v, pos)
         new_cache.append(entry)
-        if use_sas and "k_scale" not in entry:
+        if use_sas:
             # fused Pallas step attention (ops.self_attention_step); the
             # cache row at `pos` was written by `update` just above, so the
-            # kernel attends over the current window directly.
+            # kernel attends over the current window directly. int8 caches
+            # pass their per-position scales (dequant fused in-kernel).
             from ..ops.self_attention_step import decode_self_attention
 
             dh = arch.head_dim
@@ -106,11 +107,16 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
             start_bh = None
             if start is not None:
                 start_bh = jnp.repeat(start, h)
+            scales = {}
+            if "k_scale" in entry:
+                scales = dict(
+                    k_scale=entry["k_scale"].reshape(bh, max_len, 1),
+                    v_scale=entry["v_scale"].reshape(bh, max_len, 1))
             o_flat = decode_self_attention(
                 qf,
                 entry["k"].reshape(bh, max_len, dh),
                 entry["v"].reshape(bh, max_len, dh),
-                pos, start=start_bh)
+                pos, start=start_bh, **scales)
             o_merged = o_flat.reshape(b, 1, h * dh)
         else:
             k_all, v_all = kv_cache.read(entry, q.dtype)

@@ -40,11 +40,13 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _kernel(pos_ref, q_ref, start_ref, kc_ref, vc_ref, o_ref):
+def _core(pos_ref, q_ref, start_ref, kc_ref, vc_ref, ks_ref, vs_ref, o_ref):
     pos = pos_ref[0]
     q = q_ref[:].astype(jnp.float32)               # (G, Dh), pre-scaled
     kc = kc_ref[:].astype(jnp.float32)             # (G, S, Dh)
     scores = jnp.sum(q[:, None, :] * kc, axis=2)   # (G, S)
+    if ks_ref is not None:                         # int8 cache: fold k scale
+        scores = scores * ks_ref[:, :, 0]
 
     g, s_pad = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (g, s_pad), 1)
@@ -56,13 +58,29 @@ def _kernel(pos_ref, q_ref, start_ref, kc_ref, vc_ref, o_ref):
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    if vs_ref is not None:                         # fold v dequant scale
+        p = p * vs_ref[:, :, 0]
     vc = vc_ref[:].astype(jnp.float32)             # (G, S, Dh)
     out = jnp.sum(p[:, :, None] * vc, axis=1) / l  # (G, Dh)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _kernel(pos_ref, q_ref, start_ref, kc_ref, vc_ref, o_ref):
+    _core(pos_ref, q_ref, start_ref, kc_ref, vc_ref, None, None, o_ref)
+
+
 def _kernel_nostart(pos_ref, q_ref, kc_ref, vc_ref, o_ref):
-    _kernel(pos_ref, q_ref, None, kc_ref, vc_ref, o_ref)
+    _core(pos_ref, q_ref, None, kc_ref, vc_ref, None, None, o_ref)
+
+
+def _kernel_int8(pos_ref, q_ref, start_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+                 o_ref):
+    _core(pos_ref, q_ref, start_ref, kc_ref, vc_ref, ks_ref, vs_ref, o_ref)
+
+
+def _kernel_int8_nostart(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
+                         o_ref):
+    _core(pos_ref, q_ref, None, kc_ref, vc_ref, ks_ref, vs_ref, o_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("block_g",))
@@ -70,12 +88,16 @@ def decode_self_attention(q: jax.Array,
                           k_cache: jax.Array, v_cache: jax.Array,
                           pos: jax.Array,
                           start: jax.Array | None = None,
+                          k_scale: jax.Array | None = None,
+                          v_scale: jax.Array | None = None,
                           block_g: int = 256) -> jax.Array:
     """Fused masked decode-step self-attention.
 
     q: (BH, Dh) — pre-scaled by Dh**-0.5.
     k_cache/v_cache: (BH, S, Dh) — row `pos` must already hold this step's
-    key/value (write it with `cache.update` before calling).
+    key/value (write it with `cache.update` before calling). int8 caches
+    pass per-position absmax scales k_scale/v_scale (BH, S, 1) fp32; the
+    dequant folds into the score/probability vectors.
     pos: scalar int32 position to attend up to (inclusive).
     start: optional (BH,) int32 first valid position (left-padded prompts).
 
@@ -94,16 +116,24 @@ def decode_self_attention(q: jax.Array,
     row = pl.BlockSpec((g, dh), lambda i, sp: (i, 0), memory_space=pltpu.VMEM)
     cache = pl.BlockSpec((g, s, dh), lambda i, sp: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    scale = pl.BlockSpec((g, s, 1), lambda i, sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    int8 = k_scale is not None
     in_specs = [row]
     operands = [q]
-    kernel = _kernel_nostart
+    kernel = _kernel_int8_nostart if int8 else _kernel_nostart
     if start is not None:
         in_specs.append(pl.BlockSpec((g, 1), lambda i, sp: (i, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(start.astype(jnp.int32).reshape(bh, 1))
-        kernel = _kernel
-    in_specs += [cache, cache]
-    operands += [k_cache, v_cache]
+        kernel = _kernel_int8 if int8 else _kernel
+    if int8:
+        in_specs += [cache, scale, cache, scale]
+        operands += [k_cache, k_scale.astype(jnp.float32),
+                     v_cache, v_scale.astype(jnp.float32)]
+    else:
+        in_specs += [cache, cache]
+        operands += [k_cache, v_cache]
 
     return pl.pallas_call(
         kernel,

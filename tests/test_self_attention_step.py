@@ -54,6 +54,44 @@ def test_start_masking():
                                atol=1e-5)
 
 
+def test_int8_cache_scales():
+    """int8 cache with per-position scales matches dequantize-then-attend."""
+    bh, s, dh = 16, 16, 64
+    rng = np.random.default_rng(3)
+    kq = rng.integers(-127, 128, (bh, s, dh)).astype(np.int8)
+    vq = rng.integers(-127, 128, (bh, s, dh)).astype(np.int8)
+    ks = (rng.random((bh, s, 1)) * 0.02 + 1e-3).astype(np.float32)
+    vs = (rng.random((bh, s, 1)) * 0.02 + 1e-3).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((bh, dh)), jnp.float32) * dh ** -0.5
+    out = decode_self_attention(jnp.asarray(q), jnp.asarray(kq),
+                                jnp.asarray(vq), jnp.int32(9),
+                                k_scale=jnp.asarray(ks),
+                                v_scale=jnp.asarray(vs), block_g=8)
+    ref = _ref(q, kq.astype(np.float32) * ks, vq.astype(np.float32) * vs, 9)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_greedy_int8_kv_cache_parity():
+    """greedy decode with kv_int8: fused kernel path (interpret) vs XLA path
+    is token-identical."""
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.models import params as P
+    from openai_whisper_compression_tpu.models import decode as D
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(4))
+    rng = np.random.default_rng(5)
+    enc = jnp.asarray(rng.standard_normal(
+        (2, arch.max_source_positions, arch.d_model)) * 0.1, jnp.float32)
+    outs = []
+    for sp in (True, False):
+        cfg = DecodeConfig(max_new_tokens=6, kv_int8=True, self_pallas=sp)
+        outs.append(jax.jit(lambda p, e, c=cfg: D.greedy_decode(
+            p, arch, e, c))(params, enc))
+    np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                  np.asarray(outs[1][0]))
+
+
 def test_greedy_decode_parity_self_pallas_flag():
     """decoder path with self_pallas on vs off is token-identical (CPU both
     run the XLA/interpret math)."""
