@@ -119,13 +119,19 @@ def segments_from_tokens(arch: WhisperArch,
 
 def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     cfg: DecodeConfig | None = None,
-                    transcribe_fn=None) -> dict:
+                    transcribe_fn=None,
+                    word_timestamps: bool = False,
+                    alignment_heads=None) -> dict:
     """Timestamp-seeking long-form transcription (OpenAI transcribe()
     semantics): decode a 30 s window with timestamp rules, advance to the
     end of the last complete segment, repeat. Falls back to full-window
     advance when no closing timestamp was emitted.
 
-    Returns {"text", "segments" (absolute times), "num_windows"}."""
+    word_timestamps=True additionally aligns each window's tokens to audio
+    frames via cross-attention DTW (models/alignment.py, ≈ OpenAI
+    `word_timestamps=True`) and returns a "words" list with absolute times.
+
+    Returns {"text", "segments" (absolute times), "num_windows"[, "words"]}."""
     from ..models.decode import _timestamps_enabled, forced_prefix
 
     cfg = cfg or DecodeConfig(notimestamps=False)
@@ -138,10 +144,23 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
         transcribe_fn = make_transcribe_fn(arch, cfg)
     first_gen = len(forced_prefix(arch, cfg))
 
+    enc_fn = None
+    if word_timestamps:
+        from ..audio import features
+        from ..models import alignment as align_mod
+        from ..models.whisper import encode
+
+        @jax.jit
+        def enc_fn(p, w):
+            mel = features.preprocess(w, arch.num_mel_bins,
+                                      length=n_samples)
+            return encode(p, arch, mel.astype(jnp.float32))
+
     wav = np.asarray(wav, np.float32)
     pos = 0
     windows = 0
     all_segments: list[dict] = []
+    all_words: list[dict] = []
     while pos < len(wav):
         buf = np.zeros((1, n_samples), np.float32)
         piece = wav[pos: pos + n_samples]
@@ -157,17 +176,34 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                 "end": None if s["end"] is None else t0 + s["end"],
                 "text": tokenizer.decode(s["tokens"]),
             })
+        if word_timestamps:
+            enc = enc_fn(params, jnp.asarray(buf))
+            win_toks = tokens[0, : lengths[0]]
+            n_frames = max(1, min(arch.max_source_positions,
+                                  len(piece) // 320))
+            times = align_mod.find_alignment(
+                params, arch, enc, win_toks,
+                alignment_heads=alignment_heads, n_frames=n_frames)
+            ts_begin = arch.no_timestamps_token_id + 1
+            special = min(arch.eos_token_id, arch.decoder_start_token_id,
+                          ts_begin)
+            all_words.extend(align_mod.word_timestamps(
+                tokenizer, win_toks.tolist(), times,
+                special_threshold=special, offset=t0))
         windows += 1
         advance = (int(seek_s * 16000) if seek_s else n_samples)
         pos += max(advance, 1)  # never stall
         if len(piece) < n_samples:
             break  # final (padded) window consumed everything
-    return {
+    out = {
         "text": " ".join(s["text"] for s in all_segments if s["text"]),
         "segments": all_segments,
         "num_windows": windows,
         "audio_seconds": len(wav) / 16000.0,
     }
+    if word_timestamps:
+        out["words"] = all_words
+    return out
 
 
 def _transcribe_conditioned(params, arch: WhisperArch, chunks, tokenizer,
