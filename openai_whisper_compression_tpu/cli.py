@@ -224,9 +224,29 @@ def cmd_transcribe(args):
         wav = loader.flush()[0]
 
     params, arch = _load_model(args)
-    res = transcribe(params, arch, wav, decode_cfg=_decode_cfg(args, arch),
-                     batch_size=args.batch_size)
-    print(res["text"])
+    if args.timestamps or args.word_timestamps:
+        import dataclasses
+
+        from .evaluation.longform import transcribe_seek
+        from .evaluation.tokenizer import WordTokenizer, load_tokenizer
+
+        tok = (load_tokenizer(f"openai/whisper-{arch.name}")
+               or WordTokenizer(arch.vocab_size,
+                                special_start=min(arch.eos_token_id,
+                                                  arch.decoder_start_token_id)))
+        cfg = dataclasses.replace(_decode_cfg(args, arch), notimestamps=False)
+        res = transcribe_seek(params, arch, wav, tok, cfg,
+                              word_timestamps=args.word_timestamps)
+        for s in res["segments"]:
+            end = "?" if s["end"] is None else f"{s['end']:.2f}"
+            print(f"[{s['start']:.2f} -> {end}] {s['text']}")
+        for w in res.get("words", []):
+            print(f"  {w['start']:.2f}-{w['end']:.2f} {w['word']}")
+    else:
+        res = transcribe(params, arch, wav,
+                         decode_cfg=_decode_cfg(args, arch),
+                         batch_size=args.batch_size)
+        print(res["text"])
     return res
 
 
@@ -383,6 +403,10 @@ def main(argv=None):
     p.add_argument("--audio", required=True)
     p.add_argument("--sample-rate", type=int, default=16000,
                    help="sample rate for .npy inputs")
+    p.add_argument("--timestamps", action="store_true",
+                   help="segment timestamps via seek decoding")
+    p.add_argument("--word-timestamps", action="store_true",
+                   help="word-level times via cross-attention DTW")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("agreement", help="compressed-vs-baseline agreement")

@@ -62,8 +62,19 @@ def load_tokenizer(model_name: str = "openai/whisper-small"):
     no cache (callers fall back to WordTokenizer)."""
     try:
         from transformers import WhisperTokenizer
-
+    except Exception:
+        return None
+    try:  # cache hit: no network round-trips (and no 5x8s offline retries)
         return HFTokenizerAdapter(
-            WhisperTokenizer.from_pretrained(model_name))
+            WhisperTokenizer.from_pretrained(model_name,
+                                             local_files_only=True))
+    except Exception:
+        pass
+    import os
+
+    if os.environ.get("HF_HUB_OFFLINE"):
+        return None
+    try:
+        return HFTokenizerAdapter(WhisperTokenizer.from_pretrained(model_name))
     except Exception:
         return None
