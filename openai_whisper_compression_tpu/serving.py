@@ -1,0 +1,173 @@
+"""Dynamic-batching transcription service (TPU serving loop).
+
+The reference is a batch-evaluation research repo — it has no serving story
+(SURVEY.md §0: script-shaped, `dataset.map` loops). A production TPU
+deployment needs the opposite shape: a long-lived process with ONE compiled
+program and a batcher in front of it. This module provides that:
+
+- requests (`submit`) land in a queue; a worker thread assembles them into
+  fixed-size batches (pad-to-`batch_size`, so the jitted transcribe fn
+  compiles exactly once) using the native C++ `BatchLoader`
+  (runtime/src/owc_runtime.cpp) for threaded resample/pad/trim;
+- a batch launches when full or after `max_wait_ms`, whichever first
+  (classic dynamic batching: latency bound under low load, throughput
+  bound under high load);
+- per-request futures deliver {"text", "tokens", "rtfx", ...}.
+
+All TPU work stays on one thread (JAX programs are not re-entrant per
+device); concurrency lives in the batcher and the native loader.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from .config import DecodeConfig, WhisperArch
+
+
+@dataclass
+class ServiceStats:
+    requests: int = 0
+    batches: int = 0
+    occupancy_sum: float = 0.0
+    audio_seconds: float = 0.0
+    busy_seconds: float = 0.0
+    queue_peak: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            mean_occ = (self.occupancy_sum / self.batches
+                        if self.batches else 0.0)
+            rtfx = (self.audio_seconds / self.busy_seconds
+                    if self.busy_seconds else 0.0)
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "mean_batch_occupancy": mean_occ,
+                "audio_seconds": self.audio_seconds,
+                "busy_seconds": self.busy_seconds,
+                "rtfx": rtfx,
+                "queue_peak": self.queue_peak,
+            }
+
+
+class TranscriptionService:
+    """Dynamic-batching front end over a jitted transcribe function.
+
+    params/arch: model to serve. tokenizer: .decode(ids)->str.
+    batch_size: the compiled batch (pad-to-full). max_wait_ms: max time the
+    first request in a batch waits for co-riders.
+    """
+
+    def __init__(self, params, arch: WhisperArch, tokenizer,
+                 cfg: DecodeConfig | None = None, batch_size: int = 8,
+                 max_wait_ms: float = 50.0, transcribe_fn=None):
+        from .evaluation.harness import make_transcribe_fn, samples_for_arch
+        from .models.decode import forced_prefix
+        from .runtime_native import BatchLoader
+
+        self.params = params
+        self.arch = arch
+        self.tokenizer = tokenizer
+        self.cfg = cfg or DecodeConfig()
+        self.batch_size = batch_size
+        self.max_wait_s = max_wait_ms / 1e3
+        self.n_samples = samples_for_arch(arch)
+        self._fn = transcribe_fn or make_transcribe_fn(arch, self.cfg)
+        self._first_gen = len(forced_prefix(arch, self.cfg))
+        self._loader = BatchLoader(batch_size, self.n_samples)
+        self._queue: queue.Queue = queue.Queue()
+        self.stats = ServiceStats()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------ API
+    def submit(self, wav: np.ndarray, sample_rate: int = 16000) -> Future:
+        """Enqueue one utterance; resolves to
+        {"text", "tokens", "audio_seconds", "latency_s"}."""
+        if self._stop.is_set():
+            raise RuntimeError("service is shut down")
+        fut: Future = Future()
+        self._queue.put((np.asarray(wav, np.float32), sample_rate, fut,
+                         time.perf_counter()))
+        with self.stats._lock:
+            self.stats.queue_peak = max(self.stats.queue_peak,
+                                        self._queue.qsize())
+        return fut
+
+    def transcribe(self, wav: np.ndarray, sample_rate: int = 16000,
+                   timeout: float | None = 120.0) -> dict:
+        return self.submit(wav, sample_rate).result(timeout=timeout)
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Drain the queue and stop the worker."""
+        self._stop.set()
+        self._worker.join(timeout=timeout)
+
+    # ---------------------------------------------------------------- worker
+    def _take_batch(self) -> list:
+        """Block for the first request, then gather co-riders until the
+        batch fills or max_wait elapses."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        items = [first]
+        deadline = time.perf_counter() + self.max_wait_s
+        while len(items) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _run(self) -> None:
+        import jax.numpy as jnp
+
+        while not (self._stop.is_set() and self._queue.empty()):
+            items = self._take_batch()
+            if not items:
+                continue
+            for slot in range(self.batch_size):
+                self._loader.clear(slot)
+            for slot, (wav, sr, _, _) in enumerate(items):
+                self._loader.submit(slot, wav, sample_rate=sr)
+            buf = self._loader.flush()
+
+            t0 = time.perf_counter()
+            tokens, lengths = self._fn(self.params, jnp.asarray(buf))
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            busy = time.perf_counter() - t0
+
+            now = time.perf_counter()
+            audio_s = 0.0
+            for slot, (wav, sr, fut, t_submit) in enumerate(items):
+                ids = tokens[slot, self._first_gen: lengths[slot]]
+                ids = ids[ids != self.arch.eos_token_id]
+                dur = len(wav) / float(sr)
+                audio_s += dur
+                fut.set_result({
+                    "text": self.tokenizer.decode(ids.tolist()),
+                    "tokens": ids.tolist(),
+                    "audio_seconds": dur,
+                    "latency_s": now - t_submit,
+                })
+            with self.stats._lock:
+                self.stats.requests += len(items)
+                self.stats.batches += 1
+                self.stats.occupancy_sum += len(items) / self.batch_size
+                self.stats.audio_seconds += audio_s
+                self.stats.busy_seconds += busy

@@ -1,0 +1,92 @@
+"""Dynamic-batching transcription service (serving.py): correctness vs
+direct calls, batching behavior, stats, shutdown."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+from openai_whisper_compression_tpu.evaluation.harness import (
+    make_transcribe_fn, samples_for_arch)
+from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+from openai_whisper_compression_tpu.models import params as P
+from openai_whisper_compression_tpu.models.decode import forced_prefix
+from openai_whisper_compression_tpu.serving import TranscriptionService
+
+
+@pytest.fixture(scope="module")
+def svc_setup():
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                       task_token_id=None)
+    return arch, params, tok, cfg
+
+
+def test_results_match_direct(svc_setup):
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=4,
+                               max_wait_ms=30)
+    rng = np.random.default_rng(0)
+    n = samples_for_arch(arch)
+    wavs = [rng.standard_normal(int(n * f)).astype(np.float32) * 0.1
+            for f in (0.3, 0.7, 1.0)]
+    futs = [svc.submit(w) for w in wavs]
+    results = [f.result(timeout=120) for f in futs]
+    svc.close()
+
+    # direct reference: same jitted fn, individually padded
+    fn = make_transcribe_fn(arch, cfg)
+    for w, res in zip(wavs, results):
+        buf = np.zeros((4, n), np.float32)
+        buf[0, : len(w)] = w[:n]
+        toks, lens = fn(params, jnp.asarray(buf))
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        first_gen = len(forced_prefix(arch, cfg))
+        ids = toks[0, first_gen: lens[0]]
+        ids = ids[ids != arch.eos_token_id]
+        assert res["tokens"] == ids.tolist()
+        assert res["text"] == tok.decode(ids.tolist())
+        assert res["latency_s"] >= 0
+    stats = svc.stats.snapshot()
+    assert stats["requests"] == 3
+    assert stats["batches"] >= 1
+    assert 0 < stats["mean_batch_occupancy"] <= 1
+
+
+def test_concurrent_submitters(svc_setup):
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=4,
+                               max_wait_ms=20)
+    rng = np.random.default_rng(1)
+    n = samples_for_arch(arch)
+    results = {}
+
+    def client(i):
+        wav = rng.standard_normal(n // 2).astype(np.float32) * 0.1
+        results[i] = svc.transcribe(wav)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    svc.close()
+    assert len(results) == 6
+    for r in results.values():
+        assert isinstance(r["text"], str)
+    stats = svc.stats.snapshot()
+    assert stats["requests"] == 6
+
+
+def test_submit_after_close_raises(svc_setup):
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=2)
+    svc.close()
+    with pytest.raises(RuntimeError):
+        svc.submit(np.zeros(100, np.float32))
