@@ -68,6 +68,39 @@ def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
     return fn
 
 
+def make_speculative_transcribe_fn(arch_t: WhisperArch, arch_d: WhisperArch,
+                                   cfg: DecodeConfig, gamma: int = 4,
+                                   fast_mel: bool = False,
+                                   fast_gelu: bool = False):
+    """Jitted speculative transcription: fn(params_target, params_draft,
+    wav) -> (tokens, lengths). Output is bit-exact vs the target-only greedy
+    path (models/speculative.py); the draft (e.g. whisper-tiny for a
+    whisper-small target) runs its own mel/encoder at its own mel-bin
+    count."""
+    from ..models.speculative import speculative_decode
+
+    dft_dtype = jnp.bfloat16 if fast_mel else jnp.float32
+    n_samples = samples_for_arch(arch_t)
+
+    def enc_of(params, arch, wav):
+        mel = features.preprocess(wav, n_mels=arch.num_mel_bins,
+                                  use_pallas=True, length=n_samples,
+                                  dft_dtype=dft_dtype).astype(
+            jax.tree.leaves(params["encoder"]["ln"])[0].dtype)
+        return encode(params, arch, mel, fast_gelu=fast_gelu)
+
+    @jax.jit
+    def fn(params_t, params_d, wav):
+        enc_t = enc_of(params_t, arch_t, wav)
+        enc_d = enc_of(params_d, arch_d, wav)
+        tokens, lengths, _ = speculative_decode(
+            params_t, arch_t, params_d, arch_d, enc_t, enc_d, cfg,
+            gamma=gamma)
+        return tokens, lengths
+
+    return fn
+
+
 _LOADERS: dict[tuple[int, int], Any] = {}
 
 

@@ -101,6 +101,29 @@ def test_speculative_divergent_draft_still_exact(setup):
     assert int(rounds) >= 1
 
 
+def test_speculative_transcribe_fn_cross_arch(setup):
+    """End-to-end harness fn with a SMALLER draft arch: output equals the
+    plain transcribe fn's."""
+    from openai_whisper_compression_tpu.evaluation.harness import (
+        make_speculative_transcribe_fn, make_transcribe_fn)
+
+    arch, params, _ = setup
+    arch_d = arch.replace(name="test1l", encoder_layers=1, decoder_layers=1)
+    params_d = P.init_params(arch_d, jax.random.PRNGKey(7))
+    cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                       task_token_id=None)
+    g = np.random.default_rng(4)
+    wav = jnp.asarray(
+        g.standard_normal((2, arch.max_source_positions * 2 * 160)) * 0.1,
+        jnp.float32)
+    tg, lg = make_transcribe_fn(arch, cfg)(params, wav)
+    ts, lsp = make_speculative_transcribe_fn(arch, arch_d, cfg, gamma=3)(
+        params, params_d, wav)
+    n = int(np.asarray(lg).min())
+    np.testing.assert_array_equal(np.asarray(tg)[:, :n],
+                                  np.asarray(ts)[:, :n])
+
+
 def test_speculative_rejects_beam_and_timestamps(setup):
     arch, params, enc = setup
     with pytest.raises(ValueError):
