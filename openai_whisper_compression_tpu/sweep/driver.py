@@ -18,8 +18,10 @@ import time
 import traceback
 from typing import Any
 
+import numpy as np
+
 from ..config import DecodeConfig, EvalConfig, WhisperArch
-from ..evaluation import harness
+from ..evaluation import harness, metrics
 from ..evaluation.memory import MemoryTracker
 from ..models.params import size_in_mb
 from ..prune.flops import model_gflops
@@ -70,6 +72,31 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
     # configs (e.g. the whole L1 ladder) reuse a single compilation.
     shared_fn = harness.make_transcribe_fn(arch, decode_cfg)
 
+    # Baseline anchor for the offline accuracy axis: with no labeled data,
+    # each config additionally reports WER *against the baseline config's
+    # transcripts* (wer_vs_baseline — 0.0 means compression was
+    # transcript-neutral; the reference always has LibriSpeech ground truth
+    # instead, `quantization.py:149-208`).
+    baseline_name = next((c["name"] for c in configs
+                          if c["name"].startswith("baseline")
+                          or c["name"].endswith("_0pct")),
+                         configs[0]["name"] if configs else None)
+    baseline_hyps: dict[str, dict[str, str]] = {}
+
+    def _load_baseline_hyps(split: str) -> dict[str, str] | None:
+        if split in baseline_hyps:
+            return baseline_hyps[split]
+        if not save_path:
+            return None
+        tr = os.path.join(save_path,
+                          f"{baseline_name}_{split}_transcriptions.json")
+        if os.path.exists(tr):
+            with open(tr) as f:
+                recs = json.load(f)
+            baseline_hyps[split] = {r["id"]: r["hypothesis"] for r in recs}
+            return baseline_hyps[split]
+        return None
+
     def flush():
         if results_file:
             os.makedirs(save_path, exist_ok=True)
@@ -113,6 +140,20 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
                     compressed, arch, data, tokenizer,
                     eval_cfg=eval_cfg, decode_cfg=decode_cfg,
                     memory_tracker=tracker, transcribe_fn=shared_fn)
+                if name == baseline_name:
+                    baseline_hyps[split] = {r["id"]: r["hypothesis"]
+                                            for r in records}
+                else:
+                    base = _load_baseline_hyps(split)
+                    if base:
+                        pairs = [(base[r["id"]], r["hypothesis"])
+                                 for r in records if r["id"] in base]
+                        if pairs:
+                            b, h = zip(*pairs)
+                            scores["wer_vs_baseline"] = metrics.wer(
+                                list(b), list(h))
+                            scores["exact_match_vs_baseline"] = float(
+                                np.mean([x == y for x, y in pairs]))
                 entry["splits"][split] = scores
                 if save_path:
                     harness.save_evaluation_results(
@@ -141,17 +182,19 @@ def summarize(all_results: dict[str, Any]) -> str:
     """Console table ≈ reference sweep summaries
     (`unstructured_L1_baseline.py:1330-1417`)."""
     lines = [f"{'config':<34} {'size MB':>9} {'sparsity':>9} {'GFLOPs':>8} "
-             f"{'WER':>7} {'RTFx':>8}"]
+             f"{'WER':>7} {'vsBase':>7} {'RTFx':>8}"]
     for name, r in all_results.items():
         if "error" in r:
             lines.append(f"{name:<34} ERROR: {r['error'][:60]}")
             continue
         split = next(iter(r["splits"].values()), {})
         wer = f"{split['wer']:.3f}" if split.get("wer") is not None else "-"
+        vsb = (f"{split['wer_vs_baseline']:.3f}"
+               if split.get("wer_vs_baseline") is not None else "-")
         rtfx = f"{split['rtfx']:.1f}" if split.get("rtfx") else "-"
         lines.append(f"{name:<34} {r['model_size_mb']:>9.1f} "
                      f"{r['sparsity']:>9.3f} {r['gflops']:>8.2f} "
-                     f"{wer:>7} {rtfx:>8}")
+                     f"{wer:>7} {vsb:>7} {rtfx:>8}")
     out = "\n".join(lines)
     print(out)
     return out

@@ -62,6 +62,12 @@ def test_run_sweep_with_fault_isolation(setup, tmp_path):
     assert "error" in results["boom"]
     assert results["baseline"]["splits"]["test_clean"]["wer"] is not None
     assert results["int8"]["model_size_mb"] < results["baseline"]["model_size_mb"]
+    # offline accuracy axis: each non-baseline config reports WER against
+    # the baseline config's transcripts
+    s_int8 = results["int8"]["splits"]["test_clean"]
+    assert isinstance(s_int8["wer_vs_baseline"], float)
+    assert 0.0 <= s_int8["exact_match_vs_baseline"] <= 1.0
+    assert "wer_vs_baseline" not in results["baseline"]["splits"]["test_clean"]
     saved = json.loads((tmp_path / "all_results.json").read_text())
     assert "boom" in saved
 
