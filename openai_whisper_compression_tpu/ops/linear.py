@@ -23,11 +23,19 @@ def _on_tpu() -> bool:
         return False
 
 
+# Eager-mode activation tap (quant.gptq Hessian collection). None in
+# production; when set, every eager linear() call reports (w, x) so the
+# collector can accumulate per-weight X^T X. Traced calls are ignored.
+_TAP = None
+
+
 def linear(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     """y = x @ w + b with quantized-weight dispatch.
 
     x: (..., K); w: (K, N) array or QTensor of logical shape (K, N).
     """
+    if _TAP is not None:
+        _TAP.observe(w, x)
     if isinstance(w, QTensor):
         y = _quantized_matmul(x, w)
     else:
