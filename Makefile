@@ -14,6 +14,7 @@ bench:
 example:
 	python examples/compress_store_serve.py
 	python examples/timestamps_and_profiling.py
+	python examples/serving_and_speculative.py
 
 # static hygiene: compileall + AST unused-import scan
 check:
