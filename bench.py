@@ -37,6 +37,11 @@ def main() -> None:
     ap.add_argument("--beam", type=int, default=1)
     ap.add_argument("--quant", default="int8",
                     choices=["none", "int8", "int4", "nf4"])
+    ap.add_argument("--w8a8", action="store_true",
+                    help="dynamic int8 activations via the fused Pallas "
+                         "w8a8 kernel (the reference's PTDQ analog, "
+                         "model_utils.py:131-134 — accuracy-changing, so "
+                         "opt-in; measured 3.8x the bf16 matmul rate)")
     ap.add_argument("--fuse", action=argparse.BooleanOptionalAction,
                     default=True, help="fuse decoder qkv projections")
     ap.add_argument("--kv-int8", action="store_true",
@@ -81,7 +86,9 @@ def main() -> None:
     if args.quant != "none":
         from openai_whisper_compression_tpu.quant import api as quant_api
 
-        params = quant_api.quantize_params(params, method=args.quant)
+        params = quant_api.quantize_params(
+            params, method=args.quant,
+            act="dynamic_int8" if args.w8a8 else None)
     if args.fuse:
         from openai_whisper_compression_tpu.models.fuse import fuse_qkv
 

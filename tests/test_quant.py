@@ -248,3 +248,43 @@ def test_cross_kv_int8_decode(tiny_model):
                                   DecodeConfig(cross_kv_int8=True, **kw))
     agree = np.mean(np.asarray(t_fp) == np.asarray(t_q))
     assert agree > 0.9
+
+
+def test_w8a8_pallas_kernel_matches_xla_reference():
+    """Fused w8a8 kernel (interpret mode) vs the staged XLA act-quant path:
+    dynamic per-row and static calibrated scales."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from openai_whisper_compression_tpu.ops.quant_matmul import (
+        w8a8_matmul_pallas)
+
+    rng = np.random.default_rng(0)
+    m, k, n = 48, 128, 256
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    sw = jnp.asarray(rng.random((1, n)) * 1e-2 + 1e-3, jnp.float32)
+
+    def ref_dynamic(x):
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), -1, keepdims=True), 1e-12) / 127.
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        acc = lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * sx * sw
+
+    got = np.asarray(w8a8_matmul_pallas(x, wq, sw), np.float32)
+    np.testing.assert_allclose(got, np.asarray(ref_dynamic(x)), rtol=2e-2,
+                               atol=1e-4)
+
+    sx_static = jnp.float32(0.031)
+    def ref_static(x):
+        xq = jnp.clip(jnp.round(x / sx_static), -127, 127).astype(jnp.int8)
+        acc = lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * sx_static * sw
+
+    got_s = np.asarray(w8a8_matmul_pallas(x, wq, sw, act_scale=sx_static),
+                       np.float32)
+    np.testing.assert_allclose(got_s, np.asarray(ref_static(x)), rtol=2e-2,
+                               atol=1e-4)
