@@ -242,6 +242,34 @@ def cmd_transcribe(args):
             print(f"[{s['start']:.2f} -> {end}] {s['text']}")
         for w in res.get("words", []):
             print(f"  {w['start']:.2f}-{w['end']:.2f} {w['word']}")
+    elif args.draft_model:
+        import jax
+        import jax.numpy as jnp
+
+        from .config import ARCHS
+        from .evaluation.harness import (make_speculative_transcribe_fn,
+                                         samples_for_arch)
+        from .evaluation.tokenizer import WordTokenizer
+        from .models import params as P
+        from .models.decode import forced_prefix
+
+        arch_d = ARCHS[args.draft_model]
+        params_d = P.init_params(arch_d, jax.random.PRNGKey(args.seed))
+        cfg = _decode_cfg(args, arch)
+        fn = make_speculative_transcribe_fn(arch, arch_d, cfg,
+                                            gamma=args.gamma)
+        n = samples_for_arch(arch)
+        buf = np.zeros((1, n), np.float32)
+        buf[0, : min(len(wav), n)] = wav[:n]
+        tokens, lengths = fn(params, params_d, jnp.asarray(buf))
+        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+        ids = tokens[0, len(forced_prefix(arch, cfg)): lengths[0]]
+        ids = ids[ids != arch.eos_token_id]
+        tok = WordTokenizer(arch.vocab_size,
+                            special_start=min(arch.eos_token_id,
+                                              arch.decoder_start_token_id))
+        res = {"text": tok.decode(ids.tolist()), "tokens": ids.tolist()}
+        print(res["text"])
     else:
         res = transcribe(params, arch, wav,
                          decode_cfg=_decode_cfg(args, arch),
@@ -407,6 +435,12 @@ def main(argv=None):
                    help="segment timestamps via seek decoding")
     p.add_argument("--word-timestamps", action="store_true",
                    help="word-level times via cross-attention DTW")
+    p.add_argument("--draft-model", default=None,
+                   help="speculative decoding with this draft arch "
+                        "(e.g. tiny drafting for small; output is exactly "
+                        "the target's greedy transcript)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="draft tokens per speculative round")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("agreement", help="compressed-vs-baseline agreement")

@@ -214,8 +214,12 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
     tokens, _, _, pos, finished, rounds = lax.while_loop(cond, body, state)
 
     # greedy stopping semantics: everything strictly after a row's first
-    # generated EOT becomes EOT (later rounds may have left draft junk there)
+    # generated EOT becomes EOT (later rounds may have left draft junk
+    # there), and a round may overshoot max_new_tokens by up to gamma —
+    # clamp to the greedy contract
     gen = tokens[:, first_gen:]
+    over = jnp.arange(gen.shape[1])[None, :] >= cfg.max_new_tokens
+    gen = jnp.where(over, eot, gen)
     is_eot = (gen == eot).astype(jnp.int32)
     after_first_eot = (jnp.cumsum(is_eot, axis=1) - is_eot) > 0
     tokens = tokens.at[:, first_gen:].set(jnp.where(after_first_eot, eot, gen))
