@@ -226,3 +226,37 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
 
     lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
     return tokens, lengths, rounds
+
+
+def self_speculative_draft(params: Params, arch: WhisperArch,
+                           keep_encoder: int | None = None,
+                           keep_decoder: int = 2
+                           ) -> tuple[Params, WhisperArch]:
+    """Draft = a layer-dropped view of the TARGET itself (self-speculative
+    decoding): keep the first `keep_decoder` decoder layers (and optionally
+    truncate the encoder). The draft shares the target's weights — zero
+    extra HBM beyond its own KV cache — and, with real checkpoints, early
+    layers predict the easy tokens well, which is where speculation pays.
+
+    Returns (draft_params, draft_arch) ready for `speculative_decode` /
+    `make_speculative_transcribe_fn`. Layer dropping reuses the pruning
+    lab's physical surgery (prune/structured.py drop_layers, the
+    `experimental_pruning.py:441-505` analog).
+    """
+    from ..prune.structured import drop_layers
+
+    draft = params
+    d_layers = len(params["decoder"]["layers"])
+    if keep_decoder < d_layers:
+        draft = drop_layers(draft, "decoder",
+                            list(range(keep_decoder, d_layers)))
+    e_layers = len(params["encoder"]["layers"])
+    if keep_encoder is not None and keep_encoder < e_layers:
+        draft = drop_layers(draft, "encoder",
+                            list(range(keep_encoder, e_layers)))
+    arch_d = arch.replace(
+        name=f"{arch.name}-selfdraft",
+        decoder_layers=min(keep_decoder, d_layers),
+        encoder_layers=(e_layers if keep_encoder is None
+                        else min(keep_encoder, e_layers)))
+    return draft, arch_d

@@ -137,3 +137,30 @@ def test_speculative_rejects_beam_and_timestamps(setup):
             ts_params, ts_arch, ts_params, ts_arch, enc, enc,
             DecodeConfig(notimestamps=False, language_token_id=None,
                          task_token_id=None))
+
+
+def test_self_speculative_draft(setup):
+    """Layer-dropped self-draft: still exact vs target greedy; shares
+    weights (no copies of kept layers)."""
+    from openai_whisper_compression_tpu.evaluation.harness import (
+        make_speculative_transcribe_fn, make_transcribe_fn)
+
+    arch, params, enc = setup
+    draft, arch_d = speculative.self_speculative_draft(params, arch,
+                                                       keep_decoder=1)
+    assert len(draft["decoder"]["layers"]) == 1
+    assert draft["decoder"]["layers"][0]["fc1"]["w"] is \
+        params["decoder"]["layers"][0]["fc1"]["w"]
+
+    cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                       task_token_id=None)
+    g = np.random.default_rng(6)
+    wav = jnp.asarray(
+        g.standard_normal((2, arch.max_source_positions * 2 * 160)) * 0.1,
+        jnp.float32)
+    tg, lg = make_transcribe_fn(arch, cfg)(params, wav)
+    ts, _ = make_speculative_transcribe_fn(arch, arch_d, cfg, gamma=3)(
+        params, draft, wav)
+    n = int(np.asarray(lg).min())
+    np.testing.assert_array_equal(np.asarray(tg)[:, :n],
+                                  np.asarray(ts)[:, :n])
