@@ -41,6 +41,9 @@ class WhisperArch:
     eos_token_id: int = 50257
     decoder_start_token_id: int = 50258  # <|startoftranscript|>
     no_timestamps_token_id: int = 50363
+    # published word-alignment heads ((layer, head) pairs from the HF
+    # checkpoint's generation_config); () -> top-half-of-decoder fallback
+    alignment_heads: tuple = ()
 
     @property
     def head_dim(self) -> int:

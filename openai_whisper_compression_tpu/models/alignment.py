@@ -143,7 +143,8 @@ def find_alignment(params: Params, arch: WhisperArch, enc_out: jax.Array,
     Returns (L, 2) float32 [start, end] seconds per token.
     """
     tokens = np.asarray(tokens, np.int32)
-    heads = alignment_heads or default_alignment_heads(arch)
+    heads = (alignment_heads or list(arch.alignment_heads)
+             or default_alignment_heads(arch))
     w = np.asarray(_weights_jit(params, arch, jnp.asarray(tokens[None]),
                                 enc_out))               # (L_layers,1,H,L,S)
     mats = np.stack([w[li, 0, h] for li, h in heads])    # (A, L, S)

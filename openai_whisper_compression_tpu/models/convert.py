@@ -186,6 +186,14 @@ def load_hf_model(model_name: str, dtype=jnp.float32):
     model = WhisperForConditionalGeneration.from_pretrained(model_name)
     params = from_hf_state_dict(model.state_dict())
     arch = arch_from_hf_config(model.config)
+    # published word-alignment heads (HF generation_config.alignment_heads,
+    # the mask OpenAI ships per checkpoint) — consumed by
+    # models.alignment.find_alignment when present
+    heads = getattr(getattr(model, "generation_config", None),
+                    "alignment_heads", None)
+    if heads:
+        arch = arch.replace(
+            alignment_heads=tuple(tuple(h) for h in heads))
     from .params import tree_cast
 
     return tree_cast(params, dtype), arch

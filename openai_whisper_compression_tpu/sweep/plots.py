@@ -71,6 +71,17 @@ def plot_sweep(results: dict[str, Any], save_dir: str,
     ax.set_ylabel("RTFx (higher is better)")
     ax.set_title("Throughput per config")
     save(fig, "rtfx")
+
+    # offline accuracy axis: WER against the baseline config's transcripts
+    vsb = [_first_split(ok[n]).get("wer_vs_baseline") for n in names]
+    if any(v is not None for v in vsb):
+        fig, ax = plt.subplots(figsize=(10, 4.5))
+        ax.bar(range(len(names)), [v if v is not None else 0 for v in vsb])
+        ax.set_xticks(range(len(names)))
+        ax.set_xticklabels(names, rotation=75, fontsize=6, ha="right")
+        ax.set_ylabel("WER vs baseline transcripts")
+        ax.set_title("Transcript drift vs baseline (0 = compression-neutral)")
+        save(fig, "wer_vs_baseline")
     return paths
 
 

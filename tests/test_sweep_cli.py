@@ -75,7 +75,7 @@ def test_run_sweep_with_fault_isolation(setup, tmp_path):
     assert "baseline" in out and "ERROR" in out
 
     paths = plots.plot_sweep(results, str(tmp_path), prefix="t")
-    assert len(paths) == 3
+    assert len(paths) == 4  # incl. the wer-vs-baseline drift plot
     assert all(os.path.exists(p) for p in paths)
 
 
