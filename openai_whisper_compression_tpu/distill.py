@@ -1,0 +1,126 @@
+"""Recovery distillation: fine-tune a compressed student against its own
+uncompressed teacher.
+
+The reference evaluates compression one-shot — prune/quantize, measure WER,
+done (e.g. `unstructured_L1_baseline.py:1128-1310`); there is no recovery
+step anywhere in the repo. On TPU the missing piece is cheap: the framework
+already differentiates the full model for sensitivity scoring
+(`sensitivity/gradient.py` via `jax.grad`), so a KL-distillation loop over
+synthetic audio needs no labeled data at all — the teacher IS the label.
+
+Pipeline: prune (keeping masks) -> `distill(student, teacher, ...)` ->
+re-evaluate agreement. Sparsity is preserved exactly: gradients and updates
+are projected onto the pruned support (classic lottery-ticket-style masked
+fine-tuning), so the recovered model keeps its compression ratio.
+
+Everything runs in one jitted step (teacher forward, student forward+grad,
+AdamW update, mask projection); batches are synthetic 30 s waveforms pushed
+through the real mel frontend.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .audio import features
+from .config import WhisperArch
+from .evaluation.harness import samples_for_arch
+from .models.whisper import decode_logits, encode
+from .ops.qtensor import QTensor
+
+Params = dict[str, Any]
+
+
+def sparsity_masks(params: Params) -> Any:
+    """Zero-pattern masks for every >=2-D dense weight (None elsewhere):
+    the pruned support that distillation must preserve."""
+    def mask(x):
+        if isinstance(x, QTensor) or not hasattr(x, "ndim") or x.ndim < 2:
+            return None
+        return (x != 0)
+
+    return jax.tree.map(mask, params)
+
+
+def _apply_masks(tree: Any, masks: Any) -> Any:
+    return jax.tree.map(
+        lambda x, m: x if m is None else jnp.where(m, x, 0).astype(x.dtype),
+        tree, masks, is_leaf=lambda x: x is None)
+
+
+def kl_loss(student: Params, teacher_logits: jax.Array, arch: WhisperArch,
+            mel: jax.Array, tokens: jax.Array,
+            temperature: float = 2.0) -> jax.Array:
+    """Mean KL(teacher || student) over all positions at `temperature`."""
+    s_logits = decode_logits(student, arch, tokens,
+                             encode(student, arch, mel)).astype(jnp.float32)
+    t = temperature
+    p = jax.nn.log_softmax(teacher_logits.astype(jnp.float32) / t, axis=-1)
+    q = jax.nn.log_softmax(s_logits / t, axis=-1)
+    return jnp.mean(jnp.sum(jnp.exp(p) * (p - q), axis=-1)) * (t * t)
+
+
+def distill(student: Params, teacher: Params, arch: WhisperArch,
+            steps: int = 50, lr: float = 3e-5, batch: int = 2,
+            seq_len: int = 8, temperature: float = 2.0, seed: int = 0,
+            preserve_sparsity: bool = True,
+            batch_fn: Callable[[np.random.Generator], tuple] | None = None
+            ) -> tuple[Params, list[float]]:
+    """KL-distill `student` toward `teacher` (same arch) on synthetic audio.
+
+    batch_fn: optional (rng) -> (mel (B, M, F), tokens (B, L)) supplier to
+    distill on real data instead of noise.
+
+    Returns (recovered student, per-step loss history). Quantized leaves
+    (QTensor) are frozen — dequantize first for fake-quant fine-tuning.
+    """
+    if any(isinstance(l, QTensor) for l in jax.tree.leaves(
+            student, is_leaf=lambda x: isinstance(x, QTensor))):
+        raise ValueError("student has quantized leaves; distill the dense "
+                         "(or dequantized fake-quant) model, then requantize")
+    n_samples = samples_for_arch(arch)
+    masks = sparsity_masks(student) if preserve_sparsity else None
+    opt = optax.adamw(lr)
+    opt_state = opt.init(student)
+
+    @jax.jit
+    def step(student, opt_state, mel, tokens):
+        t_logits = jax.lax.stop_gradient(
+            decode_logits(teacher, arch, tokens,
+                          encode(teacher, arch, mel)))
+        loss, grads = jax.value_and_grad(kl_loss)(
+            student, t_logits, arch, mel, tokens, temperature)
+        if masks is not None:
+            grads = _apply_masks(grads, masks)
+        updates, opt_state = opt.update(grads, opt_state, student)
+        student = optax.apply_updates(student, updates)
+        if masks is not None:
+            student = _apply_masks(student, masks)
+        return student, opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    history: list[float] = []
+    for _ in range(steps):
+        if batch_fn is not None:
+            mel, tokens = batch_fn(rng)
+            mel = jnp.asarray(mel)
+            tokens = jnp.asarray(tokens, jnp.int32)
+        else:
+            wav = jnp.asarray(
+                rng.standard_normal((batch, n_samples)) * 0.1, jnp.float32)
+            mel = features.preprocess(wav, n_mels=arch.num_mel_bins,
+                                      length=n_samples)
+            tokens = jnp.asarray(
+                np.concatenate(
+                    [np.full((batch, 1), arch.decoder_start_token_id),
+                     rng.integers(0, arch.vocab_size,
+                                  (batch, seq_len - 1))], axis=1), jnp.int32)
+        student, opt_state, loss = step(student, opt_state, mel, tokens)
+        history.append(float(loss))
+    return student, history
