@@ -20,7 +20,7 @@ through the real mel frontend.
 
 from __future__ import annotations
 
-import functools
+
 from typing import Any, Callable
 
 import jax
@@ -124,3 +124,23 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
         student, opt_state, loss = step(student, opt_state, mel, tokens)
         history.append(float(loss))
     return student, history
+
+
+def fake_quant_recovery(params_q: Params, teacher: Params,
+                        arch: WhisperArch, method: str = "int4",
+                        steps: int = 50, lr: float = 3e-5,
+                        **distill_kw) -> Params:
+    """QAT-lite: dequantize a quantized model (quantization error baked into
+    dense weights), KL-distill it toward the dense teacher, then requantize
+    with the same method. One round of this recovers part of the rounding
+    loss without straight-through estimators (quantize -> recover -> requant,
+    a post-training analog of quantization-aware training).
+
+    Returns the re-quantized recovered model.
+    """
+    from .quant.api import dequantize_params, quantize_params
+
+    dense = dequantize_params(params_q)
+    recovered, _ = distill(dense, teacher, arch, steps=steps, lr=lr,
+                           preserve_sparsity=False, **distill_kw)
+    return quantize_params(recovered, method=method)

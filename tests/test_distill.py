@@ -61,3 +61,17 @@ def test_distill_rejects_quantized_student(setup):
     arch, teacher = setup
     with pytest.raises(ValueError):
         distill(quantize_params(teacher, "int8"), teacher, arch, steps=1)
+
+
+def test_fake_quant_recovery_runs(setup):
+    from openai_whisper_compression_tpu.distill import fake_quant_recovery
+    from openai_whisper_compression_tpu.ops.qtensor import QTensor
+
+    arch, teacher = setup
+    q = quantize_params(teacher, "int4")
+    rec = fake_quant_recovery(q, teacher, arch, method="int4", steps=4,
+                              lr=1e-4, batch=1, seq_len=4)
+    kinds = {l.kind for l in jax.tree.leaves(
+        rec, is_leaf=lambda x: isinstance(x, QTensor))
+        if isinstance(l, QTensor)}
+    assert kinds == {"int4_pack"}
