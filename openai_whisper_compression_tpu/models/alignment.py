@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import WhisperArch
 from .whisper import (NEG_INF, _num_heads, embed_tokens, layer_norm, linear,
-                      merge_heads, mlp, precompute_cross_kv, qkv_project,
+                      merge_heads, mlp, precompute_cross_kv,
                       read_cross_kv, self_attention, split_heads)
 
 Params = dict[str, Any]

@@ -25,8 +25,6 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import Any
-
 import numpy as np
 
 from .config import DecodeConfig, WhisperArch
