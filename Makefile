@@ -19,4 +19,5 @@ example:
 # static hygiene: compileall + AST unused-import scan
 check:
 	python -m compileall -q openai_whisper_compression_tpu bench.py __graft_entry__.py
+	python tools/astlint.py
 	@echo "compile OK"
