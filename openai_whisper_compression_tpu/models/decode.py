@@ -92,14 +92,12 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
         h = _num_heads(p, arch.head_dim)
         hs = layer_norm(x, layer["attn_ln"])
         q, k, v = qkv_project(p, hs, h)
-        entry = kv_cache.update(cache[i], k, v, pos)
-        new_cache.append(entry)
-        if use_sas:
-            # fused Pallas step attention (ops.self_attention_step); the
-            # cache row at `pos` was written by `update` just above, so the
-            # kernel attends over the current window directly. int8 caches
-            # pass their per-position scales (dequant fused in-kernel).
-            from ..ops.self_attention_step import decode_self_attention
+        if use_sas and "k_scale" not in cache[i]:
+            # fully fused Pallas step (ops.self_attention_step): cache-row
+            # write + masked attention in ONE kernel over ALIASED cache
+            # buffers — replaces the per-layer dynamic_update_slice pair the
+            # while-loop scheduler materialized as full-cache copies.
+            from ..ops.self_attention_step import decode_self_attention_update
 
             dh = arch.head_dim
             bh = b * h
@@ -107,18 +105,38 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
             start_bh = None
             if start is not None:
                 start_bh = jnp.repeat(start, h)
-            scales = {}
-            if "k_scale" in entry:
-                scales = dict(
-                    k_scale=entry["k_scale"].reshape(bh, max_len, 1),
-                    v_scale=entry["v_scale"].reshape(bh, max_len, 1))
+            o_flat, kc, vc = decode_self_attention_update(
+                qf, k.reshape(bh, dh), v.reshape(bh, dh),
+                cache[i]["k"].reshape(bh, max_len, dh),
+                cache[i]["v"].reshape(bh, max_len, dh),
+                pos, start=start_bh)
+            new_cache.append({"k": kc.reshape(b, h, max_len, dh),
+                              "v": vc.reshape(b, h, max_len, dh)})
+            o_merged = o_flat.reshape(b, 1, h * dh)
+        elif use_sas:
+            # int8 cache: XLA row write, fused attention with in-kernel
+            # dequant (per-position scales)
+            from ..ops.self_attention_step import decode_self_attention
+
+            entry = kv_cache.update(cache[i], k, v, pos)
+            new_cache.append(entry)
+            dh = arch.head_dim
+            bh = b * h
+            qf = (q.reshape(bh, dh) * (dh ** -0.5)).astype(q.dtype)
+            start_bh = None
+            if start is not None:
+                start_bh = jnp.repeat(start, h)
             o_flat = decode_self_attention(
                 qf,
                 entry["k"].reshape(bh, max_len, dh),
                 entry["v"].reshape(bh, max_len, dh),
-                pos, start=start_bh, **scales)
+                pos, start=start_bh,
+                k_scale=entry["k_scale"].reshape(bh, max_len, 1),
+                v_scale=entry["v_scale"].reshape(bh, max_len, 1))
             o_merged = o_flat.reshape(b, 1, h * dh)
         else:
+            entry = kv_cache.update(cache[i], k, v, pos)
+            new_cache.append(entry)
             k_all, v_all = kv_cache.read(entry, q.dtype)
             o = attention(q, k_all, v_all, mask)
             o_merged = merge_heads(o)
