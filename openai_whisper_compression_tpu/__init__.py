@@ -67,6 +67,14 @@ def quantize(params, method: str = "int8", **kw):
     return quantize_params(params, method, **kw)
 
 
+# Pre-import the `prune` subpackage BEFORE defining the same-named
+# convenience function: a submodule's first import sets the package
+# attribute, so without this any later `import ...prune.magnitude` elsewhere
+# would silently rebind `openai_whisper_compression_tpu.prune` from the
+# function back to the subpackage (order-dependent API breakage).
+from . import prune as _prune_pkg  # noqa: E402,F401
+
+
 def prune(params, arch=None, amount: float | None = None,
           recipe: dict | None = None, **kw):
     """Magnitude pruning: global L1 at `amount`, or the per-component
