@@ -580,3 +580,44 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     flat = jnp.arange(b) * beam + best
     lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
     return tokens[flat], lengths[flat]
+
+
+# ---------------------------------------------------------------------------
+# Language identification (OpenAI whisper.detect_language parity)
+# ---------------------------------------------------------------------------
+
+# Multilingual Whisper language tokens occupy the contiguous id range
+# [<|startoftranscript|>+1, <|translate|>): 99 languages for v2, 100 for
+# large-v3. Derived from the arch's special ids so test vocabs work too.
+def _language_token_range(arch: WhisperArch) -> tuple[int, int]:
+    lo = arch.decoder_start_token_id + 1
+    hi = min(arch.no_timestamps_token_id - 4, arch.vocab_size)  # < task ids
+    if hi <= lo:
+        raise ValueError(f"vocab of {arch.name} has no language-token range")
+    return lo, hi
+
+
+def detect_language(params: Params, arch: WhisperArch, enc_out: jax.Array,
+                    lang_range: tuple[int, int] | None = None
+                    ) -> tuple[jax.Array, jax.Array]:
+    """One decoder step from <|startoftranscript|>, softmaxed over the
+    language tokens only (OpenAI whisper/decoding.py detect_language; the
+    reference inherits language='en' defaults through HF generate and never
+    exposes this).
+
+    Returns (probs (B, n_langs) over the language-token range,
+    top_token (B,) absolute token ids). jit-compatible.
+    """
+    lo, hi = lang_range or _language_token_range(arch)
+    b = enc_out.shape[0]
+    max_len = 64
+    cache = kv_cache.init_cache(params, arch, b, max_len,
+                                dtype=enc_out.dtype)
+    cross_kvs = precompute_cross_kv(params, arch, enc_out)
+    sot = jnp.full((b,), arch.decoder_start_token_id, jnp.int32)
+    logits, _ = decoder_step(params, arch, sot, jnp.asarray(0), cache,
+                             cross_kvs, max_len, self_pallas=False)
+    lang_logits = logits[:, lo:hi].astype(jnp.float32)
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    top = jnp.argmax(lang_logits, axis=-1) + lo
+    return probs, top

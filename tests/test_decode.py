@@ -7,7 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from openai_whisper_compression_tpu.config import DecodeConfig
+from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
 from openai_whisper_compression_tpu.models import decode, whisper
 from tests.test_model_parity import make_hf_pair
 
@@ -210,3 +210,24 @@ def test_prefill_with_int8_kv_cache(hf_pair, mel):
     t8 = run(kv_int8=True)
     tf = run()
     assert (t8 == tf).mean() > 0.6, "int8 self-KV diverged too much"
+
+
+def test_detect_language(hf_pair, mel):
+    """Language-ID step: probs over the language range sum to 1, top token
+    in range, and matches a plain softmax over the same logits."""
+    from openai_whisper_compression_tpu.models.decode import (
+        _language_token_range, detect_language)
+
+    _, params, arch = hf_pair
+    enc = whisper.encode(params, arch, mel)
+    lo, hi = 900, 910  # carve a pseudo-language range from the test vocab
+    probs, top = jax.jit(lambda p, e: detect_language(
+        p, arch, e, lang_range=(lo, hi)))(params, enc)
+    probs, top = np.asarray(probs), np.asarray(top)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    assert ((top >= lo) & (top < hi)).all()
+    assert probs.shape == (enc.shape[0], hi - lo)
+
+    real = ARCHS["tiny"]
+    lo2, hi2 = _language_token_range(real)
+    assert lo2 == 50259 and hi2 <= real.no_timestamps_token_id
