@@ -28,6 +28,52 @@ AVG_UTT_SECONDS = 7.42
 BASELINE_RTFX = AVG_UTT_SECONDS / 0.528  # ≈ 14.05
 
 
+def _serve_bench(params, arch, cfg, fn, args) -> None:
+    """Steady-state serving throughput: N requests through the
+    dynamic-batching TranscriptionService (native loader overlaps feature
+    prep with TPU compute); counts end-to-end wall including batching."""
+    import sys
+
+    from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+    from openai_whisper_compression_tpu.serving import TranscriptionService
+
+    tok = WordTokenizer(arch.vocab_size,
+                        special_start=min(arch.eos_token_id,
+                                          arch.decoder_start_token_id))
+    # int16 PCM transfer halves the host->device audio stream. NB on
+    # tunnelled backends (axon) the upload still dominates this metric —
+    # it is an environment artifact, not TPU throughput (the greedy
+    # headline keeps audio device-resident).
+    svc = TranscriptionService(params, arch, tok, cfg,
+                               batch_size=args.batch, max_wait_ms=5,
+                               transcribe_fn=fn, transfer_int16=True)
+    rng = np.random.default_rng(0)
+    n_req = args.batch * 4
+    wavs = [rng.standard_normal(int(AVG_UTT_SECONDS * 16000)
+                                ).astype(np.float32) * 0.1
+            for _ in range(n_req)]
+    # warmup (first call compiles; remote-TPU compiles take minutes)
+    svc.transcribe(wavs[0], timeout=None)
+    svc.stats = type(svc.stats)()  # exclude warmup/compile from stats
+    t0 = time.perf_counter()
+    futs = [svc.submit(w) for w in wavs]
+    for f in futs:
+        f.result(timeout=600)
+    wall = time.perf_counter() - t0
+    svc.close()
+    stats = svc.stats.snapshot()
+    rtfx = n_req * AVG_UTT_SECONDS / wall
+    print(f"# serve stats: {stats}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"whisper-{args.model}-{args.quant} serving RTFx "
+                  f"({n_req} reqs, batch {args.batch}, 25 tok, "
+                  f"audio={AVG_UTT_SECONDS}s/utt)",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="small")
@@ -37,6 +83,9 @@ def main() -> None:
     ap.add_argument("--beam", type=int, default=1)
     ap.add_argument("--quant", default="int8",
                     choices=["none", "int8", "int4", "nf4"])
+    ap.add_argument("--serve", action="store_true",
+                    help="steady-state throughput through the "
+                         "dynamic-batching TranscriptionService")
     ap.add_argument("--w8a8", action="store_true",
                     help="dynamic int8 activations via the fused Pallas "
                          "w8a8 kernel (the reference's PTDQ analog, "
@@ -104,6 +153,10 @@ def main() -> None:
                        suppress_tokens=(arch.eos_token_id,))
     fn = make_transcribe_fn(arch, cfg, fast_mel=True, merge_at=args.merge_at,
                             fast_gelu=args.fast_gelu)
+
+    if args.serve:
+        _serve_bench(params, arch, cfg, fn, args)
+        return
 
     rng = np.random.default_rng(0)
     wav = jnp.asarray(rng.standard_normal((args.batch, 480_000)) * 0.1,

@@ -67,7 +67,11 @@ class TranscriptionService:
 
     def __init__(self, params, arch: WhisperArch, tokenizer,
                  cfg: DecodeConfig | None = None, batch_size: int = 8,
-                 max_wait_ms: float = 50.0, transcribe_fn=None):
+                 max_wait_ms: float = 50.0, transcribe_fn=None,
+                 transfer_int16: bool = False):
+        import jax
+        import jax.numpy as jnp
+
         from .evaluation.harness import make_transcribe_fn, samples_for_arch
         from .models.decode import forced_prefix
         from .runtime_native import BatchLoader
@@ -80,6 +84,18 @@ class TranscriptionService:
         self.max_wait_s = max_wait_ms / 1e3
         self.n_samples = samples_for_arch(arch)
         self._fn = transcribe_fn or make_transcribe_fn(arch, self.cfg)
+        # int16 PCM transfer: halve the host->device audio stream (lossless
+        # for 16-bit-PCM-sourced audio; the on-device cast undoes the scale)
+        self.transfer_int16 = transfer_int16
+        if transfer_int16:
+            base_fn = self._fn
+
+            @jax.jit
+            def _fn16(params, w16):
+                return base_fn(params,
+                               w16.astype(jnp.float32) * (1.0 / 32768.0))
+
+            self._fn = _fn16
         self._first_gen = len(forced_prefix(arch, self.cfg))
         self._loader = BatchLoader(batch_size, self.n_samples)
         self._queue: queue.Queue = queue.Queue()
@@ -138,17 +154,26 @@ class TranscriptionService:
             items = self._take_batch()
             if not items:
                 continue
-            for slot in range(self.batch_size):
-                self._loader.clear(slot)
-            for slot, (wav, sr, _, _) in enumerate(items):
-                self._loader.submit(slot, wav, sample_rate=sr)
-            buf = self._loader.flush()
+            try:
+                for slot in range(self.batch_size):
+                    self._loader.clear(slot)
+                for slot, (wav, sr, _, _) in enumerate(items):
+                    self._loader.submit(slot, wav, sample_rate=sr)
+                buf = self._loader.flush()
+                if self.transfer_int16:
+                    buf = np.clip(np.round(buf * 32768.0), -32768,
+                                  32767).astype(np.int16)
 
-            t0 = time.perf_counter()
-            tokens, lengths = self._fn(self.params, jnp.asarray(buf))
-            tokens = np.asarray(tokens)
-            lengths = np.asarray(lengths)
-            busy = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                tokens, lengths = self._fn(self.params, jnp.asarray(buf))
+                tokens = np.asarray(tokens)
+                lengths = np.asarray(lengths)
+                busy = time.perf_counter() - t0
+            except Exception as e:  # fail the batch, keep serving
+                for _, _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
 
             now = time.perf_counter()
             audio_s = 0.0

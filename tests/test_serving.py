@@ -90,3 +90,21 @@ def test_submit_after_close_raises(svc_setup):
     svc.close()
     with pytest.raises(RuntimeError):
         svc.submit(np.zeros(100, np.float32))
+
+
+def test_transfer_int16_pcm_exact(svc_setup):
+    """int16 transfer mode: PCM-valued audio (multiples of 1/32768) yields
+    IDENTICAL tokens to the float32 path."""
+    arch, params, tok, cfg = svc_setup
+    rng = np.random.default_rng(4)
+    n = samples_for_arch(arch)
+    pcm = rng.integers(-2000, 2000, n // 2).astype(np.float32) / 32768.0
+
+    svc_f = TranscriptionService(params, arch, tok, cfg, batch_size=2)
+    r_f = svc_f.transcribe(pcm)
+    svc_f.close()
+    svc_i = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                                 transfer_int16=True)
+    r_i = svc_i.transcribe(pcm)
+    svc_i.close()
+    assert r_f["tokens"] == r_i["tokens"]
