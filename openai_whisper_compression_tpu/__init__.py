@@ -45,17 +45,29 @@ def load_model(name_or_arch: str = "tiny", dtype: Any = None, seed: int = 0,
 
 
 def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
-               batch_size: int = 8) -> dict:
+               batch_size: int = 8, timestamps: bool = False,
+               word_timestamps: bool = False) -> dict:
     """OpenAI-`whisper.transcribe()`-style convenience: accepts a waveform of
     any length (16 kHz float32), long-form chunks at 30 s, returns
-    {"text", "chunks", ...}."""
-    from .evaluation.longform import transcribe_long
+    {"text", "chunks", ...}.
+
+    timestamps=True switches to seek-based decoding with the OpenAI
+    timestamp rules, returning {"text", "segments", ...}; word_timestamps
+    additionally aligns words via cross-attention DTW ("words" key)."""
+    from .evaluation.longform import transcribe_long, transcribe_seek
     from .evaluation.tokenizer import WordTokenizer
 
     if tokenizer is None:
         tokenizer = WordTokenizer(
             arch.vocab_size,
             special_start=min(arch.eos_token_id, arch.decoder_start_token_id))
+    if timestamps or word_timestamps:
+        import dataclasses
+
+        cfg = decode_cfg or DecodeConfig()
+        cfg = dataclasses.replace(cfg, notimestamps=False)
+        return transcribe_seek(params, arch, audio, tokenizer, cfg,
+                               word_timestamps=word_timestamps)
     return transcribe_long(params, arch, audio, tokenizer,
                            cfg=decode_cfg, batch_size=batch_size)
 

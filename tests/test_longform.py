@@ -127,3 +127,22 @@ def test_transcribe_long_conditioned():
                           condition_on_previous=True, prompt_window=8)
     assert res["num_chunks"] == 3
     assert len(res["chunks"]) == 3
+
+
+def test_top_level_transcribe_timestamps():
+    from openai_whisper_compression_tpu import load_model, transcribe
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(21))
+    g = np.random.default_rng(3)
+    wav = (g.standard_normal(arch.max_source_positions * 2 * 160) *
+           0.1).astype(np.float32)
+    cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                       task_token_id=None, max_initial_timestamp_index=20)
+    res = transcribe(params, arch, wav, decode_cfg=cfg, timestamps=True,
+                     word_timestamps=True)
+    assert "segments" in res and "words" in res
+    for w in res["words"]:
+        assert w["end"] >= w["start"] >= 0
