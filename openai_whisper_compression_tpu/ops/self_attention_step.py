@@ -99,7 +99,11 @@ def _kernel_upd(pos_ref, q_ref, k_ref, v_ref, start_ref, kc_ref, vc_ref,
 
     q = q_ref[:].astype(jnp.float32)               # (G, Dh), pre-scaled
     kc = kc_ref[:].astype(jnp.float32)             # (G, S, Dh) stale @ pos
-    scores = jnp.sum(q[:, None, :] * kc, axis=2)   # (G, S)
+    # batched dot_general contractions lower ~30% faster on v5e than the
+    # broadcast-reduce formulation (same finding as ops.cross_attention)
+    scores = jax.lax.dot_general(
+        q[:, None, :], kc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]  # (G, S)
     s_new = jnp.sum(q * k_new, axis=1)             # (G,)
 
     g, s_pad = scores.shape
@@ -116,8 +120,10 @@ def _kernel_upd(pos_ref, q_ref, k_ref, v_ref, start_ref, kc_ref, vc_ref,
     p_pos = jnp.exp(s_new[:, None] - m)            # (G, 1) fresh-row prob
     p = jnp.where(col == pos, 0.0, p)              # stale row contributes 0
     vc = vc_ref[:].astype(jnp.float32)
-    out = (jnp.sum(p[:, :, None] * vc, axis=1)
-           + p_pos * v_new) / l                    # (G, Dh)
+    out = (jax.lax.dot_general(
+        p[:, None, :], vc, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]
+        + p_pos * v_new) / l                       # (G, Dh)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
