@@ -44,7 +44,9 @@ def _core(pos_ref, q_ref, start_ref, kc_ref, vc_ref, ks_ref, vs_ref, o_ref):
     pos = pos_ref[0]
     q = q_ref[:].astype(jnp.float32)               # (G, Dh), pre-scaled
     kc = kc_ref[:].astype(jnp.float32)             # (G, S, Dh)
-    scores = jnp.sum(q[:, None, :] * kc, axis=2)   # (G, S)
+    scores = jax.lax.dot_general(                  # (G, S); batched dot
+        q[:, None, :], kc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]
     if ks_ref is not None:                         # int8 cache: fold k scale
         scores = scores * ks_ref[:, :, 0]
 
@@ -61,7 +63,9 @@ def _core(pos_ref, q_ref, start_ref, kc_ref, vc_ref, ks_ref, vs_ref, o_ref):
     if vs_ref is not None:                         # fold v dequant scale
         p = p * vs_ref[:, :, 0]
     vc = vc_ref[:].astype(jnp.float32)             # (G, S, Dh)
-    out = jnp.sum(p[:, :, None] * vc, axis=1) / l  # (G, Dh)
+    out = jax.lax.dot_general(                     # (G, Dh); batched dot
+        p[:, None, :], vc, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :] / l
     o_ref[:] = out.astype(o_ref.dtype)
 
 
