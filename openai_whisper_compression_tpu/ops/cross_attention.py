@@ -103,12 +103,12 @@ def _unpack4(packed: jax.Array) -> jax.Array:
 def _kernel_int4(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, s_valid: int):
     q = q_ref[:].astype(jnp.float32)               # (G, Dh)
     k = _unpack4(k_ref[:])                         # (G, Dh, S)
-    scores = jnp.sum(q[:, :, None] * k, axis=1)    # (G, S)
+    scores = _dot_scores(q, k)                     # (G, S)
     scores = scores * ks_ref[:, 0, :]
     p, l = _softmax_masked(scores, s_valid)
     p = p * vs_ref[:, 0, :]
     v = _unpack4(v_ref[:])
-    out = jnp.sum(v * (p / l)[:, None, :], axis=2)
+    out = _dot_values(p / l, v)
     o_ref[:] = out.astype(o_ref.dtype)
 
 
