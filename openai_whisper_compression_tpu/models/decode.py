@@ -114,25 +114,29 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
                               "v": vc.reshape(b, h, max_len, dh)})
             o_merged = o_flat.reshape(b, 1, h * dh)
         elif use_sas:
-            # int8 cache: XLA row write, fused attention with in-kernel
-            # dequant (per-position scales)
-            from ..ops.self_attention_step import decode_self_attention
+            # int8 cache: fused in-kernel row quantize + write + attend
+            # (per-position dequant scales folded into the vectors)
+            from ..ops.self_attention_step import (
+                decode_self_attention_update_int8)
 
-            entry = kv_cache.update(cache[i], k, v, pos)
-            new_cache.append(entry)
             dh = arch.head_dim
             bh = b * h
             qf = (q.reshape(bh, dh) * (dh ** -0.5)).astype(q.dtype)
             start_bh = None
             if start is not None:
                 start_bh = jnp.repeat(start, h)
-            o_flat = decode_self_attention(
-                qf,
-                entry["k"].reshape(bh, max_len, dh),
-                entry["v"].reshape(bh, max_len, dh),
-                pos, start=start_bh,
-                k_scale=entry["k_scale"].reshape(bh, max_len, 1),
-                v_scale=entry["v_scale"].reshape(bh, max_len, 1))
+            o_flat, kc, ksc, vc, vsc = decode_self_attention_update_int8(
+                qf, k.reshape(bh, dh), v.reshape(bh, dh),
+                cache[i]["k"].reshape(bh, max_len, dh),
+                cache[i]["v"].reshape(bh, max_len, dh),
+                cache[i]["k_scale"].reshape(bh, max_len, 1),
+                cache[i]["v_scale"].reshape(bh, max_len, 1),
+                pos, start=start_bh)
+            new_cache.append({
+                "k": kc.reshape(b, h, max_len, dh),
+                "v": vc.reshape(b, h, max_len, dh),
+                "k_scale": ksc.reshape(b, h, max_len, 1),
+                "v_scale": vsc.reshape(b, h, max_len, 1)})
             o_merged = o_flat.reshape(b, 1, h * dh)
         else:
             entry = kv_cache.update(cache[i], k, v, pos)

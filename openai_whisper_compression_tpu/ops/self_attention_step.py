@@ -137,6 +137,78 @@ def _kernel_upd_nostart(pos_ref, q_ref, k_ref, v_ref, kc_ref, vc_ref,
                 o_ref, krow_ref, vrow_ref)
 
 
+def _kernel_upd_i8(pos_ref, q_ref, k_ref, v_ref, start_ref,
+                   kc_ref, ks_ref, vc_ref, vs_ref,
+                   o_ref, krow_ref, ksrow_ref, vrow_ref, vsrow_ref):
+    """int8-cache variant of _kernel_upd: quantizes this step's row
+    in-kernel (per-(g,pos) absmax scale), writes int8 row + scale through
+    aliased window blocks, and attends with per-position dequant folded
+    into the score/probability vectors (matching cache.update + read)."""
+    pos = pos_ref[0]
+    k_new = k_ref[:, 0, :].astype(jnp.float32)     # (G, Dh)
+    v_new = v_ref[:, 0, :].astype(jnp.float32)
+    ks_new = jnp.maximum(jnp.max(jnp.abs(k_ref[:].astype(jnp.float32)),
+                                 axis=2, keepdims=True), 1e-12) / 127.0
+    vs_new = jnp.maximum(jnp.max(jnp.abs(v_ref[:].astype(jnp.float32)),
+                                 axis=2, keepdims=True), 1e-12) / 127.0
+    kq_new = jnp.clip(jnp.round(k_ref[:].astype(jnp.float32) / ks_new),
+                      -127, 127)                   # (G, 1, Dh)
+    vq_new = jnp.clip(jnp.round(v_ref[:].astype(jnp.float32) / vs_new),
+                      -127, 127)
+
+    base = pl.multiple_of((pos // 8) * 8, 8)
+    krow_ref[:] = kc_ref[:, pl.ds(base, 8), :]
+    vrow_ref[:] = vc_ref[:, pl.ds(base, 8), :]
+    ksrow_ref[:] = ks_ref[:, pl.ds(base, 8), :]
+    vsrow_ref[:] = vs_ref[:, pl.ds(base, 8), :]
+    for r in range(8):
+        @pl.when(base + r == pos)
+        def _write(r=r):
+            krow_ref[:, r:r + 1, :] = kq_new.astype(krow_ref.dtype)
+            vrow_ref[:, r:r + 1, :] = vq_new.astype(vrow_ref.dtype)
+            ksrow_ref[:, r:r + 1, :] = ks_new.astype(ksrow_ref.dtype)
+            vsrow_ref[:, r:r + 1, :] = vs_new.astype(vsrow_ref.dtype)
+
+    q = q_ref[:].astype(jnp.float32)               # (G, Dh)
+    kc = kc_ref[:].astype(jnp.float32)             # (G, S, Dh) int8 stale
+    scores = jax.lax.dot_general(
+        q[:, None, :], kc, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]  # (G, S)
+    scores = scores * ks_ref[:, :, 0]              # stale per-pos scales
+    # fresh row attends at its quantized-then-dequantized value (XLA parity)
+    s_new = jnp.sum(q * (kq_new[:, 0, :] * ks_new[:, 0, :]), axis=1)
+
+    g, s_pad = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, s_pad), 1)
+    scores = jnp.where(col == pos, s_new[:, None], scores)
+    ok = col <= pos
+    if start_ref is not None:
+        ok = jnp.logical_and(ok, col >= start_ref[:])
+    scores = jnp.where(ok, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p_pos = jnp.exp(s_new[:, None] - m)            # (G, 1)
+    p = jnp.where(col == pos, 0.0, p)
+    p = p * vs_ref[:, :, 0]                        # fold stale v scales
+    vc = vc_ref[:].astype(jnp.float32)
+    v_deq_new = vq_new[:, 0, :] * vs_new[:, 0, :]
+    out = (jax.lax.dot_general(
+        p[:, None, :], vc, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]
+        + p_pos * v_deq_new) / l
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _kernel_upd_i8_nostart(pos_ref, q_ref, k_ref, v_ref,
+                           kc_ref, ks_ref, vc_ref, vs_ref,
+                           o_ref, krow_ref, ksrow_ref, vrow_ref, vsrow_ref):
+    _kernel_upd_i8(pos_ref, q_ref, k_ref, v_ref, None,
+                   kc_ref, ks_ref, vc_ref, vs_ref,
+                   o_ref, krow_ref, ksrow_ref, vrow_ref, vsrow_ref)
+
+
 @functools.partial(jax.jit, static_argnames=("block_g",),
                    donate_argnums=(3, 4))
 def decode_self_attention_update(q: jax.Array, k_new: jax.Array,
@@ -284,3 +356,77 @@ def decode_self_attention(q: jax.Array,
             transcendentals=bh * s),
         interpret=_interpret(),
     )(pos_arr, *operands)
+
+
+@functools.partial(jax.jit, static_argnames=("block_g",),
+                   donate_argnums=(3, 4, 5, 6))
+def decode_self_attention_update_int8(q: jax.Array, k_new: jax.Array,
+                                      v_new: jax.Array,
+                                      k_cache: jax.Array, v_cache: jax.Array,
+                                      k_scale: jax.Array, v_scale: jax.Array,
+                                      pos: jax.Array,
+                                      start: jax.Array | None = None,
+                                      block_g: int = 256):
+    """int8-cache fused row-quantize + update + attend (see _kernel_upd_i8).
+
+    k_cache/v_cache: (BH, S, Dh) int8; k_scale/v_scale: (BH, S, 1) f32
+    per-position absmax scales — all four donated/aliased.
+    Returns (out (BH, Dh), k_cache', v_cache', k_scale', v_scale')."""
+    bh, dh = q.shape
+    s = k_cache.shape[1]
+    g = block_g
+    # int8 blocks + f32 working copies + the (g, s, 1) f32 scale blocks,
+    # whose unit lane dim tiles to 128 lanes (the dominant scoped-vmem cost)
+    while g > 8 and g * s * dh * 48 > 10 * 1024 * 1024:
+        g //= 2
+    while bh % g:
+        g //= 2
+
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    row = pl.BlockSpec((g, dh), lambda i, sp: (i, 0), memory_space=pltpu.VMEM)
+    row3 = pl.BlockSpec((g, 1, dh), lambda i, sp: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    cache = pl.BlockSpec((g, s, dh), lambda i, sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    scale = pl.BlockSpec((g, s, 1), lambda i, sp: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cache_row = pl.BlockSpec((g, 8, dh), lambda i, sp: (i, sp[0] // 8, 0),
+                             memory_space=pltpu.VMEM)
+    scale_row = pl.BlockSpec((g, 8, 1), lambda i, sp: (i, sp[0] // 8, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [row, row3, row3]
+    operands = [q, k_new.reshape(bh, 1, dh), v_new.reshape(bh, 1, dh)]
+    kernel = _kernel_upd_i8_nostart
+    if start is not None:
+        in_specs.append(pl.BlockSpec((g, 1), lambda i, sp: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(start.astype(jnp.int32).reshape(bh, 1))
+        kernel = _kernel_upd_i8
+    in_specs += [cache, scale, cache, scale]
+    operands += [k_cache, k_scale.astype(jnp.float32),
+                 v_cache, v_scale.astype(jnp.float32)]
+    n_in = len(operands)  # +1 scalar-prefetch arg at index 0
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh // g,),
+            in_specs=in_specs,
+            out_specs=(row, cache_row, scale_row, cache_row, scale_row),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((bh, dh), q.dtype),
+                   jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                   jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
+                   jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+                   jax.ShapeDtypeStruct(v_scale.shape, jnp.float32)),
+        # aliases count the scalar-prefetch arg: kc, ks, vc, vs -> outs 1..4
+        input_output_aliases={n_in - 3: 1, n_in - 2: 2,
+                              n_in - 1: 3, n_in: 4},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s * dh,
+            bytes_accessed=2 * bh * s * dh,
+            transcendentals=bh * s),
+        interpret=_interpret(),
+    )(pos_arr, *operands)
+    return out
