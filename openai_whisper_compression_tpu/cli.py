@@ -249,12 +249,21 @@ def cmd_transcribe(args):
         from .config import ARCHS
         from .evaluation.harness import (make_speculative_transcribe_fn,
                                          samples_for_arch)
-        from .evaluation.tokenizer import WordTokenizer
+        from .evaluation.tokenizer import WordTokenizer, load_tokenizer
         from .models import params as P
         from .models.decode import forced_prefix
 
-        arch_d = ARCHS[args.draft_model]
-        params_d = P.init_params(arch_d, jax.random.PRNGKey(args.seed))
+        if getattr(args, "hf", None):
+            # target came from an HF checkpoint -> the draft must too, or
+            # acceptance is ~0% and speculation is strictly slower (ADVICE r1)
+            from .models.convert import load_hf_model
+
+            params_d, arch_d = load_hf_model(
+                f"openai/whisper-{args.draft_model}",
+                dtype=jnp.dtype(args.dtype))
+        else:
+            arch_d = ARCHS[args.draft_model]
+            params_d = P.init_params(arch_d, jax.random.PRNGKey(args.seed))
         cfg = _decode_cfg(args, arch)
         fn = make_speculative_transcribe_fn(arch, arch_d, cfg,
                                             gamma=args.gamma)
@@ -265,9 +274,10 @@ def cmd_transcribe(args):
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
         ids = tokens[0, len(forced_prefix(arch, cfg)): lengths[0]]
         ids = ids[ids != arch.eos_token_id]
-        tok = WordTokenizer(arch.vocab_size,
-                            special_start=min(arch.eos_token_id,
-                                              arch.decoder_start_token_id))
+        tok = (load_tokenizer(f"openai/whisper-{arch.name}")
+               or WordTokenizer(arch.vocab_size,
+                                special_start=min(arch.eos_token_id,
+                                                  arch.decoder_start_token_id)))
         res = {"text": tok.decode(ids.tolist()), "tokens": ids.tolist()}
         print(res["text"])
     else:

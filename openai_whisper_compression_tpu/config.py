@@ -115,8 +115,9 @@ class DecodeConfig:
     # the kernel — 2.2x faster per step than the XLA path on v5e.
     cross_pallas: bool = True
     # fused Pallas decode self-attention over the KV cache (replaces ~20
-    # small XLA ops per layer per step; ops.self_attention_step). Applies to
-    # fp caches; the int8 KV cache falls back to the XLA path.
+    # small XLA ops per layer per step; ops.self_attention_step). Both fp
+    # and int8 KV caches use fused Pallas kernels on TPU (the int8 path via
+    # decode_self_attention_update_int8).
     self_pallas: bool = True
     # OpenAI timestamp decoding rules (active when notimestamps=False and the
     # vocab has timestamp tokens): timestamps open every segment, appear in

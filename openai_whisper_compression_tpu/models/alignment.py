@@ -182,16 +182,20 @@ def word_timestamps(tokenizer, tokens: Sequence[int],
     """Group per-token times into words.
 
     A token starting a new word is one whose decoded text begins with a
-    space (or the first text token). Special tokens (id >= threshold,
-    default: EOT-range ids >= 50257 clipped to vocab) are skipped.
+    space (or the first text token). Special tokens (id >= threshold) are
+    skipped; when `special_threshold` is None it defaults to the
+    tokenizer's `special_start` (WordTokenizer) or 50257 (the EOT id, start
+    of the special range in every real Whisper vocab).
 
     Returns [{"word", "start", "end"}] with times offset by `offset` s.
     """
+    if special_threshold is None:
+        special_threshold = getattr(tokenizer, "special_start", 50257)
     words: list[dict] = []
     cur = ""
     cur_start = cur_end = None
     for tok, (t0, t1) in zip(tokens, np.asarray(token_times)):
-        if special_threshold is not None and tok >= special_threshold:
+        if tok >= special_threshold:
             continue
         piece = tokenizer.decode([int(tok)])
         if not piece:

@@ -593,9 +593,12 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
 # Multilingual Whisper language tokens occupy the contiguous id range
 # [<|startoftranscript|>+1, <|translate|>): 99 languages for v2, 100 for
 # large-v3. Derived from the arch's special ids so test vocabs work too.
+# The 5 ids between <|translate|> and <|notimestamps|> are always
+# translate, transcribe, startoflm, startofprev, nospeech — so
+# <|translate|> = no_timestamps - 5 for every multilingual vocab.
 def _language_token_range(arch: WhisperArch) -> tuple[int, int]:
     lo = arch.decoder_start_token_id + 1
-    hi = min(arch.no_timestamps_token_id - 4, arch.vocab_size)  # < task ids
+    hi = min(arch.no_timestamps_token_id - 5, arch.vocab_size)  # < task ids
     if hi <= lo:
         raise ValueError(f"vocab of {arch.name} has no language-token range")
     return lo, hi

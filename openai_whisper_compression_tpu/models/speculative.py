@@ -111,6 +111,15 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
     Returns (tokens (B, max_len), lengths (B,), rounds scalar) — tokens and
     lengths are exactly what `greedy_decode(params_t, ...)` would produce;
     `rounds` counts target passes (≈ decode steps saved vs. sequential).
+
+    Bit-exactness caveat (length cap): the draft needs `gamma + 1` position
+    slots of headroom, so when the cache length clamps to
+    `arch_t.max_target_positions` this loop stops at
+    `max_len - gamma - 1` while greedy runs to `max_len - 1` — transcripts
+    that would fill the position window to the brim are truncated by up to
+    `gamma + 1` tokens. Exactness is guaranteed whenever every sequence
+    emits EOT before `max_new_tokens - gamma - 1` generated tokens (always
+    the case for real speech with the default 448-token window).
     """
     cfg = cfg or DecodeConfig()
     if cfg.beam_size > 1:

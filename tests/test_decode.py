@@ -230,4 +230,7 @@ def test_detect_language(hf_pair, mel):
 
     real = ARCHS["tiny"]
     lo2, hi2 = _language_token_range(real)
-    assert lo2 == 50259 and hi2 <= real.no_timestamps_token_id
+    # 99 languages for the v2-style vocab: [50259, 50358) with
+    # <|translate|>=50358 excluded (ADVICE r1: -4 wrongly included it)
+    assert lo2 == 50259 and hi2 == 50358
+    assert hi2 - lo2 == 99
