@@ -186,19 +186,13 @@ def main() -> None:
 
     hbm = device_memory_stats().get("hbm_peak_mb", 0.0)
     if not hbm:  # axon reports no memory stats: analytic steady-state model
-        mb = 1.0 / 2 ** 20
-        d = arch.d_model
-        ckv_bytes = 1 if cfg.cross_kv_int8 or cfg.cross_kv_int4 else 2
-        if cfg.cross_kv_int4:
-            ckv_bytes = 0.5
-        s_pad = -(-arch.max_source_positions // 128) * 128
-        hbm = (P.size_in_mb(params)
-               + args.batch * 480_000 * 4 * mb                      # audio
-               + args.batch * arch.max_source_positions * d * 2 * mb  # enc
-               + 2 * arch.decoder_layers * args.batch * d * s_pad
-               * ckv_bytes * mb                                     # cross-KV
-               + 2 * arch.decoder_layers * args.batch * max(args.beam, 1)
-               * d * 64 * (1 if cfg.kv_int8 else 2) * mb)           # self-KV
+        from openai_whisper_compression_tpu.evaluation.memory import analytic_hbm_mb
+
+        ckv_bytes = (0.5 if cfg.cross_kv_int4
+                     else 1.0 if cfg.cross_kv_int8 else 2.0)
+        hbm = analytic_hbm_mb(params, arch, args.batch,
+                              beam=max(args.beam, 1), kv_int8=cfg.kv_int8,
+                              cross_kv_bytes=ckv_bytes, cache_len=64)
     print(f"# wall_per_batch={wall * 1e3:.1f}ms times={[f'{t*1e3:.0f}' for t in times]} "
           f"peak_hbm={hbm:.0f}MB (analytic when platform reports none)",
           file=sys.stderr)

@@ -33,8 +33,10 @@ def load_librispeech(num_samples: int | None = None,
     try:
         from datasets import load_dataset
 
-        stream = load_dataset("librispeech_asr", split=split.replace(".", "_"),
-                              streaming=True)
+        # split names are verbatim HF librispeech_asr splits ("test.clean",
+        # "test.other"), exactly as the reference passes them
+        stream = load_dataset("librispeech_asr", split=split, streaming=True,
+                              trust_remote_code=True)
         if num_samples:
             stream = stream.take(num_samples)
         out = []
