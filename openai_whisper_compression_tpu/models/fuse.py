@@ -17,7 +17,10 @@ import jax.numpy as jnp
 
 from ..ops.qtensor import QTensor
 
-FUSABLE_KINDS = ("int8_pc", "int4_pack", "int2_pack", "fp8", "group_asym")
+# every 2-D kind now keeps N as the data/scale last axis (nf4/fp4 moved to
+# column-K blockwise layout), so all weight-only kinds concat along N
+FUSABLE_KINDS = ("int8_pc", "int4_pack", "int2_pack", "fp8", "group_asym",
+                 "nf4", "fp4")
 
 
 def _concat_qtensors(tensors: list[QTensor]) -> QTensor | None:
@@ -25,15 +28,18 @@ def _concat_qtensors(tensors: list[QTensor]) -> QTensor | None:
     if len(kinds) != 1 or tensors[0].kind not in FUSABLE_KINDS:
         return None
     t0 = tensors[0]
-    data = jnp.concatenate([t.data for t in tensors], axis=1)
-    scale = jnp.concatenate([t.scale for t in tensors], axis=1)
-    zero = None
-    if t0.zero is not None:
-        zero = jnp.concatenate([t.zero for t in tensors], axis=1)
+
+    def cat(field):
+        vals = [getattr(t, field) for t in tensors]
+        if any(v is None for v in vals):
+            return None
+        return jnp.concatenate(vals, axis=1)
+
     k = t0.shape[0]
     n = sum(t.shape[1] for t in tensors)
-    return dataclasses.replace(t0, data=data, scale=scale, zero=zero,
-                               shape=(k, n))
+    return dataclasses.replace(t0, data=cat("data"), scale=cat("scale"),
+                               zero=cat("zero"), scale2=cat("scale2"),
+                               offset2=cat("offset2"), shape=(k, n))
 
 
 def _fuse_attn(attn: dict) -> dict | None:

@@ -50,10 +50,9 @@ def _out_width(w) -> int:
     """Output width of a weight leaf. For QTensors this comes from the DATA
     array, not the static `shape` metadata: inside shard_map the data ref is
     the local shard while `shape` stays global (N is the data's last axis
-    for every 2-D packed kind; flat blockwise kinds are never sharded)."""
+    for every 2-D kind, nf4/fp4 included since the column-K blockwise
+    layout)."""
     if isinstance(w, QTensor):
-        if w.kind in ("nf4", "fp4"):
-            return w.shape[1]
         return w.data.shape[1]
     return w.shape[-1]
 

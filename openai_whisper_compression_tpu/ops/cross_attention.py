@@ -86,29 +86,42 @@ def _kernel_int8(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, s_valid: int):
     o_ref[:] = out.astype(o_ref.dtype)
 
 
-def _unpack4(packed: jax.Array) -> jax.Array:
-    """(G, Dh/2, S) split-half packed int4 -> (G, Dh, S) f32.
+def _nibbles4(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(G, Dh/2, S) split-half packed int4 -> (lo, hi) halves, each
+    (G, Dh/2, S) f32. Byte row d holds element d (low nibble) and
+    d + Dh/2 (high nibble) — the split-half scheme of ops.quant_matmul.
 
-    Byte row d holds element d (low nibble) and d + Dh/2 (high nibble), so
-    concat along the Dh axis restores natural order (the split-half scheme
-    of ops.quant_matmul)."""
-    u = packed.astype(jnp.int32) & 0xFF
-    lo = u & 0xF
-    hi = (u >> 4) & 0xF
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    return jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)
+    Sign extension via shift pairs only (the int8 bytes arrive
+    sign-extended into int32, so `>> 4` is already the signed high nibble
+    and `<< 28 >> 28` the signed low one) — measured cheaper on the VPU
+    than the mask+compare+where chain this replaces (r1 used 6 ops/byte +
+    a full (G, Dh, S) concat materialization)."""
+    u = packed.astype(jnp.int32)
+    lo = ((u << 28) >> 28).astype(jnp.float32)
+    hi = (u >> 4).astype(jnp.float32)
+    return lo, hi
+
+
+def _unpack4(packed: jax.Array) -> jax.Array:
+    """(G, Dh/2, S) packed int4 -> (G, Dh, S) f32 (beam path)."""
+    lo, hi = _nibbles4(packed)
+    return jnp.concatenate([lo, hi], axis=1)
 
 
 def _kernel_int4(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, s_valid: int):
+    # Split-dot form: score/value contractions run per nibble-half and sum/
+    # concat, so the (G, Dh, S) unpacked tensor is never materialized —
+    # only the (G, S) score vectors and (G, Dh/2) value partials.
     q = q_ref[:].astype(jnp.float32)               # (G, Dh)
-    k = _unpack4(k_ref[:])                         # (G, Dh, S)
-    scores = _dot_scores(q, k)                     # (G, S)
+    dh2 = k_ref.shape[1]
+    k_lo, k_hi = _nibbles4(k_ref[:])               # (G, Dh/2, S) each
+    scores = _dot_scores(q[:, :dh2], k_lo) + _dot_scores(q[:, dh2:], k_hi)
     scores = scores * ks_ref[:, 0, :]
     p, l = _softmax_masked(scores, s_valid)
-    p = p * vs_ref[:, 0, :]
-    v = _unpack4(v_ref[:])
-    out = _dot_values(p / l, v)
+    p = (p / l) * vs_ref[:, 0, :]
+    v_lo, v_hi = _nibbles4(v_ref[:])
+    out = jnp.concatenate([_dot_values(p, v_lo), _dot_values(p, v_hi)],
+                          axis=1)                  # (G, Dh)
     o_ref[:] = out.astype(o_ref.dtype)
 
 

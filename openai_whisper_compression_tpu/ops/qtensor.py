@@ -53,13 +53,16 @@ class QTensor:
         data:(K//2,N) int8 (low nibble = even k, high nibble = odd k),
         scale:(1,N).
       - "int2_pack": per-channel symmetric int2 packed 4/byte along K.
-      - "nf4" / "fp4": blockwise codebook 4-bit. data:(K*N//2,) uint8 packed
-        over the flattened (K,N) order, scale: per-block absmax
-        (num_blocks,). With double-quant, scale is itself int8 with
-        scale2/offset2 second-level params.
+      - "nf4" / "fp4": blockwise codebook 4-bit. Blocks run along K per
+        output column (kernel-friendly: the contraction axis), packed
+        split-half like int4_pack. data:(K//2,N) int8 nibble-packed
+        codebook indices, scale:(K//G,N) per-block absmax. With
+        double-quant, scale is int8 and scale2/offset2 hold the
+        elementwise-expanded second-level scale/offset (same shape).
       - "group_asym": group-wise asymmetric int (HQQ-style, reference
-        `model_utils.py:52-73`). data:(K,N) int8 storing b-bit values,
-        scale/zero:(K//G, N).
+        `model_utils.py:52-73`). scale/zero:(K//G, N). data:(K,N) uint8
+        for bits == 8; for bits <= 4 the values nibble-pack split-half
+        along K into (K//2, N) int8 (3-bit values occupy a nibble).
       - "fp8": float8_e4m3 weights with per-channel scale.
     """
 
@@ -106,15 +109,17 @@ def dequantize(q: QTensor, dtype=jnp.float32) -> jax.Array:
     elif q.kind in ("int4_pack", "int2_pack"):
         w = unpack_int_sub8(q.data, q.bits, k).astype(dtype) * q.scale.astype(dtype)
     elif q.kind in ("nf4", "fp4"):
-        code = jnp.asarray(NF4_CODE if q.kind == "nf4" else FP4_CODE, dtype)
-        idx = unpack_nibbles_flat(q.data)  # (K*N,) int32 in [0,16)
-        vals = code[idx]
-        scale = _effective_block_scale(q, dtype)  # (num_blocks,)
-        vals = vals.reshape(-1, q.block_size) * scale[:, None]
-        w = vals.reshape(k, n)
+        code = NF4_CODE if q.kind == "nf4" else FP4_CODE
+        idx = unpack_int_sub8(q.data, 4, k, signed=False)  # (K, N) in [0,16)
+        vals = codebook_select(idx, code).astype(dtype)
+        g = q.block_size
+        scale = _effective_block_scale(q, dtype)           # (K//G, N)
+        w = (vals.reshape(k // g, g, n) * scale[:, None, :]).reshape(k, n)
     elif q.kind == "group_asym":
         g = q.block_size
-        w = q.data.astype(dtype).reshape(k // g, g, n)
+        vals = (q.data.astype(dtype) if q.data.shape[0] == k
+                else unpack_int_sub8(q.data, 4, k, signed=False).astype(dtype))
+        w = vals.reshape(k // g, g, n)
         w = (w - q.zero.astype(dtype)[:, None, :]) * q.scale.astype(dtype)[:, None, :]
         w = w.reshape(k, n)
     elif q.kind == "fp8":
@@ -132,6 +137,26 @@ def _effective_block_scale(q: QTensor, dtype) -> jax.Array:
     return scale.astype(dtype)
 
 
+def codebook_select(idx: jax.Array, code: tuple[float, ...] | jax.Array,
+                    dtype=jnp.float32) -> jax.Array:
+    """16-way codebook lookup as a binary select tree.
+
+    `code[idx]` lowers to a gather, which TPUs execute element-by-element;
+    lane-wide selects stay on the VPU's full width (and Mosaic has no
+    gather at all, so the Pallas kernels share this). The bit-tree form
+    costs 4 bit-tests + 15 selects = 19 full-width ops vs the naive
+    equality chain's 15 compares + 15 selects = 30."""
+    code = tuple(float(c) for c in code)
+    assert len(code) == 16
+    bits = [(idx & (1 << b)) != 0 for b in range(4)]
+    lvl = [jnp.where(bits[0], jnp.asarray(code[2 * i + 1], dtype),
+                     jnp.asarray(code[2 * i], dtype)) for i in range(8)]
+    for b in (1, 2, 3):
+        lvl = [jnp.where(bits[b], lvl[2 * i + 1], lvl[2 * i])
+               for i in range(len(lvl) // 2)]
+    return lvl[0]
+
+
 def pack_int_sub8(w_int: jax.Array, bits: int) -> jax.Array:
     """Pack sub-byte signed ints along axis 0 into int8, **split-half layout**:
     byte[k] holds w[k], w[k + K/p], w[k + 2K/p], ... in its bit groups
@@ -147,8 +172,10 @@ def pack_int_sub8(w_int: jax.Array, bits: int) -> jax.Array:
     return packed.astype(jnp.uint8).view(jnp.int8)
 
 
-def unpack_int_sub8(packed: jax.Array, bits: int, k: int) -> jax.Array:
-    """Inverse of pack_int_sub8 → (K, N) int32 with sign extension."""
+def unpack_int_sub8(packed: jax.Array, bits: int, k: int,
+                    signed: bool = True) -> jax.Array:
+    """Inverse of pack_int_sub8 → (K, N) int32, sign-extended when signed
+    (codebook indices / asymmetric values unpack unsigned)."""
     per = 8 // bits
     u = packed.view(jnp.uint8).astype(jnp.int32)  # (K//per, N)
     mask = (1 << bits) - 1
@@ -156,17 +183,7 @@ def unpack_int_sub8(packed: jax.Array, bits: int, k: int) -> jax.Array:
     parts = []
     for j in range(per):
         vals = (u >> (bits * j)) & mask
-        parts.append(jnp.where(vals >= sign_bit, vals - (1 << bits), vals))
+        if signed:
+            vals = jnp.where(vals >= sign_bit, vals - (1 << bits), vals)
+        parts.append(vals)
     return jnp.concatenate(parts, axis=0)
-
-
-def pack_nibbles_flat(idx: jax.Array) -> jax.Array:
-    """Pack a flat (M,) array of 4-bit indices into (M//2,) uint8."""
-    idx = idx.astype(jnp.uint32).reshape(-1, 2)
-    return (idx[:, 0] | (idx[:, 1] << 4)).astype(jnp.uint8)
-
-
-def unpack_nibbles_flat(packed: jax.Array) -> jax.Array:
-    """Inverse of pack_nibbles_flat → (M,) int32 in [0, 16)."""
-    u = packed.astype(jnp.int32)
-    return jnp.stack([u & 0xF, (u >> 4) & 0xF], axis=1).reshape(-1)

@@ -97,7 +97,8 @@ def param_specs(params: dict) -> dict:
 def _shard_qtensor(q, spec: P, mesh: Mesh):
     """Shard a QTensor's fields consistently with the dense weight's spec
     (data follows the logical (K, N) layout; per-channel scales follow N;
-    group scales follow (K/G, N); flat blockwise codebook formats replicate)."""
+    group scales/zeros — incl. nf4/fp4 block scales, column-K layout —
+    follow (K/G, N))."""
     import dataclasses
 
     def put(x, s):
@@ -105,19 +106,17 @@ def _shard_qtensor(q, spec: P, mesh: Mesh):
 
     parts = tuple(spec) + (None, None)
     k_ax, n_ax = parts[0], parts[1]
+    data = put(q.data, P(k_ax, n_ax))
     if q.kind in ("int8_pc", "fp8", "int4_pack", "int2_pack"):
-        data = put(q.data, P(k_ax, n_ax))
         scale = put(q.scale, P(None, n_ax))
-    elif q.kind == "group_asym":
-        data = put(q.data, P(k_ax, n_ax))
+        grp = P()
+    else:  # group_asym / nf4 / fp4: per-group params along (K/G, N)
         scale = put(q.scale, P(k_ax, n_ax))
-    else:  # nf4/fp4 flat blockwise: replicate
-        data = put(q.data, P())
-        scale = put(q.scale, P())
+        grp = P(k_ax, n_ax)
     return dataclasses.replace(
         q, data=data, scale=scale,
-        zero=put(q.zero, P(k_ax, n_ax) if q.kind == "group_asym" else P()),
-        scale2=put(q.scale2, P()), offset2=put(q.offset2, P()),
+        zero=put(q.zero, grp),
+        scale2=put(q.scale2, grp), offset2=put(q.offset2, grp),
         act_scale=put(q.act_scale, P()))
 
 

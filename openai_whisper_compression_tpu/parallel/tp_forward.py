@@ -75,6 +75,14 @@ def _encode_local(params: Any, mel: jax.Array, arch: WhisperArch,
 SUB_BYTE = ("int4_pack", "int2_pack", "nf4", "fp4")
 
 
+def _packed_along_k(leaf: QTensor) -> bool:
+    """True when the data array packs sub-byte values split-half along K
+    (int4/int2/nf4/fp4 always; group_asym when bits <= 4)."""
+    return (leaf.kind in SUB_BYTE
+            or (leaf.kind == "group_asym"
+                and leaf.data.shape[0] != leaf.in_dim))
+
+
 def tp_compatible(params: Any, mesh: Mesh) -> Any:
     """Convert QTensors whose packed layout can't shard under TP into dense
     leaves: sub-byte kinds pack along K (split-half), so ROW-parallel weights
@@ -86,7 +94,7 @@ def tp_compatible(params: Any, mesh: Mesh) -> Any:
     specs = mesh_lib.param_specs(params)
 
     def fix(leaf, spec):
-        if isinstance(leaf, QTensor) and leaf.kind in SUB_BYTE:
+        if isinstance(leaf, QTensor) and _packed_along_k(leaf):
             parts = tuple(spec) + (None, None)
             if parts[0] is not None:  # row-parallel -> dense
                 return dequantize(leaf, jnp.float32)
@@ -109,15 +117,13 @@ def _spec_tree(params: Any, mesh: Mesh):
             k_ax, n_ax = parts[0], parts[1]
             if leaf.kind in ("int8_pc", "fp8", "int4_pack", "int2_pack"):
                 d_spec, s_spec = P(k_ax, n_ax), P(None, n_ax)
-            elif leaf.kind == "group_asym":
+            else:  # group_asym / nf4 / fp4: per-group params (K/G, N)
                 d_spec, s_spec = P(k_ax, n_ax), P(k_ax, n_ax)
-            else:
-                d_spec, s_spec = P(), P()
             return dataclasses.replace(
                 leaf, data=d_spec, scale=s_spec,
                 zero=None if leaf.zero is None else s_spec,
-                scale2=None if leaf.scale2 is None else P(),
-                offset2=None if leaf.offset2 is None else P(),
+                scale2=None if leaf.scale2 is None else s_spec,
+                offset2=None if leaf.offset2 is None else s_spec,
                 act_scale=None if leaf.act_scale is None else P())
         return spec
 

