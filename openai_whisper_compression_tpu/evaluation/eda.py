@@ -90,3 +90,22 @@ def plot_sample(utt: Utterance, save_dir: str,
     fig.savefig(path, dpi=110)
     plt.close(fig)
     return [path]
+
+
+def export_sample(utt: Utterance, save_dir: str) -> str:
+    """Headless stand-in for the reference's notebook audio playback
+    (`play_sample`, `openai_whisper_compression/data.py:158-175`, which
+    uses IPython.display.Audio): writes the utterance as a 16-bit PCM WAV
+    next to the EDA plots so it can be listened to off-box."""
+    import wave
+
+    os.makedirs(save_dir, exist_ok=True)
+    path = os.path.join(save_dir, f"sample_{utt.uid}.wav")
+    pcm = np.clip(np.asarray(utt.audio, np.float32), -1.0, 1.0)
+    pcm16 = (pcm * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(SAMPLE_RATE)
+        f.writeframes(pcm16.tobytes())
+    return path

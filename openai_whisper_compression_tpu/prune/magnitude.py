@@ -170,11 +170,49 @@ def _progressive_rows(pos: jax.Array, max_amount: jax.Array) -> jax.Array:
 def prune_positional_progressive(params: Any, max_amount: float = 0.5) -> Any:
     """Position-dependent pruning of the learned decoder positions: later
     (rarely used) positions pruned harder, ramping linearly from 0 to
-    `max_amount` (≈ position-dependent embedding pruning,
-    `experimental_pruning.py:1100-1186`)."""
+    `max_amount` (TPU-design variant of position-dependent embedding
+    pruning, `experimental_pruning.py:1100-1186`)."""
     out = _copy_tree(params)
     out["decoder"]["pos"] = _progressive_rows(
         params["decoder"]["pos"], jnp.asarray(max_amount, jnp.float32))
+    return out
+
+
+@jax.jit
+def _position_rate_rows(pos: jax.Array, early: jax.Array,
+                        late: jax.Array) -> jax.Array:
+    """Per-row magnitude pruning at a position-dependent rate: first third of
+    positions at `early`, last third at `late`, linear interpolation in the
+    middle third (exact reference schedule,
+    `experimental_pruning.py:1139-1161`)."""
+    t, d = pos.shape
+    lo, hi = t // 3, 2 * t // 3
+    idx = jnp.arange(t)
+    frac = jnp.clip((idx - lo) / jnp.maximum(hi - lo, 1), 0.0, 1.0)
+    rates = jnp.where(idx < lo, early,
+                      jnp.where(idx >= hi, late, early + frac * (late - early)))
+    mags = jnp.abs(pos.astype(jnp.float32))
+    sorted_mags = jnp.sort(mags, axis=1)
+    k = jnp.clip(jnp.round(rates * d).astype(jnp.int32), 0, d - 1)
+    thresh = jnp.take_along_axis(sorted_mags, k[:, None], axis=1)
+    keep = jnp.logical_or(mags > thresh, (k == 0)[:, None])
+    return jnp.where(keep, pos, 0).astype(pos.dtype)
+
+
+def prune_positional_position_dependent(params: Any, early: float = 0.4,
+                                        late: float = 0.2) -> Any:
+    """Reference-parity position-dependent embedding pruning
+    (`custom_position_based_pruning`, `experimental_pruning.py:1100-1186`):
+    EARLY positions pruned harder (`early`), late positions lighter
+    (`late`), linear ramp across the middle third. Applied to every
+    positional table (the reference hits every `embed_positions` module —
+    encoder sinusoids included, since HF stores them as a weight)."""
+    out = _copy_tree(params)
+    e = jnp.asarray(early, jnp.float32)
+    la = jnp.asarray(late, jnp.float32)
+    for comp in ("encoder", "decoder"):
+        if "pos" in out[comp]:
+            out[comp]["pos"] = _position_rate_rows(params[comp]["pos"], e, la)
     return out
 
 

@@ -124,9 +124,20 @@ REGISTRY: dict[str, QuantConfig] = {c.name: c for c in [
     QuantConfig("hqq_int3", "hqq_int3"),
     QuantConfig("hqq_int4", "hqq_int4"),
     QuantConfig("hqq_int8", "hqq_int8"),
+    # static {int4,int8,float8} weights x {int8,float8} activations — the
+    # full 6-combo static matrix (`static_quantization.py:75-107`,
+    # `pruning_quantization_all.py:1401-1437`)
     QuantConfig("static_int8_act_int8", "int8", act="static_int8",
                 needs_calibration=True),
     QuantConfig("static_int4_act_int8", "int4", act="static_int8",
+                needs_calibration=True),
+    QuantConfig("static_int8_act_fp8", "int8", act="static_fp8",
+                needs_calibration=True),
+    QuantConfig("static_int4_act_fp8", "int4", act="static_fp8",
+                needs_calibration=True),
+    QuantConfig("static_fp8_act_int8", "fp8", act="static_int8",
+                needs_calibration=True),
+    QuantConfig("static_fp8_act_fp8", "fp8", act="static_fp8",
                 needs_calibration=True),
     QuantConfig("static_fp8", "fp8"),
     # reference `evaluation_dynamic.py:177-247` bnb matrix

@@ -52,16 +52,18 @@ def calibration():
 
 def freeze(params: Any, store: dict[int, float]) -> Any:
     """Write observed activation scales into each calibrated QTensor
-    (absmax/127 for int8 activations). QTensors never observed (e.g. a layer
-    that didn't run) keep dynamic behavior."""
+    (absmax/127 for int8 activations, absmax/448 for fp8 e4m3). QTensors
+    never observed (e.g. a layer that didn't run) keep dynamic behavior."""
     def fz(leaf):
-        if isinstance(leaf, QTensor) and leaf.act == "static_int8":
+        if isinstance(leaf, QTensor) and leaf.act in ("static_int8",
+                                                      "static_fp8"):
             amax = store.get(id(leaf))
             if amax is not None and amax > 0:
                 import dataclasses
 
+                div = 127.0 if leaf.act == "static_int8" else 448.0
                 return dataclasses.replace(
-                    leaf, act_scale=jnp.asarray(amax / 127.0, jnp.float32))
+                    leaf, act_scale=jnp.asarray(amax / div, jnp.float32))
         return leaf
 
     return jax.tree.map(fz, params, is_leaf=lambda x: isinstance(x, QTensor))

@@ -30,7 +30,9 @@ def quant_sweep() -> list[dict]:
     names = ["baseline_fp32", "baseline_bf16", "fp16", "pytorch_dynamic_int8",
              "quanto_int2", "quanto_int4", "quanto_int8",
              "hqq_int3", "hqq_int4", "hqq_int8",
-             "static_int8_act_int8", "static_int4_act_int8", "static_fp8",
+             "static_int8_act_int8", "static_int4_act_int8",
+             "static_int8_act_fp8", "static_int4_act_fp8",
+             "static_fp8_act_int8", "static_fp8_act_fp8", "static_fp8",
              "bnb_fp4", "bnb_fp4_double_quant", "bnb_nf4",
              "bnb_nf4_double_quant", "bnb_nf4_bf16_compute"]
     return [{"name": n, "apply": _q(n),
@@ -53,10 +55,57 @@ def random_pruning_sweep(amounts=(0.1, 0.3, 0.5, 0.7, 0.9)) -> list[dict]:
             for a in amounts]
 
 
+def _progressive_layerwise(p, arch):
+    """10% early / 20% mid / 40% late layers, encoder and decoder
+    (`experimental_pruning.py:2487-2493` progressive_layerwise)."""
+    for comp, n_layers in (("encoder", arch.encoder_layers),
+                           ("decoder", arch.decoder_layers)):
+        lo, hi = n_layers // 3, 2 * n_layers // 3
+        for amount, sel in ((0.1, range(0, lo)), (0.2, range(lo, hi)),
+                            (0.4, range(hi, n_layers))):
+            if sel:
+                p = magnitude.prune_per_module_l1(
+                    p, amount, name_filter=targeted.layers_of(comp, set(sel)))
+    return p
+
+
+def _attention_vs_ffn(p, arch, attn_amount=0.1, ffn_amount=0.4):
+    """Lighter attention / heavier FFN ratio (`experimental_pruning.py:506`,
+    attention_vs_ffn config :2513-2520)."""
+    attn = targeted.union(targeted.self_attn_encoder,
+                          targeted.self_attn_decoder,
+                          targeted.cross_attn_decoder)
+    p = magnitude.prune_per_module_l1(p, attn_amount, name_filter=attn)
+    return magnitude.prune_per_module_l1(
+        p, ffn_amount,
+        name_filter=targeted.union(targeted.ffn_encoder, targeted.ffn_decoder))
+
+
+def _multi_level(p, arch, head_amount=0.4, mlp_amount=0.4):
+    """Heads in encoder + MLP weights in decoder
+    (`custom_multi_level_pruning`, `experimental_pruning.py:1187-1333`)."""
+    p = structured.prune_heads_by_l1(p, arch, head_amount,
+                                     components=("encoder.attn",),
+                                     physical=False)
+    return magnitude.prune_per_module_l1(p, mlp_amount,
+                                         name_filter=targeted.ffn_decoder)
+
+
+def _mixed_strategy(p, arch, head_amount=0.3, weight_amount=0.2):
+    """Head pruning then unstructured L1 on the non-attention linears
+    (`custom_mixed`, `experimental_pruning.py:2695-2702`, main :3091-3120)."""
+    p = structured.prune_heads_by_l1(p, arch, head_amount, physical=False)
+    return magnitude.prune_per_module_l1(
+        p, weight_amount,
+        name_filter=targeted.union(targeted.ffn_encoder, targeted.ffn_decoder))
+
+
 def experimental_pruning_sweep(arch) -> list[dict]:
-    """Representative cut of the ~35-config experimental matrix
-    (`experimental_pruning.py:2378-2704`): targeted components, layer
-    sections, structured variants, head/layer-level surgery."""
+    """The experimental matrix (`experimental_pruning.py:2378-2704`):
+    targeted components, layer sections, progressive/multi-level/mixed
+    strategies, structured variants, head/layer-level surgery. 35 configs
+    (reference ~35; the two gradient/activation-guided entries live in the
+    `sensitivity` CLI instead — they need calibration batches)."""
     E, D = arch.encoder_layers, arch.decoder_layers
     cfgs: list[dict] = []
 
@@ -105,6 +154,24 @@ def experimental_pruning_sweep(arch) -> list[dict]:
         p, "decoder", [D - 1]))
     add("remove_enc_mlp_last", lambda p, arch: structured.remove_mlp(
         p, "encoder", [E - 1]))
+    add("combined_encoder_decoder_30", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.3, name_filter=magnitude.linear_weights))
+    add("attention_only_20", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.2, name_filter=targeted.union(
+            targeted.self_attn_encoder, targeted.self_attn_decoder,
+            targeted.cross_attn_decoder)))
+    add("qkv_projections_30", lambda p, arch: magnitude.prune_per_module_l1(
+        p, 0.3, name_filter=targeted.qkv_projections_only))
+    add("attention_vs_ffn", _attention_vs_ffn)
+    add("progressive_layerwise", _progressive_layerwise)
+    add("pos_embedding_position_dependent",
+        lambda p, arch: magnitude.prune_positional_position_dependent(p))
+    add("pos_embedding_progressive",
+        lambda p, arch: magnitude.prune_positional_progressive(p))
+    add("multi_level_enc_heads_dec_mlp", _multi_level)
+    add("mixed_head30_weight20", _mixed_strategy)
+    add("head_pruning_40", lambda p, arch: structured.prune_heads_by_l1(
+        p, arch, 0.4, physical=False))
     add("thesis_recipe", lambda p, arch: recipe.apply_recipe(p, arch))
     add("thesis_recipe_increased", lambda p, arch: recipe.apply_recipe(
         p, arch, recipe.INCREASED_RECIPE))
@@ -115,10 +182,15 @@ def prune_quant_sweep(quant_names: tuple[str, ...] = (
         "pytorch_dynamic_int8", "quanto_int4", "quanto_int8", "hqq_int3",
         "hqq_int4", "hqq_int8", "bnb_fp4", "bnb_nf4",
         "bnb_nf4_double_quant", "static_int8_act_int8",
-        "static_int4_act_int8", "static_fp8", "fp16", "baseline_bf16",
+        "static_int4_act_int8", "static_int8_act_fp8", "static_int4_act_fp8",
+        "static_fp8_act_int8", "static_fp8_act_fp8", "static_fp8",
+        "fp16", "baseline_bf16",
 )) -> list[dict]:
     """Prune once with the thesis recipe, then each quant config on the
-    pruned model (`pruning_quantization_all.py:1321-1460`)."""
+    pruned model — full 6-combo static matrix included
+    (`pruning_quantization_all.py:1392-1460`: baseline + quanto x2 +
+    pytorch + hqq x3 + bnb x2 + static x6 = 15; here 18 with the
+    double-quant/fp16/bf16 extras)."""
     def combo(qname):
         def f(p, arch):
             pruned = recipe.apply_recipe(p, arch)

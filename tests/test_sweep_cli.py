@@ -34,16 +34,42 @@ def _dc():
 
 def test_config_matrices_complete():
     arch = ARCHS["test2l"]
-    assert len(sweep_configs.quant_sweep()) == 18
+    assert len(sweep_configs.quant_sweep()) == 22
     assert len(sweep_configs.unstructured_l1_sweep()) == 12
     exp = sweep_configs.experimental_pruning_sweep(arch)
-    assert len(exp) >= 20
+    assert len(exp) >= 30  # reference ~35-config matrix parity
     names = {c["name"] for c in exp}
     assert {"thesis_recipe", "block4x4_50", "heads_l1_25_physical",
-            "drop_dec_last_layer"} <= names
+            "drop_dec_last_layer", "progressive_layerwise",
+            "pos_embedding_position_dependent", "multi_level_enc_heads_dec_mlp",
+            "mixed_head30_weight20", "attention_vs_ffn"} <= names
     pq = sweep_configs.prune_quant_sweep()
-    assert len(pq) == 14
+    assert len(pq) == 18  # reference 15-entry matrix + dq/fp16/bf16 extras
     assert all(c["name"].startswith("pruned+") for c in pq)
+
+
+def test_experimental_configs_all_apply(setup):
+    """Every experimental config must run on the tiny model and return a
+    params pytree (new strategies smoke-tested, not just counted)."""
+    params, arch, _, _ = setup
+    for cfg in sweep_configs.experimental_pruning_sweep(arch):
+        out = cfg["apply"](params, arch)
+        assert isinstance(out, dict) and "encoder" in out, cfg["name"]
+
+
+def test_position_dependent_embedding_rates(setup):
+    """Reference schedule: early third pruned ~40%, late third ~20%
+    (`experimental_pruning.py:1139-1161`)."""
+    from openai_whisper_compression_tpu.prune import magnitude
+
+    params, arch, _, _ = setup
+    out = magnitude.prune_positional_position_dependent(params, 0.4, 0.2)
+    pos = np.asarray(out["decoder"]["pos"], np.float32)
+    t = pos.shape[0]
+    early = (pos[: t // 3] == 0).mean()
+    late = (pos[2 * t // 3:] == 0).mean()
+    assert 0.3 < early < 0.5 and 0.1 < late < 0.3
+    assert early > late  # early positions pruned harder
 
 
 def test_run_sweep_with_fault_isolation(setup, tmp_path):

@@ -26,6 +26,14 @@ def test_eda(tmp_path):
     paths += eda.plot_sample(data[0], str(tmp_path))
     assert all(os.path.exists(p) for p in paths)
 
+    # headless playback stand-in: valid 16-bit PCM WAV round-trip
+    import wave
+
+    wav_path = eda.export_sample(data[0], str(tmp_path))
+    with wave.open(wav_path, "rb") as f:
+        assert f.getframerate() == 16000 and f.getnchannels() == 1
+        assert f.getnframes() == len(data[0].audio)
+
 
 def test_sensitivity_plots(tmp_path):
     from openai_whisper_compression_tpu.sensitivity.plots import plot_sensitivity
