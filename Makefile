@@ -16,8 +16,10 @@ example:
 	python examples/timestamps_and_profiling.py
 	python examples/serving_and_speculative.py
 
-# static hygiene: compileall + AST unused-import scan
+# static hygiene gate (≈ reference pre-commit ruff/mypy/vulture,
+# `.pre-commit-config.yaml:12-47` — those tools aren't in this image, so
+# tools/astlint.py implements F401/F821/F811/F541/B006/E711/E722 natively)
 check:
 	python -m compileall -q openai_whisper_compression_tpu bench.py __graft_entry__.py
 	python tools/astlint.py
-	@echo "compile OK"
+	@echo "check OK"
