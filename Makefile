@@ -9,6 +9,7 @@ native:
 	$(MAKE) -C runtime
 
 bench:
+	python bench.py --kernel-smoke
 	python bench.py
 
 example:

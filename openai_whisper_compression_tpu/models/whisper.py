@@ -407,9 +407,13 @@ def precompute_cross_kv_t(params: Params, arch: WhisperArch,
 
     bits: 16 (dense, default), 8, or 4 (split-half packed nibbles). int8 is
     both faster AND half the capacity (dequant folds into the kernel's score
-    vectors). int4 halves HBM *capacity* again but measured SLOWER than int8
-    on v5e (512 vs 445 ms/batch headline — the nibble unpack is VPU-bound):
-    use it for memory headroom (e.g. very large batches), not speed."""
+    vectors). int4 halves HBM *capacity* again (peak 2403 -> 1539 MB at the
+    batch-64 headline) but stays ~7% slower than int8 on v5e (432 vs 404
+    ms/batch with the split-dot kernel; was 512 before it): the kernel must
+    convert the same element count to float regardless of bit width, and at
+    int8 that VPU convert cost already ≈ the HBM stream cost, so halving
+    bytes buys no wall time (floor analysis: DESIGN.md §8). Use int4 for
+    memory headroom (e.g. very large batches), not speed."""
     from ..ops.linear import _on_tpu
 
     bits = bits if bits is not None else (8 if int8 else 16)
