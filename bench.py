@@ -143,7 +143,11 @@ def _kernel_smoke() -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="small")
-    ap.add_argument("--batch", type=int, default=64)
+    # 96 measured fastest on v5e (5.61 ms/utt vs 6.31 at 64): fixed per-call
+    # costs amortize with batch while XLA's encoder-attention fusion still
+    # holds (it collapses at B=128 — see models.whisper.attention; the
+    # Pallas fallback there keeps B>=128 linear but XLA-fused B=96 wins)
+    ap.add_argument("--batch", type=int, default=96)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--tokens", type=int, default=25)
     ap.add_argument("--beam", type=int, default=1)
@@ -181,9 +185,10 @@ def main() -> None:
                     help="int8 cross-attn K/V (dequant fused into the Pallas "
                          "decode kernel; measured 535->490 ms/batch)")
     ap.add_argument("--cross-kv-int4", action="store_true",
-                    help="int4 cross-attn K/V: halves HBM *capacity* but "
-                         "measured SLOWER than int8 (512 vs 445 ms/batch — "
-                         "nibble unpack is VPU-bound); memory knob only")
+                    help="int4 cross-attn K/V: halves HBM *capacity* (peak "
+                         "2403->1539 MB at B=64) but ~7%% slower than int8 "
+                         "(432 vs 404 ms/batch; convert-cost floor, "
+                         "DESIGN.md §8); memory knob only")
     ap.add_argument("--structured50", action="store_true",
                     help="50%% structured head+FFN pruning before quant")
     ap.add_argument("--merge-at", type=int, default=None,
@@ -261,28 +266,29 @@ def main() -> None:
                         jnp.float32)
             for _ in range(n_iters if args.real_decode else 1)]
 
-    mean_len = [0.0]
-
     def run_synced(wav):
         # Host readback of the outputs: on some remote TPU platforms (axon)
         # block_until_ready returns before execution finishes for buffers
         # descended from jit-created params; copying the (tiny) token array
-        # to host is the only reliable fence.
+        # to host is the only reliable fence. ONE readback — each extra
+        # np.asarray pays a full ~25 ms tunnel RTT inside the timed region
+        # (lengths are read back once, after timing).
         tokens, lengths = fn(params, wav)
         np.asarray(tokens)
-        mean_len[0] = float(np.mean(np.asarray(lengths)))
+        return lengths
 
     # compile + warmup
     t0 = time.perf_counter()
-    run_synced(wavs[0])
+    lengths = run_synced(wavs[0])
     print(f"# compile+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
     for i in range(n_iters):
         wav = wavs[i % len(wavs)]
         t0 = time.perf_counter()
-        run_synced(wav)
+        lengths = run_synced(wav)
         times.append(time.perf_counter() - t0)
+    mean_len = [float(np.mean(np.asarray(lengths)))]
     wall = float(np.median(times))
     rtfx = args.batch * AVG_UTT_SECONDS / wall
 

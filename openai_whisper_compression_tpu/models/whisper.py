@@ -30,8 +30,16 @@ Params = dict[str, Any]
 
 NEG_INF = -1e9  # finite mask value: keeps softmax well-defined in bf16
 
-# Opt-in fused Pallas encoder attention (see attention() docstring).
-USE_PALLAS_ATTENTION = False
+# Fused Pallas encoder attention dispatch (see attention() docstring):
+# None = automatic (Pallas once the f32 score tensor crosses the size where
+# XLA abandons its flash fusion), True/False = force.
+USE_PALLAS_ATTENTION: bool | None = None
+# Measured on v5e-16GB (whisper-small T=1500): XLA keeps the softmax chain
+# fused through B=120 (scores 12.96 GB) and materializes the full f32
+# (B, H, T, T) score tensor to HBM at B=128 (13.82 GB) — encoder attention
+# goes 61 ms/layer vs ~16 linear. The cliff tracks HBM headroom, so the
+# threshold sits just above the last measured fused point.
+PALLAS_ATTN_SCORE_BYTES = 13.4e9
 
 
 def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
@@ -94,13 +102,21 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     """Scaled dot-product attention over (B, H, T, Dh) tensors.
 
     Softmax accumulates in fp32 for bf16 stability; the two matmuls ride the
-    MXU with fp32 accumulation. `ops.attention.encoder_attention_pallas` is
-    an opt-in fused kernel (set USE_PALLAS_ATTENTION): measured on v5e at
-    Whisper's head_dim=64 shapes XLA's fused path is already faster (32 ms vs
-    39 ms per layer-equivalent at B=64/T=1500), so XLA is the default.
+    MXU with fp32 accumulation. Dispatch (measured on v5e, T=1500, Dh=64):
+    XLA's own flash-style fusion wins while it holds (539 ms/batch at B=96
+    vs 633 Pallas), but past ~13 GB of would-be f32 scores XLA silently
+    materializes the full (B, H, T, T) tensor in HBM — ~40 GB of traffic
+    per layer, 1268 ms/batch at B=128 — so `encoder_attention_pallas`
+    (scores kept in VMEM, q processed in blocks) takes over above
+    PALLAS_ATTN_SCORE_BYTES: 819 ms/batch at B=128, restoring linear batch
+    scaling. USE_PALLAS_ATTENTION=True/False forces either path.
     """
     dh = q.shape[-1]
-    if (USE_PALLAS_ATTENTION and mask is None
+    use_pallas = USE_PALLAS_ATTENTION
+    if use_pallas is None:
+        b, h, t = q.shape[0], q.shape[1], q.shape[2]
+        use_pallas = b * h * t * k.shape[2] * 4 > PALLAS_ATTN_SCORE_BYTES
+    if (use_pallas and mask is None
             and q.shape[2] == k.shape[2] and q.shape[2] >= 256):
         from ..ops.linear import _on_tpu
 

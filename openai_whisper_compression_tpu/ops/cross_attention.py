@@ -145,6 +145,10 @@ def decode_cross_attention(q: jax.Array, k_t: jax.Array, v_t: jax.Array,
     s_pad = k_t.shape[2]
     s_valid = s_pad if s_valid is None else s_valid
     g = block_g
+    # same scoped-VMEM guard as decode_cross_attention_grouped
+    itemsize = jnp.dtype(k_t.dtype).itemsize
+    while g > 1 and g * k_t.shape[1] * s_pad * itemsize * 4 > 14 * 1024 * 1024:
+        g //= 2
     while bh % g:
         g //= 2
 
@@ -313,11 +317,17 @@ def decode_cross_attention_grouped(q: jax.Array, k_t: jax.Array,
     bh, kq, dh = q.shape
     s_pad = k_t.shape[2]
     s_valid = s_pad if s_valid is None else s_valid
+    dh_store = k_t.shape[1]  # Dh, or Dh/2 for split-half packed int4
     g = block_g
+    # Scoped-VMEM guard: k/v blocks double-buffered (+ in-kernel f32 working
+    # copies). f32 K/V at g=16 measured 24 MB scoped against the 16 MB
+    # limit; bf16/int8 at g=16 are the benched defaults and stay unchanged
+    # under this bound (12.6 / 6.3 MB).
+    itemsize = jnp.dtype(k_t.dtype).itemsize
+    while g > 1 and g * dh_store * s_pad * itemsize * 4 > 14 * 1024 * 1024:
+        g //= 2
     while bh % g:
         g //= 2
-
-    dh_store = k_t.shape[1]  # Dh, or Dh/2 for split-half packed int4
     kv_spec = pl.BlockSpec((g, dh_store, s_pad), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((g, 1, s_pad), lambda i: (i, 0, 0),

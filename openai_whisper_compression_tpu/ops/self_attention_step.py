@@ -232,7 +232,13 @@ def decode_self_attention_update(q: jax.Array, k_new: jax.Array,
     bh, dh = q.shape
     s = k_cache.shape[1]
     g = block_g
-    while g > 8 and g * s * dh * 12 > 10 * 1024 * 1024:
+    # Scoped-VMEM budget per grid step: k/v blocks double-buffered + their
+    # fp32 working copies, with Dh LANE-PADDED to 128 (Mosaic tiles the
+    # minor dim to 128 — dh=64 blocks occupy 2x their logical bytes; an
+    # f32 cache at g=128, s=64, dh=64 measured 18.04 MB scoped against the
+    # 16 MB limit, i.e. ~4.3 bytes/logical-elem-byte, hence the 5x factor).
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    while g > 8 and g * s * max(dh, 128) * itemsize * 5 > 14 * 1024 * 1024:
         g //= 2
     while bh % g:
         g //= 2
@@ -312,8 +318,9 @@ def decode_self_attention(q: jax.Array,
     bh, dh = q.shape
     s = k_cache.shape[1]
     g = block_g
-    # VMEM budget: k/v blocks + their fp32 working copies ~ g*s*dh*12 bytes
-    while g > 8 and g * s * dh * 12 > 10 * 1024 * 1024:
+    # VMEM budget: same lane-padded accounting as decode_self_attention_update
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    while g > 8 and g * s * max(dh, 128) * itemsize * 5 > 14 * 1024 * 1024:
         g //= 2
     while bh % g:
         g //= 2
