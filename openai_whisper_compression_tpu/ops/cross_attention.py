@@ -40,6 +40,22 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _fit_block_g(block_g: int, bh: int, dh_store: int, s_pad: int,
+                 kv_dtype) -> int:
+    """Largest (b·h) block fitting the scoped-VMEM budget: k/v blocks
+    double-buffered plus in-kernel f32 working copies. Calibrated on v5e:
+    f32 K/V at g=16 (dh=64, s_pad=1536) measured 24 MB scoped against the
+    16 MB limit; the benched bf16/int8 g=16 defaults stay unchanged under
+    this bound (12.6 / 6.3 MB)."""
+    g = block_g
+    itemsize = jnp.dtype(kv_dtype).itemsize
+    while g > 1 and g * dh_store * s_pad * itemsize * 4 > 14 * 1024 * 1024:
+        g //= 2
+    while bh % g:
+        g //= 2
+    return g
+
+
 def _softmax_masked(scores: jax.Array, s_valid: int) -> tuple[jax.Array, jax.Array]:
     g, s_pad = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (g, s_pad), 1)
@@ -144,13 +160,7 @@ def decode_cross_attention(q: jax.Array, k_t: jax.Array, v_t: jax.Array,
     bh, dh = q.shape
     s_pad = k_t.shape[2]
     s_valid = s_pad if s_valid is None else s_valid
-    g = block_g
-    # same scoped-VMEM guard as decode_cross_attention_grouped
-    itemsize = jnp.dtype(k_t.dtype).itemsize
-    while g > 1 and g * k_t.shape[1] * s_pad * itemsize * 4 > 14 * 1024 * 1024:
-        g //= 2
-    while bh % g:
-        g //= 2
+    g = _fit_block_g(block_g, bh, k_t.shape[1], s_pad, k_t.dtype)
 
     if k_scale is None:
         kernel = functools.partial(_kernel, s_valid=s_valid)
@@ -318,16 +328,7 @@ def decode_cross_attention_grouped(q: jax.Array, k_t: jax.Array,
     s_pad = k_t.shape[2]
     s_valid = s_pad if s_valid is None else s_valid
     dh_store = k_t.shape[1]  # Dh, or Dh/2 for split-half packed int4
-    g = block_g
-    # Scoped-VMEM guard: k/v blocks double-buffered (+ in-kernel f32 working
-    # copies). f32 K/V at g=16 measured 24 MB scoped against the 16 MB
-    # limit; bf16/int8 at g=16 are the benched defaults and stay unchanged
-    # under this bound (12.6 / 6.3 MB).
-    itemsize = jnp.dtype(k_t.dtype).itemsize
-    while g > 1 and g * dh_store * s_pad * itemsize * 4 > 14 * 1024 * 1024:
-        g //= 2
-    while bh % g:
-        g //= 2
+    g = _fit_block_g(block_g, bh, dh_store, s_pad, k_t.dtype)
     kv_spec = pl.BlockSpec((g, dh_store, s_pad), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((g, 1, s_pad), lambda i: (i, 0, 0),

@@ -40,6 +40,23 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _fit_block_g(block_g: int, bh: int, s: int, dh: int, cache_dtype) -> int:
+    """Largest (b·h) block that fits the fp-cache kernels' scoped-VMEM
+    budget: k/v blocks double-buffered plus their fp32 working copies, with
+    Dh LANE-PADDED to 128 (Mosaic tiles the minor dim to 128, so dh=64
+    blocks occupy 2x their logical bytes). Calibrated on v5e: an f32 cache
+    at g=128, s=64, dh=64 measured 18.04 MB scoped against the 16 MB limit
+    (~4.3 bytes per logical element byte → the 5x factor); bf16 keeps the
+    benched g=128 under the same bound."""
+    g = block_g
+    itemsize = jnp.dtype(cache_dtype).itemsize
+    while g > 8 and g * s * max(dh, 128) * itemsize * 5 > 14 * 1024 * 1024:
+        g //= 2
+    while bh % g:
+        g //= 2
+    return g
+
+
 def _core(pos_ref, q_ref, start_ref, kc_ref, vc_ref, ks_ref, vs_ref, o_ref):
     pos = pos_ref[0]
     q = q_ref[:].astype(jnp.float32)               # (G, Dh), pre-scaled
@@ -231,17 +248,7 @@ def decode_self_attention_update(q: jax.Array, k_new: jax.Array,
     donated. Returns (out (BH, Dh), k_cache', v_cache')."""
     bh, dh = q.shape
     s = k_cache.shape[1]
-    g = block_g
-    # Scoped-VMEM budget per grid step: k/v blocks double-buffered + their
-    # fp32 working copies, with Dh LANE-PADDED to 128 (Mosaic tiles the
-    # minor dim to 128 — dh=64 blocks occupy 2x their logical bytes; an
-    # f32 cache at g=128, s=64, dh=64 measured 18.04 MB scoped against the
-    # 16 MB limit, i.e. ~4.3 bytes/logical-elem-byte, hence the 5x factor).
-    itemsize = jnp.dtype(k_cache.dtype).itemsize
-    while g > 8 and g * s * max(dh, 128) * itemsize * 5 > 14 * 1024 * 1024:
-        g //= 2
-    while bh % g:
-        g //= 2
+    g = _fit_block_g(block_g, bh, s, dh, k_cache.dtype)
 
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     row = pl.BlockSpec((g, dh), lambda i, sp: (i, 0), memory_space=pltpu.VMEM)
@@ -317,13 +324,7 @@ def decode_self_attention(q: jax.Array,
     """
     bh, dh = q.shape
     s = k_cache.shape[1]
-    g = block_g
-    # VMEM budget: same lane-padded accounting as decode_self_attention_update
-    itemsize = jnp.dtype(k_cache.dtype).itemsize
-    while g > 8 and g * s * max(dh, 128) * itemsize * 5 > 14 * 1024 * 1024:
-        g //= 2
-    while bh % g:
-        g //= 2
+    g = _fit_block_g(block_g, bh, s, dh, k_cache.dtype)
 
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     row = pl.BlockSpec((g, dh), lambda i, sp: (i, 0), memory_space=pltpu.VMEM)

@@ -50,3 +50,53 @@ def test_model_attention_unchanged_off_tpu(rng):
     np.testing.assert_allclose(np.asarray(attention(q, k, v)),
                                np.asarray(_xla_attention(q, k, v)),
                                atol=1e-5)
+
+
+def test_auto_dispatch_threshold(rng, monkeypatch):
+    """attention() routes to the Pallas kernel only past the measured XLA
+    fusion cliff (PALLAS_ATTN_SCORE_BYTES), and respects force-overrides."""
+    from openai_whisper_compression_tpu.models import whisper as W
+    from openai_whisper_compression_tpu.ops import attention as A
+
+    calls = []
+    real = A.encoder_attention_pallas
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(A, "encoder_attention_pallas", spy)
+    monkeypatch.setattr("openai_whisper_compression_tpu.ops.linear._on_tpu",
+                        lambda: True)
+    q = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    # 1*2*256*256*4 bytes << threshold -> XLA path
+    assert W.USE_PALLAS_ATTENTION is None  # auto is the shipped default
+    W.attention(q, q, q)
+    assert calls == []
+    # drop the threshold below this shape's score bytes -> Pallas path
+    monkeypatch.setattr(W, "PALLAS_ATTN_SCORE_BYTES", 1.0)
+    W.attention(q, q, q)
+    assert calls == [1]
+    # force-off wins over the threshold
+    monkeypatch.setattr(W, "USE_PALLAS_ATTENTION", False)
+    W.attention(q, q, q)
+    assert calls == [1]
+
+
+def test_vmem_guard_shrinks_f32_blocks():
+    """The fused decode kernels' block-shrink heuristics: bf16 caches keep
+    the benched block sizes; f32 caches (2x the bytes, same lane padding)
+    shrink one step further — pinned against the measured 18.04/24.00 MB
+    scoped-VMEM OOMs at whisper-small B=128 shapes (DESIGN.md §8)."""
+    from openai_whisper_compression_tpu.ops.cross_attention import (
+        _fit_block_g as fit_cross)
+    from openai_whisper_compression_tpu.ops.self_attention_step import (
+        _fit_block_g as fit_self)
+
+    # whisper-small decode shapes: bh up to 1536 (B=128 x 12 heads)
+    assert fit_self(256, 1536, 64, 64, jnp.bfloat16) == 128  # benched block
+    assert fit_self(256, 1536, 64, 64, jnp.float32) == 64    # one step down
+    assert fit_cross(16, 1536, 64, 1536, jnp.bfloat16) == 16  # benched
+    assert fit_cross(16, 1536, 64, 1536, jnp.float32) == 8    # fits 16MB
+    assert fit_cross(16, 1536, 64, 1536, jnp.int8) == 16      # unchanged
+    assert fit_cross(16, 1536, 32, 1536, jnp.int8) == 16      # int4 packed
