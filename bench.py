@@ -133,6 +133,35 @@ def _kernel_smoke() -> None:
                tol=5e-2)
     # the gate must REJECT K off the 256 grid (XLA fallback, not a crash)
     assert not QM.blockwise4_pallas_ok(384, 64)
+
+    # fused decode-attention kernels at f32 / large-bh shapes: these busted
+    # the 16 MB scoped-VMEM limit before the _fit_block_g lane-padding fix
+    # (whisper-small B=128: 18.04 / 24.00 MB) — compiling them here keeps
+    # the block-budget calibration honest against real Mosaic accounting.
+    # TPU-only: interpret mode can't see scoped VMEM and takes minutes at
+    # these shapes.
+    from openai_whisper_compression_tpu.ops.cross_attention import (
+        decode_cross_attention_grouped)
+    from openai_whisper_compression_tpu.ops.self_attention_step import (
+        decode_self_attention_update)
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")) if on_tpu \
+            else ():
+        bh, s, dh = 1536, 64, 64
+        q = jnp.asarray(rng.normal(size=(bh, dh)), dt)
+        kc = jnp.zeros((bh, s, dh), dt)
+        vc = jnp.zeros((bh, s, dh), dt)  # distinct: caches are donated
+        out, _, _ = decode_self_attention_update(
+            q, q, q, kc, vc, jnp.int32(3))
+        assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+        checks.append((f"self-attn-update {tag} bh={bh}", 0.0))
+        kt = jnp.asarray(rng.normal(size=(bh, dh, 1536)) * 0.1, dt)
+        o = decode_cross_attention_grouped(q[:, None, :], kt, kt,
+                                           s_valid=1500)
+        assert bool(jnp.all(jnp.isfinite(o.astype(jnp.float32))))
+        checks.append((f"cross-attn-grouped {tag} bh={bh}", 0.0))
+
     for name, err in checks:
         print(f"# {name}: rel_err={err:.2e}", file=sys.stderr)
     print(json.dumps({"metric": "pallas kernel edge-shape smoke",

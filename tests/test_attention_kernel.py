@@ -100,3 +100,29 @@ def test_vmem_guard_shrinks_f32_blocks():
     assert fit_cross(16, 1536, 64, 1536, jnp.float32) == 8    # fits 16MB
     assert fit_cross(16, 1536, 64, 1536, jnp.int8) == 16      # unchanged
     assert fit_cross(16, 1536, 32, 1536, jnp.int8) == 16      # int4 packed
+
+
+def test_encode_batch_chunking_bit_identical(rng, monkeypatch):
+    """encode() splits over-cliff batches into sub-batches; batch elements
+    are independent so the result is bit-identical to the unchunked path."""
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.models import params as P
+    from openai_whisper_compression_tpu.models import whisper as W
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    mel = jnp.asarray(rng.standard_normal(
+        (4, arch.num_mel_bins, 2 * arch.max_source_positions)), jnp.float32)
+    ref = W.encode(params, arch, mel)
+    # real whisper-small shapes at the shipped threshold
+    assert W._encode_batch_chunks(128, 12, 1500) == 2
+    assert W._encode_batch_chunks(96, 12, 1500) == 1
+    # force the cliff below this shape's score bytes -> 4 chunks
+    monkeypatch.setattr(W, "PALLAS_ATTN_SCORE_BYTES", 1.0)
+    h = arch.encoder_heads
+    t = arch.max_source_positions
+    assert W._encode_batch_chunks(4, h, t) == 4
+    out = W.encode(params, arch, mel)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # divisor rule: odd batches can't split
+    assert W._encode_batch_chunks(3, h, t) == 1
