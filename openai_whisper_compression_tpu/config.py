@@ -68,8 +68,13 @@ ARCHS: dict[str, WhisperArch] = {
     "base": _arch("base", 80, 512, 6, 8, 6, 8),
     "small": _arch("small", 80, 768, 12, 12, 12, 12),
     "medium": _arch("medium", 80, 1024, 24, 16, 24, 16),
+    "large": _arch("large", 80, 1280, 32, 20, 32, 20),  # large-v1
     "large-v2": _arch("large-v2", 80, 1280, 32, 20, 32, 20),
     "large-v3": _arch("large-v3", 128, 1280, 32, 20, 32, 20, vocab=51866),
+    # large-v3 encoder + distilled 4-layer decoder (openai/whisper-large-v3-
+    # turbo); decode cost drops 8x while the encoder/mel stack is v3's.
+    "large-v3-turbo": _arch("large-v3-turbo", 128, 1280, 32, 20, 4, 20,
+                            vocab=51866),
     # Tiny test-only config (random weights, fast tests).
     "test2l": WhisperArch(
         name="test2l", vocab_size=1000, num_mel_bins=80, d_model=64,

@@ -86,3 +86,39 @@ def test_qtensor_tp_sharding():
                          mesh_lib.batch_sharding(mesh))
     out = jax.jit(lambda p, m: encode(p, arch, m))(sharded, mel)
     assert out.shape == (2, 32, arch.d_model)
+
+
+def test_arch_registry_families():
+    """Every official OpenAI family member is registered with its published
+    dimensions (reference hardcodes `openai/whisper-small` only,
+    `config.py:16`; large-v3-turbo = v3 encoder + distilled 4-layer
+    decoder)."""
+    a = ARCHS["large-v3-turbo"]
+    assert (a.encoder_layers, a.decoder_layers) == (32, 4)
+    assert (a.num_mel_bins, a.vocab_size) == (128, 51866)
+    assert ARCHS["large"].d_model == ARCHS["large-v2"].d_model == 1280
+    for name, arch in ARCHS.items():
+        assert arch.name == name
+        assert arch.d_model % arch.encoder_heads == 0
+
+
+def test_asymmetric_decoder_forward():
+    """Turbo-style arch (decoder_layers != encoder_layers) initializes,
+    encodes, and greedy-decodes at test scale."""
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.models import decode, whisper
+
+    arch = ARCHS["test2l"].replace(name="test-turbo", decoder_layers=1)
+    params = P.init_params(arch, jax.random.PRNGKey(3))
+    assert len(params["decoder"]["layers"]) == 1
+    assert len(params["encoder"]["layers"]) == 2
+    mel = jnp.zeros((2, arch.num_mel_bins, 2 * arch.max_source_positions))
+    cfg = DecodeConfig(max_new_tokens=4, self_pallas=False,
+                       cross_pallas=False)
+    enc_out = whisper.encode(params, arch, mel)
+    toks, lens = decode.greedy_decode(params, arch, enc_out, cfg)
+    assert toks.shape[0] == 2 and lens.shape == (2,)
+    logits = jax.jit(
+        lambda p, m, t: whisper.forward(p, arch, m, t)
+    )(params, mel, jnp.asarray([[998, 1], [998, 2]]))
+    assert logits.shape == (2, 2, arch.vocab_size)
