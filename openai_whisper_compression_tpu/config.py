@@ -41,6 +41,10 @@ class WhisperArch:
     eos_token_id: int = 50257
     decoder_start_token_id: int = 50258  # <|startoftranscript|>
     no_timestamps_token_id: int = 50363
+    # False for the `.en` checkpoints: their vocab (51864) has no language/
+    # task tokens, so the forced prefix is just [<|sot|>(, <|notimestamps|>)]
+    # and `detect_language` is unavailable.
+    multilingual: bool = True
     # published word-alignment heads ((layer, head) pairs from the HF
     # checkpoint's generation_config); () -> top-half-of-decoder fallback
     alignment_heads: tuple = ()
@@ -59,6 +63,17 @@ def _arch(name: str, mels: int, d: int, el: int, eh: int, dl: int, dh: int,
         name=name, vocab_size=vocab, num_mel_bins=mels, d_model=d,
         encoder_layers=el, encoder_heads=eh, decoder_layers=dl,
         decoder_heads=dh, ffn_dim=4 * d,
+    )
+
+
+def _en(arch: WhisperArch) -> WhisperArch:
+    """English-only (`.en`) variant: GPT-2 vocab (51864) with
+    <|endoftext|>=50256, <|startoftranscript|>=50257, no language/task
+    tokens, <|notimestamps|>=50362."""
+    return arch.replace(
+        name=arch.name + ".en", vocab_size=51864, multilingual=False,
+        bos_token_id=50256, eos_token_id=50256,
+        decoder_start_token_id=50257, no_timestamps_token_id=50362,
     )
 
 
@@ -84,6 +99,8 @@ ARCHS: dict[str, WhisperArch] = {
         no_timestamps_token_id=999,
     ),
 }
+ARCHS.update({a.name + ".en": _en(a) for a in
+              [ARCHS[n] for n in ("tiny", "base", "small", "medium")]})
 
 
 # ---------------------------------------------------------------------------

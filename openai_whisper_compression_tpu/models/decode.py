@@ -29,10 +29,11 @@ def forced_prefix(arch: WhisperArch, cfg: DecodeConfig) -> list[int]:
     """[<|sot|>, lang, task, <|notimestamps|>] — the prompt HF builds from
     `forced_decoder_ids` (reference relies on the model's generation config)."""
     ids = [arch.decoder_start_token_id]
-    if cfg.language_token_id is not None:
-        ids.append(cfg.language_token_id)
-    if cfg.task_token_id is not None:
-        ids.append(cfg.task_token_id)
+    if arch.multilingual:  # `.en` vocabs have no language/task tokens
+        if cfg.language_token_id is not None:
+            ids.append(cfg.language_token_id)
+        if cfg.task_token_id is not None:
+            ids.append(cfg.task_token_id)
     if cfg.notimestamps and arch.no_timestamps_token_id < arch.vocab_size:
         ids.append(arch.no_timestamps_token_id)
     return [i for i in ids if i < arch.vocab_size]
@@ -615,6 +616,9 @@ def detect_language(params: Params, arch: WhisperArch, enc_out: jax.Array,
     Returns (probs (B, n_langs) over the language-token range,
     top_token (B,) absolute token ids). jit-compatible.
     """
+    if not arch.multilingual:
+        raise ValueError(
+            f"{arch.name} is English-only: its vocab has no language tokens")
     lo, hi = lang_range or _language_token_range(arch)
     b = enc_out.shape[0]
     max_len = 64

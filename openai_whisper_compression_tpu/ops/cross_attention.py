@@ -53,6 +53,12 @@ def _fit_block_g(block_g: int, bh: int, dh_store: int, s_pad: int,
         g //= 2
     while bh % g:
         g //= 2
+    if g % 8 and g != bh:
+        # Mosaic: the q block's (g, dh) leading dim must be a multiple of 8
+        # or the full bh. bh % 8 != 0 (e.g. B=2, H=6 -> 12) lands on an
+        # invalid 4/2/1 — take the whole array as one block (such bh are
+        # small-odd x {1,2,4}, so the K/V block still fits VMEM).
+        g = bh
     return g
 
 

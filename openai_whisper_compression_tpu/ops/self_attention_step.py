@@ -54,6 +54,13 @@ def _fit_block_g(block_g: int, bh: int, s: int, dh: int, cache_dtype) -> int:
         g //= 2
     while bh % g:
         g //= 2
+    if g % 8 and g != bh:
+        # Mosaic requires the block's second-to-last dim be a multiple of 8
+        # OR equal to the array dim. bh % 8 != 0 (e.g. B=2, H=6 -> bh=12)
+        # bottoms the halving out at an invalid 4/2/1 — use the full-array
+        # block instead (always valid; also a single grid step, and bh this
+        # shape can only be small-odd x {1,2,4} so VMEM fits).
+        g = bh
     return g
 
 

@@ -101,6 +101,17 @@ def test_vmem_guard_shrinks_f32_blocks():
     assert fit_cross(16, 1536, 64, 1536, jnp.int8) == 16      # unchanged
     assert fit_cross(16, 1536, 32, 1536, jnp.int8) == 16      # int4 packed
 
+    # bh % 8 != 0 (small batches: B=2 x 6 heads = 12): power-of-2 halving
+    # bottoms out at a Mosaic-invalid 4 — both helpers must fall back to
+    # the full-array block (valid: block dim == array dim)
+    assert fit_self(256, 12, 64, 64, jnp.bfloat16) == 12
+    assert fit_self(256, 20, 64, 64, jnp.float32) == 20
+    assert fit_cross(8, 12, 64, 1536, jnp.bfloat16) == 12
+    assert fit_cross(8, 6, 64, 1536, jnp.int8) == 6
+    # multiples of 8 keep the tuned power-of-2 blocks
+    assert fit_self(256, 48, 64, 64, jnp.bfloat16) == 16
+    assert fit_cross(8, 48, 64, 1536, jnp.bfloat16) == 8
+
 
 def test_encode_batch_chunking_bit_identical(rng, monkeypatch):
     """encode() splits over-cliff batches into sub-batches; batch elements

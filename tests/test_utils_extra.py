@@ -122,3 +122,32 @@ def test_asymmetric_decoder_forward():
         lambda p, m, t: whisper.forward(p, arch, m, t)
     )(params, mel, jnp.asarray([[998, 1], [998, 2]]))
     assert logits.shape == (2, 2, arch.vocab_size)
+
+
+def test_english_only_archs():
+    """`.en` checkpoints: GPT-2 vocab, no language/task tokens — the forced
+    prefix is [<|sot|>, <|notimestamps|>] and detect_language refuses
+    (OpenAI whisper tokenizer get_decoder_prompt_ids parity)."""
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.models import decode
+
+    en = ARCHS["small.en"]
+    assert (en.vocab_size, en.multilingual) == (51864, False)
+    assert (en.eos_token_id, en.decoder_start_token_id,
+            en.no_timestamps_token_id) == (50256, 50257, 50362)
+    assert en.d_model == ARCHS["small"].d_model
+    # default cfg carries multilingual ids; the .en prefix must drop them
+    assert decode.forced_prefix(en, DecodeConfig()) == [50257, 50362]
+    assert decode.forced_prefix(ARCHS["small"], DecodeConfig()) == \
+        [50258, 50259, 50359, 50363]
+
+    arch = ARCHS["test2l"].replace(multilingual=False)
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    enc = jnp.zeros((1, arch.max_source_positions // 2, arch.d_model))
+    with pytest.raises(ValueError, match="English-only"):
+        decode.detect_language(params, arch, enc)
+    # greedy still runs with the shortened prefix
+    cfg = DecodeConfig(max_new_tokens=3, self_pallas=False,
+                       cross_pallas=False)
+    toks, lens = decode.greedy_decode(params, arch, enc, cfg)
+    assert np.asarray(toks)[0, 0] == arch.decoder_start_token_id
