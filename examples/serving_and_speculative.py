@@ -86,6 +86,19 @@ def main() -> None:
         special_threshold=min(arch.eos_token_id, arch.decoder_start_token_id))
     for w in words[:5]:
         print(f"  {w['start']:5.2f}-{w['end']:5.2f}  {w['word']}")
+
+    # ---- 4. temperature-fallback decoding (OpenAI quality gates)
+    print("== Temperature fallback ==")
+    from openai_whisper_compression_tpu.models.fallback import (
+        decode_with_fallback)
+
+    res = decode_with_fallback(
+        params, arch, enc, decode_text=tok.decode, cfg=cfg,
+        temperatures=(0.0, 0.2, 0.4), no_speech_threshold=0.9)
+    for i in range(min(2, len(res.texts))):
+        print(f"  T={res.temperatures[i]:.1f} lp={res.avg_logprobs[i]:.2f} "
+              f"cr={res.compression_ratios[i]:.2f} "
+              f"silent={bool(res.is_silent[i])}")
     print("done.")
 
 

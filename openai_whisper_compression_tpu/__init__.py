@@ -46,14 +46,18 @@ def load_model(name_or_arch: str = "tiny", dtype: Any = None, seed: int = 0,
 
 def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
                batch_size: int = 8, timestamps: bool = False,
-               word_timestamps: bool = False) -> dict:
+               word_timestamps: bool = False,
+               temperatures=None) -> dict:
     """OpenAI-`whisper.transcribe()`-style convenience: accepts a waveform of
     any length (16 kHz float32), long-form chunks at 30 s, returns
     {"text", "chunks", ...}.
 
     timestamps=True switches to seek-based decoding with the OpenAI
     timestamp rules, returning {"text", "segments", ...}; word_timestamps
-    additionally aligns words via cross-attention DTW ("words" key)."""
+    additionally aligns words via cross-attention DTW ("words" key).
+    temperatures (e.g. ``(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)``) enables the
+    OpenAI temperature-fallback ladder with compression-ratio/logprob
+    quality gates (models.fallback)."""
     from .evaluation.longform import transcribe_long, transcribe_seek
     from .evaluation.tokenizer import WordTokenizer
 
@@ -69,7 +73,8 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
         return transcribe_seek(params, arch, audio, tokenizer, cfg,
                                word_timestamps=word_timestamps)
     return transcribe_long(params, arch, audio, tokenizer,
-                           cfg=decode_cfg, batch_size=batch_size)
+                           cfg=decode_cfg, batch_size=batch_size,
+                           temperatures=temperatures)
 
 
 def quantize(params, method: str = "int8", **kw):

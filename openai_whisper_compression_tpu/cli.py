@@ -54,11 +54,10 @@ def _load_data(args, arch):
 def _decode_cfg(args, arch):
     from .config import DecodeConfig
 
-    lang = 50259 if arch.vocab_size > 50259 else None
-    task = 50359 if arch.vocab_size > 50359 else None
+    # language/task stay "auto": forced_prefix resolves the per-arch ids
+    # (v2 vs v3 layouts differ; `.en` vocabs omit them entirely)
     return DecodeConfig(max_new_tokens=args.max_new_tokens,
-                        beam_size=args.beam, language_token_id=lang,
-                        task_token_id=task,
+                        beam_size=args.beam,
                         notimestamps=arch.no_timestamps_token_id < arch.vocab_size,
                         kv_int8=args.kv_int8)
 

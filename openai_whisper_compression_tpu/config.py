@@ -53,6 +53,23 @@ class WhisperArch:
     def head_dim(self) -> int:
         return self.d_model // self.encoder_heads
 
+    # Specials sit at fixed offsets below <|notimestamps|> in every OpenAI
+    # vocab (v2-style: ... <|translate|>=nts-5 <|transcribe|>=nts-4 ...
+    # <|nospeech|>=nts-1 <|notimestamps|>; v3 shifts the whole block +1,
+    # .en vocabs keep the layout minus the language/task ids) — derive them
+    # instead of hardcoding v2 ids.
+    @property
+    def task_transcribe_token_id(self) -> int:
+        return self.no_timestamps_token_id - 4
+
+    @property
+    def no_speech_token_id(self) -> int:
+        return self.no_timestamps_token_id - 1
+
+    @property
+    def language_en_token_id(self) -> int:
+        return self.decoder_start_token_id + 1  # <|en|> is always first
+
     def replace(self, **kw: Any) -> "WhisperArch":
         return dataclasses.replace(self, **kw)
 
@@ -85,11 +102,14 @@ ARCHS: dict[str, WhisperArch] = {
     "medium": _arch("medium", 80, 1024, 24, 16, 24, 16),
     "large": _arch("large", 80, 1280, 32, 20, 32, 20),  # large-v1
     "large-v2": _arch("large-v2", 80, 1280, 32, 20, 32, 20),
-    "large-v3": _arch("large-v3", 128, 1280, 32, 20, 32, 20, vocab=51866),
+    # v3 adds <|yue|> (vocab 51866), shifting every later special by +1:
+    # <|notimestamps|> = 50364 (HF generation_config), timestamps from 50365.
+    "large-v3": _arch("large-v3", 128, 1280, 32, 20, 32, 20,
+                      vocab=51866).replace(no_timestamps_token_id=50364),
     # large-v3 encoder + distilled 4-layer decoder (openai/whisper-large-v3-
     # turbo); decode cost drops 8x while the encoder/mel stack is v3's.
     "large-v3-turbo": _arch("large-v3-turbo", 128, 1280, 32, 20, 4, 20,
-                            vocab=51866),
+                            vocab=51866).replace(no_timestamps_token_id=50364),
     # Tiny test-only config (random weights, fast tests).
     "test2l": WhisperArch(
         name="test2l", vocab_size=1000, num_mel_bins=80, d_model=64,
@@ -122,8 +142,12 @@ class DecodeConfig:
 
     max_new_tokens: int = 445
     beam_size: int = 1  # 1 = greedy
-    language_token_id: int | None = 50259     # <|en|>
-    task_token_id: int | None = 50359         # <|transcribe|>
+    # "auto" resolves per-arch at prefix build: <|en|> / <|transcribe|> for
+    # multilingual vocabs (v3 shifts the task ids +1 — hardcoded v2 ids
+    # would inject <|translate|> there), omitted for `.en` vocabs.
+    # None = omit; an int = use that id verbatim.
+    language_token_id: int | str | None = "auto"
+    task_token_id: int | str | None = "auto"
     suppress_tokens: tuple[int, ...] = ()
     begin_suppress_tokens: tuple[int, ...] = ()
     notimestamps: bool = True

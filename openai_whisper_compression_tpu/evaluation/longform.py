@@ -39,12 +39,19 @@ SOT_PREV = 50361  # <|startofprev|>
 def transcribe_long(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     cfg: DecodeConfig | None = None, batch_size: int = 8,
                     transcribe_fn=None, condition_on_previous: bool = False,
-                    prompt_window: int = 64) -> dict:
+                    prompt_window: int = 64,
+                    temperatures: tuple[float, ...] | None = None,
+                    fallback_kw: dict | None = None) -> dict:
     """Arbitrary-length waveform -> {"text", "chunks", "audio_seconds"}.
 
     condition_on_previous=True feeds each chunk the previous chunk's tokens
     as a decoder prompt (OpenAI `condition_on_previous_text`); chunks then
     decode sequentially instead of batched.
+
+    temperatures: enable OpenAI's temperature-fallback ladder per chunk
+    batch (see models.fallback) — chunks failing the compression-ratio /
+    logprob gates are re-sampled at the next temperature. fallback_kw
+    forwards threshold overrides to `decode_with_fallback`.
     """
     cfg = cfg or DecodeConfig()
     n_samples = samples_for_arch(arch)
@@ -53,6 +60,30 @@ def transcribe_long(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     if condition_on_previous:
         texts = _transcribe_conditioned(params, arch, chunks, tokenizer, cfg,
                                         n_samples, prompt_window)
+    elif temperatures is not None:
+        from ..audio import features
+        from ..models.fallback import decode_with_fallback
+        from ..models.whisper import encode as _encode
+
+        @jax.jit
+        def enc_fn(p, wav_batch):
+            mel = features.preprocess(
+                wav_batch, n_mels=arch.num_mel_bins,
+                length=n_samples).astype(
+                jax.tree.leaves(p["encoder"]["ln"])[0].dtype)
+            return _encode(p, arch, mel)
+
+        texts = []
+        for i in range(0, len(chunks), batch_size):
+            batch = chunks[i: i + batch_size]
+            buf = np.zeros((batch_size, n_samples), np.float32)
+            for j, c in enumerate(batch):
+                buf[j, : len(c)] = c
+            res = decode_with_fallback(
+                params, arch, enc_fn(params, jnp.asarray(buf)),
+                decode_text=tokenizer.decode, cfg=cfg,
+                temperatures=temperatures, **(fallback_kw or {}))
+            texts.extend(res.texts[: len(batch)])
     else:
         if transcribe_fn is None:
             transcribe_fn = make_transcribe_fn(arch, cfg)

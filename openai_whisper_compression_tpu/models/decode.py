@@ -30,10 +30,20 @@ def forced_prefix(arch: WhisperArch, cfg: DecodeConfig) -> list[int]:
     `forced_decoder_ids` (reference relies on the model's generation config)."""
     ids = [arch.decoder_start_token_id]
     if arch.multilingual:  # `.en` vocabs have no language/task tokens
-        if cfg.language_token_id is not None:
-            ids.append(cfg.language_token_id)
-        if cfg.task_token_id is not None:
-            ids.append(cfg.task_token_id)
+        # auto: real multilingual OpenAI vocabs (51865/51866) get
+        # <|en|> + <|transcribe|> (per-arch ids — v3 shifts them +1);
+        # smaller/custom vocabs omit, like the old ids-filtered defaults.
+        real_vocab = arch.vocab_size >= 51865
+        lang = cfg.language_token_id
+        if lang == "auto":
+            lang = arch.language_en_token_id if real_vocab else None
+        task = cfg.task_token_id
+        if task == "auto":
+            task = arch.task_transcribe_token_id if real_vocab else None
+        if lang is not None:
+            ids.append(lang)
+        if task is not None:
+            ids.append(task)
     if cfg.notimestamps and arch.no_timestamps_token_id < arch.vocab_size:
         ids.append(arch.no_timestamps_token_id)
     return [i for i in ids if i < arch.vocab_size]
@@ -328,8 +338,10 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
                   cfg: DecodeConfig | None = None,
                   max_len: int | None = None,
                   prompt_tokens: jax.Array | None = None,
-                  prompt_lens: jax.Array | None = None
-                  ) -> tuple[jax.Array, jax.Array]:
+                  prompt_lens: jax.Array | None = None,
+                  sample_key: jax.Array | None = None,
+                  temperature: jax.Array | float = 0.0,
+                  return_logprobs: bool = False):
     """Batched greedy decode.
 
     Optional prompt conditioning (long-form `condition_on_previous_text`):
@@ -337,9 +349,20 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     masked out of attention via `prompt_lens` (B,). The forced prefix and
     generation follow at positions >= P.
 
+    sample_key + temperature: temperature sampling (OpenAI transcribe's
+    fallback ladder, whisper/transcribe.py role — the reference inherits
+    HF greedy defaults and has no fallback). `temperature` is a TRACED
+    scalar so one compiled program serves the whole (0.0, 0.2, ..., 1.0)
+    ladder; at 0.0 the argmax branch is selected exactly (bit-identical to
+    the no-key path).
+
+    return_logprobs=True additionally returns per-sequence mean generated-
+    token logprob (the fallback quality gate; computed in-loop from the
+    already-materialized logits).
+
     Returns (tokens (B, max_len) — [prompt +] prefix + generated, padded
     with EOT after stop; lengths (B,) — valid tokens incl. prompt window,
-    prefix and final EOT).
+    prefix and final EOT[, avg_logprob (B,) f32]).
     """
     cfg = cfg or DecodeConfig()
     b = enc_out.shape[0]
@@ -391,31 +414,47 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     use_ts = _timestamps_enabled(arch, cfg)
     ts_begin = arch.no_timestamps_token_id + 1
 
+    temp = jnp.asarray(temperature, jnp.float32)
+
     def cond(state):
-        tokens, cache, pos, finished, last_ts = state
-        return jnp.logical_and(pos < limit - 1, ~jnp.all(finished))
+        return jnp.logical_and(state[2] < limit - 1, ~jnp.all(state[3]))
 
     def body(state):
-        tokens, cache, pos, finished, last_ts = state
+        tokens, cache, pos, finished, last_ts, sum_lp = state
         logits, cache = step_fn(tokens[:, pos], pos, cache)
         logits = logits + sup
         logits = jnp.where(pos == first_gen - 1, logits + begin_sup, logits)
         if use_ts:
             logits = _apply_timestamp_rules(logits, tokens, pos, first_gen,
                                             last_ts, arch, cfg)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if sample_key is not None:
+            sampled = jax.random.categorical(
+                jax.random.fold_in(sample_key, pos),
+                logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6),
+                axis=-1).astype(jnp.int32)
+            nxt = jnp.where(temp > 0.0, sampled, greedy)
+        else:
+            nxt = greedy
         nxt = jnp.where(finished, eot, nxt)
+        if return_logprobs:
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+            sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
         if use_ts:
             last_ts = jnp.where(jnp.logical_and(~finished, nxt >= ts_begin),
                                 nxt, last_ts)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = jnp.logical_or(finished, nxt == eot)
-        return tokens, cache, pos + 1, finished, last_ts
+        return tokens, cache, pos + 1, finished, last_ts, sum_lp
 
     state = (tokens, cache, jnp.asarray(first_gen - 1), jnp.zeros((b,), bool),
-             jnp.full((b,), ts_begin, jnp.int32))
-    tokens, _, pos, _, _ = lax.while_loop(cond, body, state)
+             jnp.full((b,), ts_begin, jnp.int32), jnp.zeros((b,), jnp.float32))
+    tokens, _, pos, _, _, sum_lp = lax.while_loop(cond, body, state)
     lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
+    if return_logprobs:
+        n_gen = jnp.maximum(lengths - first_gen, 1).astype(jnp.float32)
+        return tokens, lengths, sum_lp / n_gen
     return tokens, lengths
 
 
@@ -632,3 +671,19 @@ def detect_language(params: Params, arch: WhisperArch, enc_out: jax.Array,
     probs = jax.nn.softmax(lang_logits, axis=-1)
     top = jnp.argmax(lang_logits, axis=-1) + lo
     return probs, top
+
+
+def no_speech_prob(params: Params, arch: WhisperArch,
+                   enc_out: jax.Array) -> jax.Array:
+    """P(<|nospeech|>) from the <|startoftranscript|> step — OpenAI's
+    silence gate (whisper DecodingResult.no_speech_prob; combined with the
+    avg-logprob threshold in `models.fallback`). Returns (B,) f32.
+    jit-compatible."""
+    b = enc_out.shape[0]
+    cache = kv_cache.init_cache(params, arch, b, 8, dtype=enc_out.dtype)
+    cross_kvs = precompute_cross_kv(params, arch, enc_out)
+    sot = jnp.full((b,), arch.decoder_start_token_id, jnp.int32)
+    logits, _ = decoder_step(params, arch, sot, jnp.asarray(0), cache,
+                             cross_kvs, 8, self_pallas=False)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return probs[:, arch.no_speech_token_id]

@@ -1,0 +1,153 @@
+"""Temperature-fallback decoding with OpenAI's quality gates.
+
+OpenAI's `whisper.transcribe` decodes each segment at temperature 0 and
+retries at (0.2, 0.4, 0.6, 0.8, 1.0) when the result fails either gate:
+gzip compression ratio > 2.4 (degenerate repetition) or mean token logprob
+< -1.0 (low confidence); a no-speech probability above threshold marks the
+segment silent (whisper/transcribe.py `decode_with_fallback`). The
+reference inherits HF `generate` greedy defaults and has no fallback at
+all — repetition loops reach its WER numbers unfiltered.
+
+TPU shape: `temperature` is a traced scalar and sampling runs inside the
+jitted `greedy_decode` while-loop, so the whole ladder reuses ONE compiled
+program; each retry re-decodes only the still-failing rows' worth of work
+(the batch is re-submitted whole — shapes stay static — but accepted rows
+keep their first passing result).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeConfig, WhisperArch
+from .params import Params
+from .decode import forced_prefix, greedy_decode, no_speech_prob
+
+DEFAULT_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+
+
+def compression_ratio(text: str) -> float:
+    """len(utf8) / len(zlib(utf8)) — > ~2.4 flags looped/repeated output
+    (OpenAI whisper/utils.py compression_ratio)."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+@dataclasses.dataclass
+class FallbackResult:
+    tokens: np.ndarray          # (B, L) accepted tokens per sequence
+    lengths: np.ndarray         # (B,)
+    avg_logprobs: np.ndarray    # (B,) mean generated-token logprob
+    temperatures: np.ndarray    # (B,) temperature that produced each row
+    compression_ratios: np.ndarray  # (B,)
+    no_speech_probs: np.ndarray | None  # (B,) if gated
+    is_silent: np.ndarray       # (B,) no-speech gate verdict
+    texts: list[str]
+
+
+def needs_fallback(avg_logprob: float, ratio: float,
+                   compression_ratio_threshold: float | None = 2.4,
+                   logprob_threshold: float | None = -1.0) -> bool:
+    """True when either OpenAI gate trips (None disables a gate)."""
+    if (compression_ratio_threshold is not None
+            and ratio > compression_ratio_threshold):
+        return True
+    if logprob_threshold is not None and avg_logprob < logprob_threshold:
+        return True
+    return False
+
+
+def decode_with_fallback(params: Params, arch: WhisperArch,
+                         enc_out: jax.Array,
+                         decode_text: Callable[[list[int]], str],
+                         cfg: DecodeConfig | None = None,
+                         temperatures: tuple[float, ...] = DEFAULT_TEMPERATURES,
+                         compression_ratio_threshold: float | None = 2.4,
+                         logprob_threshold: float | None = -1.0,
+                         no_speech_threshold: float | None = None,
+                         seed: int = 0) -> FallbackResult:
+    """Decode `enc_out` through the temperature ladder until every sequence
+    passes both quality gates (or temperatures run out — then the last
+    attempt is kept, like OpenAI).
+
+    decode_text: token ids (generated slice, EOT stripped) -> text used by
+    the compression-ratio gate (pass the tokenizer's `.decode`).
+    no_speech_threshold: if set, sequences with
+    P(<|nospeech|>) > threshold AND avg_logprob < logprob_threshold are
+    flagged silent in `is_silent` (their tokens are still returned).
+    """
+    cfg = cfg or DecodeConfig()
+    b = enc_out.shape[0]
+    eot = arch.eos_token_id
+    p_len = len(forced_prefix(arch, cfg))  # gates run on generated text only
+
+    fn = jax.jit(lambda p, e, key, t: greedy_decode(
+        p, arch, e, cfg, sample_key=key, temperature=t,
+        return_logprobs=True))
+
+    best: dict[str, np.ndarray | None] = {
+        "tokens": None, "lengths": None, "lp": None, "temp": None,
+        "ratio": None}
+    pending = np.ones((b,), bool)
+    for ti, temp in enumerate(temperatures):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), ti)
+        toks, lens, lps = fn(params, enc_out, key,
+                             jnp.asarray(temp, jnp.float32))
+        toks = np.asarray(toks)
+        lens = np.asarray(lens)
+        lps = np.asarray(lps, np.float32)
+        ratios = np.zeros((b,), np.float32)
+        fails = np.zeros((b,), bool)
+        for i in range(b):
+            if not pending[i]:
+                continue
+            gen = [int(t) for t in toks[i, p_len: lens[i]] if int(t) != eot]
+            ratios[i] = compression_ratio(decode_text(gen))
+            fails[i] = needs_fallback(float(lps[i]), float(ratios[i]),
+                                      compression_ratio_threshold,
+                                      logprob_threshold)
+        if best["tokens"] is None:
+            best = {"tokens": toks, "lengths": lens, "lp": lps,
+                    "temp": np.full((b,), temp, np.float32),
+                    "ratio": ratios}
+        else:
+            # adopt this attempt for rows that were still pending
+            take = pending
+            for k, v in (("tokens", toks), ("lengths", lens), ("lp", lps),
+                         ("ratio", ratios)):
+                best[k] = np.where(
+                    take.reshape((-1,) + (1,) * (v.ndim - 1)), v, best[k])
+            best["temp"] = np.where(take, temp, best["temp"])
+        pending = pending & fails
+        if not pending.any():
+            break
+
+    nsp = None
+    silent = np.zeros((b,), bool)
+    if no_speech_threshold is not None:
+        nsp = np.asarray(
+            jax.jit(lambda p, e: no_speech_prob(p, arch, e))(params, enc_out),
+            np.float32)
+        silent = nsp > no_speech_threshold
+        if logprob_threshold is not None:
+            # OpenAI: low confidence confirms the silence verdict
+            silent = silent & (best["lp"] < logprob_threshold)
+
+    texts = []
+    for i in range(b):
+        gen = [int(t) for t in best["tokens"][i, p_len: best["lengths"][i]]
+               if int(t) != eot]
+        texts.append("" if silent[i] else decode_text(gen))
+    return FallbackResult(
+        tokens=best["tokens"], lengths=best["lengths"],
+        avg_logprobs=best["lp"], temperatures=best["temp"],
+        compression_ratios=best["ratio"], no_speech_probs=nsp,
+        is_silent=silent, texts=texts)

@@ -1,0 +1,134 @@
+"""Temperature sampling + OpenAI-style quality-gated fallback decoding.
+
+Reference has no fallback (HF greedy defaults only); this mirrors OpenAI
+whisper/transcribe.py decode_with_fallback semantics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+from openai_whisper_compression_tpu.models import params as P
+from openai_whisper_compression_tpu.models import decode, whisper
+from openai_whisper_compression_tpu.models.fallback import (
+    compression_ratio, decode_with_fallback, needs_fallback)
+
+ARCH = ARCHS["test2l"]
+CFG = DecodeConfig(max_new_tokens=8, self_pallas=False, cross_pallas=False)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = P.init_params(ARCH, jax.random.PRNGKey(0))
+    mel = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (3, ARCH.num_mel_bins, 2 * ARCH.max_source_positions)),
+        jnp.float32) * 0.1
+    enc = whisper.encode(params, ARCH, mel)
+    return params, enc
+
+
+def test_temperature_zero_matches_greedy(setup):
+    params, enc = setup
+    t0, l0 = decode.greedy_decode(params, ARCH, enc, CFG)
+    t1, l1, lp = decode.greedy_decode(
+        params, ARCH, enc, CFG, sample_key=jax.random.PRNGKey(7),
+        temperature=0.0, return_logprobs=True)
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    assert np.all(np.asarray(lp) <= 0.0)
+
+
+def test_sampling_deterministic_per_key(setup):
+    params, enc = setup
+    kw = dict(sample_key=jax.random.PRNGKey(3), temperature=1.0,
+              return_logprobs=True)
+    t1, l1, lp1 = decode.greedy_decode(params, ARCH, enc, CFG, **kw)
+    t2, l2, lp2 = decode.greedy_decode(params, ARCH, enc, CFG, **kw)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_allclose(np.asarray(lp1), np.asarray(lp2))
+
+
+def test_avg_logprob_matches_teacher_forcing(setup):
+    """The in-loop logprob accumulation equals an offline teacher-forced
+    recompute over the emitted tokens."""
+    params, enc = setup
+    toks, lens, lp = decode.greedy_decode(
+        params, ARCH, enc, CFG, return_logprobs=True)
+    toks, lens, lp = np.asarray(toks), np.asarray(lens), np.asarray(lp)
+    p_len = len(decode.forced_prefix(ARCH, CFG))
+    i = 0
+    n = int(lens[i])
+    logits = whisper.decode_logits(
+        params, ARCH, jnp.asarray(toks[i: i + 1, : n]), enc[i: i + 1])
+    lps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    want = float(np.mean([
+        float(lps[0, t - 1, int(toks[i, t])])
+        for t in range(p_len, n)]))
+    assert abs(want - float(lp[i])) < 1e-3
+
+
+def test_compression_ratio_gate():
+    loop = "hello hello hello hello hello hello hello hello hello hello"
+    varied = "the quick brown fox jumps over one lazy dog near a river"
+    assert compression_ratio(loop) > compression_ratio(varied)
+    assert compression_ratio("") == 0.0
+    assert needs_fallback(-2.0, 1.0)            # low confidence
+    assert needs_fallback(-0.1, 3.0)            # repetitive
+    assert not needs_fallback(-0.1, 1.0)
+    assert not needs_fallback(-99.0, 99.0, None, None)  # gates disabled
+
+
+def test_decode_with_fallback_accepts_first(setup):
+    params, enc = setup
+    res = decode_with_fallback(
+        params, ARCH, enc, decode_text=lambda ids: "ok " * len(ids),
+        cfg=CFG, compression_ratio_threshold=None, logprob_threshold=None)
+    assert np.all(res.temperatures == 0.0)
+    assert res.tokens.shape[0] == 3 and len(res.texts) == 3
+    assert not res.is_silent.any()
+
+
+def test_decode_with_fallback_exhausts_ladder(setup):
+    params, enc = setup
+    temps = (0.0, 0.5, 1.0)
+    res = decode_with_fallback(
+        params, ARCH, enc, decode_text=lambda ids: "x",
+        cfg=CFG, temperatures=temps,
+        compression_ratio_threshold=None, logprob_threshold=0.0)  # unpassable
+    assert np.all(res.temperatures == 1.0)      # kept the last attempt
+    assert np.all(res.avg_logprobs < 0.0)
+
+
+def test_no_speech_gate(setup):
+    params, enc = setup
+    res = decode_with_fallback(
+        params, ARCH, enc, decode_text=lambda ids: "words " * 3,
+        cfg=CFG, compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=1.1)   # impossible -> never silent
+    assert not res.is_silent.any() and res.no_speech_probs is not None
+    res2 = decode_with_fallback(
+        params, ARCH, enc, decode_text=lambda ids: "words " * 3,
+        cfg=CFG, compression_ratio_threshold=None,
+        logprob_threshold=None, no_speech_threshold=-1.0)
+    # threshold below any prob: silent wherever the (disabled) logprob
+    # confirmation doesn't apply — with logprob_threshold=None it's pure
+    assert res2.is_silent.all()
+    assert all(t == "" for t in res2.texts)
+    p = np.asarray(decode.no_speech_prob(params, ARCH, enc))
+    assert p.shape == (3,) and np.all((p >= 0) & (p <= 1))
+
+
+def test_transcribe_with_temperatures(setup):
+    """Top-level transcribe() routes the fallback ladder through longform."""
+    import openai_whisper_compression_tpu as owc
+
+    params, _ = setup
+    wav = (np.random.default_rng(1).standard_normal(
+        2 * ARCH.max_source_positions * 160) * 0.05).astype(np.float32)
+    out = owc.transcribe(params, ARCH, wav, decode_cfg=CFG, batch_size=2,
+                         temperatures=(0.0, 1.0))
+    assert set(out) >= {"text", "chunks", "audio_seconds"}
+    assert out["num_chunks"] >= 1

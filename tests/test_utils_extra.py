@@ -140,6 +140,14 @@ def test_english_only_archs():
     assert decode.forced_prefix(en, DecodeConfig()) == [50257, 50362]
     assert decode.forced_prefix(ARCHS["small"], DecodeConfig()) == \
         [50258, 50259, 50359, 50363]
+    # v3 vocab shifts task/notimestamps ids +1: "auto" must track the arch
+    # (a hardcoded 50359 would inject <|translate|> here)
+    assert decode.forced_prefix(ARCHS["large-v3"], DecodeConfig()) == \
+        [50258, 50259, 50360, 50364]
+    assert decode.forced_prefix(ARCHS["large-v3-turbo"], DecodeConfig()) == \
+        [50258, 50259, 50360, 50364]
+    # custom/test vocabs: auto omits lang/task (same as the old id filter)
+    assert decode.forced_prefix(ARCHS["test2l"], DecodeConfig()) == [998, 999]
 
     arch = ARCHS["test2l"].replace(multilingual=False)
     params = P.init_params(arch, jax.random.PRNGKey(0))
