@@ -232,6 +232,28 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Fail fast on a TPU-tunnel outage: backend init otherwise blocks
+    # ~15-20 min before erroring UNAVAILABLE (observed 2026-08-17). The
+    # probe shares the process's backend, so a success costs nothing.
+    import threading
+
+    ready = [False]
+
+    def _probe():
+        try:
+            ready[0] = len(jax.devices()) > 0
+        except Exception:
+            ready[0] = False
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(300.0)
+    if not ready[0]:
+        print("# TPU backend unavailable (tunnel outage) — bench aborted; "
+              "see BENCH_r*.json history for last recorded numbers",
+              file=sys.stderr)
+        sys.exit(3)
+
     if args.tune_threshold:
         from openai_whisper_compression_tpu.ops import linear as L
 
