@@ -121,6 +121,19 @@ ARCHS: dict[str, WhisperArch] = {
 }
 ARCHS.update({a.name + ".en": _en(a) for a in
               [ARCHS[n] for n in ("tiny", "base", "small", "medium")]})
+# distil-whisper (HF distil-whisper/*): full encoder + a distilled shallow
+# decoder (model cards: large-v2/v3 and medium.en keep 2 decoder layers,
+# small.en keeps 4). Load with load_model(name, hf="distil-whisper/<name>").
+ARCHS.update({
+    "distil-large-v2": ARCHS["large-v2"].replace(
+        name="distil-large-v2", decoder_layers=2),
+    "distil-large-v3": ARCHS["large-v3"].replace(
+        name="distil-large-v3", decoder_layers=2),
+    "distil-medium.en": ARCHS["medium.en"].replace(
+        name="distil-medium.en", decoder_layers=2),
+    "distil-small.en": ARCHS["small.en"].replace(
+        name="distil-small.en", decoder_layers=4),
+})
 
 
 # ---------------------------------------------------------------------------

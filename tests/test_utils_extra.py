@@ -96,7 +96,13 @@ def test_arch_registry_families():
     a = ARCHS["large-v3-turbo"]
     assert (a.encoder_layers, a.decoder_layers) == (32, 4)
     assert (a.num_mel_bins, a.vocab_size) == (128, 51866)
+    assert a.no_timestamps_token_id == 50364  # v3 specials shift +1
     assert ARCHS["large"].d_model == ARCHS["large-v2"].d_model == 1280
+    d3 = ARCHS["distil-large-v3"]
+    assert (d3.encoder_layers, d3.decoder_layers) == (32, 2)
+    assert d3.no_timestamps_token_id == 50364
+    assert ARCHS["distil-small.en"].decoder_layers == 4
+    assert not ARCHS["distil-medium.en"].multilingual
     for name, arch in ARCHS.items():
         assert arch.name == name
         assert arch.d_model % arch.encoder_heads == 0
