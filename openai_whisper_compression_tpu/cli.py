@@ -280,9 +280,13 @@ def cmd_transcribe(args):
         res = {"text": tok.decode(ids.tolist()), "tokens": ids.tolist()}
         print(res["text"])
     else:
+        temps = None
+        if getattr(args, "temperatures", None):
+            temps = tuple(float(t) for t in args.temperatures.split(","))
         res = transcribe(params, arch, wav,
                          decode_cfg=_decode_cfg(args, arch),
-                         batch_size=args.batch_size)
+                         batch_size=args.batch_size,
+                         temperatures=temps)
         print(res["text"])
     return res
 
@@ -450,6 +454,10 @@ def main(argv=None):
                         "the target's greedy transcript)")
     p.add_argument("--gamma", type=int, default=4,
                    help="draft tokens per speculative round")
+    p.add_argument("--temperatures", default=None,
+                   help="comma list, e.g. '0,0.2,0.4,0.6,0.8,1.0': OpenAI "
+                        "temperature-fallback ladder with compression-ratio"
+                        "/logprob quality gates (models.fallback)")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("agreement", help="compressed-vs-baseline agreement")

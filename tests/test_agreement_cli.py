@@ -94,3 +94,15 @@ def test_cli_run_config(tmp_path, capsys):
     scores = cli.main(["run", "--config", str(path)])
     assert scores["num_samples"] == 4
     assert (tmp_path / "test2l_results.json").exists()
+
+
+def test_cli_transcribe_temperature_fallback(tmp_path, capsys):
+    from openai_whisper_compression_tpu import cli
+
+    path = tmp_path / "b.npy"
+    np.save(path, (np.random.default_rng(0).standard_normal(8000) * 0.05
+                   ).astype(np.float32))
+    cli.main(["transcribe", "--model", "test2l", "--audio", str(path),
+              "--max-new-tokens", "3", "--batch-size", "1",
+              "--temperatures", "0,0.5"])
+    assert isinstance(capsys.readouterr().out, str)
