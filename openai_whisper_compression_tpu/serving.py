@@ -38,7 +38,12 @@ class ServiceStats:
     audio_seconds: float = 0.0
     busy_seconds: float = 0.0
     queue_peak: int = 0
+    # submit->result latencies (seconds); ring-bounded like the reference's
+    # 500-sample memory tracker (`memory_tracker.py:146`)
+    latencies: list = field(default_factory=list, repr=False)
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    MAX_LATENCIES = 10_000
 
     def snapshot(self) -> dict:
         with self._lock:
@@ -46,6 +51,14 @@ class ServiceStats:
                         if self.batches else 0.0)
             rtfx = (self.audio_seconds / self.busy_seconds
                     if self.busy_seconds else 0.0)
+            lat = {}
+            if self.latencies:
+                import numpy as _np
+
+                arr = _np.asarray(self.latencies)
+                lat = {"latency_p50_ms": float(_np.percentile(arr, 50)) * 1e3,
+                       "latency_p95_ms": float(_np.percentile(arr, 95)) * 1e3,
+                       "latency_max_ms": float(arr.max()) * 1e3}
             return {
                 "requests": self.requests,
                 "batches": self.batches,
@@ -54,6 +67,7 @@ class ServiceStats:
                 "busy_seconds": self.busy_seconds,
                 "rtfx": rtfx,
                 "queue_peak": self.queue_peak,
+                **lat,
             }
 
 
@@ -194,3 +208,6 @@ class TranscriptionService:
                 self.stats.occupancy_sum += len(items) / self.batch_size
                 self.stats.audio_seconds += audio_s
                 self.stats.busy_seconds += busy
+                if len(self.stats.latencies) < ServiceStats.MAX_LATENCIES:
+                    self.stats.latencies.extend(
+                        now - t for (_, _, _, t) in items)

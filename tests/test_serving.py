@@ -57,6 +57,8 @@ def test_results_match_direct(svc_setup):
     assert stats["requests"] == 3
     assert stats["batches"] >= 1
     assert 0 < stats["mean_batch_occupancy"] <= 1
+    assert 0 < stats["latency_p50_ms"] <= stats["latency_p95_ms"] \
+        <= stats["latency_max_ms"]
 
 
 def test_concurrent_submitters(svc_setup):
