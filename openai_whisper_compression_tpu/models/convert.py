@@ -159,11 +159,21 @@ def to_hf_state_dict(params: dict) -> dict[str, np.ndarray]:
 
 
 def arch_from_hf_config(cfg) -> WhisperArch:
-    """Derive a WhisperArch from an HF WhisperConfig object."""
+    """Derive a WhisperArch from an HF WhisperConfig object.
+
+    Special-token layout follows the vocab size (WhisperConfig doesn't carry
+    no_timestamps_token_id — that lives in generation_config, which
+    `load_hf_model` applies on top when present): 51864 = English-only
+    (<|notimestamps|> 50362, no language/task tokens), 51865 = v2-style
+    multilingual (50363), >=51866 = v3 (+<|yue|>, everything shifts to
+    50364)."""
     base = ARCHS["tiny"]
+    v = cfg.vocab_size
+    nts = 50362 if v == 51864 else (50363 if v == 51865
+                                    else 50364 if v >= 51866 else 50363)
     return base.replace(
         name=getattr(cfg, "name_or_path", "") or "hf",
-        vocab_size=cfg.vocab_size,
+        vocab_size=v,
         num_mel_bins=cfg.num_mel_bins,
         d_model=cfg.d_model,
         encoder_layers=cfg.encoder_layers,
@@ -173,8 +183,13 @@ def arch_from_hf_config(cfg) -> WhisperArch:
         ffn_dim=cfg.encoder_ffn_dim,
         max_source_positions=cfg.max_source_positions,
         max_target_positions=cfg.max_target_positions,
+        bos_token_id=cfg.eos_token_id,  # HF uses EOT as pad
         eos_token_id=cfg.eos_token_id,
         decoder_start_token_id=cfg.decoder_start_token_id,
+        multilingual=v != 51864,
+        # custom/test vocabs keep the (>= vocab) default: timestamp rules
+        # and prefix specials simply disable, as before
+        no_timestamps_token_id=nts,
     )
 
 
@@ -255,11 +270,16 @@ def load_hf_model(model_name: str, dtype=jnp.float32, use_cache: bool = True,
     # published word-alignment heads (HF generation_config.alignment_heads,
     # the mask OpenAI ships per checkpoint) — consumed by
     # models.alignment.find_alignment when present
-    heads = getattr(getattr(model, "generation_config", None),
-                    "alignment_heads", None)
+    gen_cfg = getattr(model, "generation_config", None)
+    heads = getattr(gen_cfg, "alignment_heads", None)
     if heads:
         arch = arch.replace(
             alignment_heads=tuple(tuple(h) for h in heads))
+    # generation_config is authoritative for the special-token layout
+    # (WhisperConfig doesn't carry no_timestamps_token_id)
+    nts = getattr(gen_cfg, "no_timestamps_token_id", None)
+    if nts is not None:
+        arch = arch.replace(no_timestamps_token_id=int(nts))
     if use_cache:
         try:
             save_cached_model(params, arch, model_name, cache_dir)

@@ -180,3 +180,30 @@ def test_evaluate_model_publishes_analytic_hbm(monkeypatch):
     memsum = scores["memory"]
     assert memsum["hbm_analytic"] is True
     assert memsum["hbm_peak_mb"]["mean"] > 0
+
+
+def test_arch_from_hf_config_special_layouts():
+    """Vocab size determines the special-token layout; generation_config
+    (applied in load_hf_model) can override."""
+    from types import SimpleNamespace
+
+    from openai_whisper_compression_tpu.models.convert import (
+        arch_from_hf_config)
+
+    def cfg(vocab):
+        return SimpleNamespace(
+            name_or_path="x", vocab_size=vocab, num_mel_bins=80, d_model=64,
+            encoder_layers=2, encoder_attention_heads=4, decoder_layers=2,
+            decoder_attention_heads=4, encoder_ffn_dim=128,
+            max_source_positions=64, max_target_positions=32,
+            eos_token_id=50257, decoder_start_token_id=50258)
+
+    a_en = arch_from_hf_config(cfg(51864))
+    assert (a_en.multilingual, a_en.no_timestamps_token_id) == (False, 50362)
+    a_v2 = arch_from_hf_config(cfg(51865))
+    assert (a_v2.multilingual, a_v2.no_timestamps_token_id) == (True, 50363)
+    a_v3 = arch_from_hf_config(cfg(51866))
+    assert (a_v3.multilingual, a_v3.no_timestamps_token_id) == (True, 50364)
+    # custom/test vocab: specials disabled (id >= vocab), multilingual-true
+    a_t = arch_from_hf_config(cfg(1000))
+    assert a_t.no_timestamps_token_id >= a_t.vocab_size
