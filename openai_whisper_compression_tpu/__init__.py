@@ -47,7 +47,7 @@ def load_model(name_or_arch: str = "tiny", dtype: Any = None, seed: int = 0,
 def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
                batch_size: int = 8, timestamps: bool = False,
                word_timestamps: bool = False,
-               temperatures=None) -> dict:
+               temperatures=None, initial_prompt: str | None = None) -> dict:
     """OpenAI-`whisper.transcribe()`-style convenience: accepts a waveform of
     any length (16 kHz float32), long-form chunks at 30 s, returns
     {"text", "chunks", ...}.
@@ -74,7 +74,8 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
                                word_timestamps=word_timestamps)
     return transcribe_long(params, arch, audio, tokenizer,
                            cfg=decode_cfg, batch_size=batch_size,
-                           temperatures=temperatures)
+                           temperatures=temperatures,
+                           initial_prompt=initial_prompt)
 
 
 def quantize(params, method: str = "int8", **kw):

@@ -286,7 +286,8 @@ def cmd_transcribe(args):
         res = transcribe(params, arch, wav,
                          decode_cfg=_decode_cfg(args, arch),
                          batch_size=args.batch_size,
-                         temperatures=temps)
+                         temperatures=temps,
+                         initial_prompt=getattr(args, "initial_prompt", None))
         print(res["text"])
     return res
 
@@ -458,6 +459,9 @@ def main(argv=None):
                    help="comma list, e.g. '0,0.2,0.4,0.6,0.8,1.0': OpenAI "
                         "temperature-fallback ladder with compression-ratio"
                         "/logprob quality gates (models.fallback)")
+    p.add_argument("--initial-prompt", default=None,
+                   help="text fed as the first window's decoder prompt "
+                        "(OpenAI initial_prompt)")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("agreement", help="compressed-vs-baseline agreement")

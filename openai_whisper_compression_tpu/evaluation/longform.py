@@ -41,7 +41,8 @@ def transcribe_long(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     transcribe_fn=None, condition_on_previous: bool = False,
                     prompt_window: int = 64,
                     temperatures: tuple[float, ...] | None = None,
-                    fallback_kw: dict | None = None) -> dict:
+                    fallback_kw: dict | None = None,
+                    initial_prompt: str | None = None) -> dict:
     """Arbitrary-length waveform -> {"text", "chunks", "audio_seconds"}.
 
     condition_on_previous=True feeds each chunk the previous chunk's tokens
@@ -52,14 +53,37 @@ def transcribe_long(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     batch (see models.fallback) — chunks failing the compression-ratio /
     logprob gates are re-sampled at the next temperature. fallback_kw
     forwards threshold overrides to `decode_with_fallback`.
+
+    initial_prompt: text fed as the first window's decoder prompt (OpenAI
+    `initial_prompt`; requires tokenizer.encode). With
+    condition_on_previous it seeds the rolling prompt; otherwise only the
+    first chunk decodes prompted (matching OpenAI's prompt-reset
+    behavior when conditioning is off).
     """
     cfg = cfg or DecodeConfig()
     n_samples = samples_for_arch(arch)
     chunks = chunk_waveform(np.asarray(wav, np.float32), n_samples)
 
+    seed_ids = (list(tokenizer.encode(initial_prompt))
+                if initial_prompt else None)
     if condition_on_previous:
         texts = _transcribe_conditioned(params, arch, chunks, tokenizer, cfg,
-                                        n_samples, prompt_window)
+                                        n_samples, prompt_window,
+                                        seed_ids=seed_ids)
+    elif seed_ids:
+        # first window prompted; the rest ride the batched path unprompted
+        texts = _transcribe_conditioned(params, arch, chunks[:1], tokenizer,
+                                        cfg, n_samples, prompt_window,
+                                        seed_ids=seed_ids)
+        if len(chunks) > 1:
+            rest = transcribe_long(
+                params, arch,
+                np.concatenate([np.asarray(c, np.float32)
+                                for c in chunks[1:]]),
+                tokenizer, cfg=cfg, batch_size=batch_size,
+                transcribe_fn=transcribe_fn, temperatures=temperatures,
+                fallback_kw=fallback_kw)
+            texts = texts + rest["chunks"]
     elif temperatures is not None:
         from ..audio import features
         from ..models.fallback import decode_with_fallback
@@ -237,9 +261,26 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     return out
 
 
+def _seed_prompt(ids: list, pw: int, eot: int,
+                 vocab: int) -> tuple[np.ndarray, np.ndarray]:
+    """Right-aligned (1, pw) prompt window [<|startofprev|>] + trailing ids
+    (OpenAI keeps the last n_ctx//2-1 prompt tokens; here the window is
+    pw)."""
+    ids = [int(t) for t in ids if 0 <= int(t) < vocab]
+    ids = list(ids[-(pw - 1):]) if pw > 1 else []
+    if SOT_PREV < vocab:
+        ids = [SOT_PREV] + ids
+    ids = ids[-pw:]
+    prompt = np.full((1, pw), eot, np.int32)
+    if ids:
+        prompt[0, pw - len(ids):] = ids
+    return prompt, np.asarray([len(ids)], np.int32)
+
+
 def _transcribe_conditioned(params, arch: WhisperArch, chunks, tokenizer,
                             cfg: DecodeConfig, n_samples: int,
-                            pw: int) -> list[str]:
+                            pw: int, seed_ids: list | None = None
+                            ) -> list[str]:
     from ..audio import features
     from ..models.decode import beam_decode, forced_prefix
     from ..models.whisper import encode
@@ -259,8 +300,12 @@ def _transcribe_conditioned(params, arch: WhisperArch, chunks, tokenizer,
                            prompt_tokens=prompt, prompt_lens=plen)
 
     texts: list[str] = []
-    prompt = np.full((1, pw), eot, np.int32)
-    plen = np.zeros((1,), np.int32)
+    if seed_ids:
+        # OpenAI initial_prompt: tokens precede the first window's prefix
+        prompt, plen = _seed_prompt(seed_ids, pw, eot, arch.vocab_size)
+    else:
+        prompt = np.full((1, pw), eot, np.int32)
+        plen = np.zeros((1,), np.int32)
     for chunk in chunks:
         buf = np.zeros((1, n_samples), np.float32)
         buf[0, : len(chunk)] = chunk
@@ -271,12 +316,5 @@ def _transcribe_conditioned(params, arch: WhisperArch, chunks, tokenizer,
         gen = gen[gen != eot]
         texts.append(tokenizer.decode(gen))
         # next prompt: <|startofprev|> + trailing generated tokens
-        ids = list(gen[-(pw - 1):]) if pw > 1 else []
-        if SOT_PREV < arch.vocab_size:
-            ids = [SOT_PREV] + ids
-        ids = ids[-pw:]
-        prompt = np.full((1, pw), eot, np.int32)
-        if ids:
-            prompt[0, pw - len(ids):] = ids
-        plen = np.asarray([len(ids)], np.int32)
+        prompt, plen = _seed_prompt(list(gen), pw, eot, arch.vocab_size)
     return texts

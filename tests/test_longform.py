@@ -146,3 +146,48 @@ def test_top_level_transcribe_timestamps():
     assert "segments" in res and "words" in res
     for w in res["words"]:
         assert w["end"] >= w["start"] >= 0
+
+
+def test_seed_prompt_window():
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        SOT_PREV, _seed_prompt)
+
+    # real vocab: <|startofprev|> + trailing ids, right-aligned
+    prompt, plen = _seed_prompt([10, 20, 30], pw=4, eot=50257, vocab=51865)
+    assert prompt.shape == (1, 4) and plen[0] == 4
+    assert prompt[0].tolist() == [SOT_PREV, 10, 20, 30]
+    # window overflow keeps the TAIL
+    prompt, plen = _seed_prompt(list(range(100)), pw=4, eot=50257,
+                                vocab=51865)
+    assert prompt[0].tolist() == [SOT_PREV, 97, 98, 99]
+    # tiny vocab: no <|startofprev|>, out-of-vocab ids dropped
+    prompt, plen = _seed_prompt([5, 9999], pw=4, eot=997, vocab=1000)
+    assert plen[0] == 1 and prompt[0].tolist() == [997, 997, 997, 5]
+
+
+def test_initial_prompt_paths():
+    import openai_whisper_compression_tpu as owc
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    wav = (np.random.default_rng(2).standard_normal(
+        2 * arch.max_source_positions * 160 + 500) * 0.05).astype(np.float32)
+    cfg = DecodeConfig(max_new_tokens=3, self_pallas=False,
+                       cross_pallas=False)
+    # batched path: first window prompted, second unprompted
+    out = owc.transcribe(params, arch, wav, decode_cfg=cfg, batch_size=2,
+                         initial_prompt="hello world")
+    assert out["num_chunks"] == 2 and len(out["chunks"]) == 2
+    # conditioned path: prompt seeds the rolling window
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_long)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+
+    tok = WordTokenizer(arch.vocab_size, special_start=997)
+    out2 = transcribe_long(params, arch, wav, tok, cfg=cfg,
+                           condition_on_previous=True, prompt_window=8,
+                           initial_prompt="hello world")
+    assert len(out2["chunks"]) == 2
