@@ -47,7 +47,9 @@ def load_model(name_or_arch: str = "tiny", dtype: Any = None, seed: int = 0,
 def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
                batch_size: int = 8, timestamps: bool = False,
                word_timestamps: bool = False,
-               temperatures=None, initial_prompt: str | None = None) -> dict:
+               temperatures=None, initial_prompt: str | None = None,
+               task: str = "transcribe", language: str | int | None = None
+               ) -> dict:
     """OpenAI-`whisper.transcribe()`-style convenience: accepts a waveform of
     any length (16 kHz float32), long-form chunks at 30 s, returns
     {"text", "chunks", ...}.
@@ -57,9 +59,25 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
     additionally aligns words via cross-attention DTW ("words" key).
     temperatures (e.g. ``(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)``) enables the
     OpenAI temperature-fallback ladder with compression-ratio/logprob
-    quality gates (models.fallback)."""
+    quality gates (models.fallback). task="translate" and language
+    ("de" / a raw token id) set the decoder prefix tokens per-arch
+    (initial_prompt applies to the non-timestamps path)."""
+    import dataclasses as _dc
+
+    from .config import language_token_id
     from .evaluation.longform import transcribe_long, transcribe_seek
     from .evaluation.tokenizer import WordTokenizer
+
+    if task not in ("transcribe", "translate"):
+        raise ValueError(f"task must be transcribe|translate, got {task!r}")
+    if task == "translate" or language is not None:
+        cfg0 = decode_cfg or DecodeConfig()
+        repl = {}
+        if task == "translate":
+            repl["task_token_id"] = arch.task_translate_token_id
+        if language is not None:
+            repl["language_token_id"] = language_token_id(arch, language)
+        decode_cfg = _dc.replace(cfg0, **repl)
 
     if tokenizer is None:
         tokenizer = WordTokenizer(

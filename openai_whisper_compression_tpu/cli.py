@@ -54,12 +54,19 @@ def _load_data(args, arch):
 def _decode_cfg(args, arch):
     from .config import DecodeConfig
 
-    # language/task stay "auto": forced_prefix resolves the per-arch ids
-    # (v2 vs v3 layouts differ; `.en` vocabs omit them entirely)
+    # language/task default to "auto": forced_prefix resolves the per-arch
+    # ids (v2 vs v3 layouts differ; `.en` vocabs omit them entirely)
+    kw = {}
+    if getattr(args, "task", "transcribe") == "translate":
+        kw["task_token_id"] = arch.task_translate_token_id
+    if getattr(args, "language", None):
+        from .config import language_token_id
+
+        kw["language_token_id"] = language_token_id(arch, args.language)
     return DecodeConfig(max_new_tokens=args.max_new_tokens,
                         beam_size=args.beam,
                         notimestamps=arch.no_timestamps_token_id < arch.vocab_size,
-                        kv_int8=args.kv_int8)
+                        kv_int8=args.kv_int8, **kw)
 
 
 def cmd_evaluate(args):
@@ -462,6 +469,10 @@ def main(argv=None):
     p.add_argument("--initial-prompt", default=None,
                    help="text fed as the first window's decoder prompt "
                         "(OpenAI initial_prompt)")
+    p.add_argument("--task", default="transcribe",
+                   choices=["transcribe", "translate"])
+    p.add_argument("--language", default=None,
+                   help="source language code (e.g. de) or raw token id")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("agreement", help="compressed-vs-baseline agreement")

@@ -63,6 +63,10 @@ class WhisperArch:
         return self.no_timestamps_token_id - 4
 
     @property
+    def task_translate_token_id(self) -> int:
+        return self.no_timestamps_token_id - 5
+
+    @property
     def no_speech_token_id(self) -> int:
         return self.no_timestamps_token_id - 1
 
@@ -134,6 +138,41 @@ ARCHS.update({
     "distil-small.en": ARCHS["small.en"].replace(
         name="distil-small.en", decoder_layers=4),
 })
+
+
+# OpenAI language codes IN TOKEN ORDER: language token = <|sot|> + 1 + index
+# (whisper tokenizer LANGUAGES dict order; v3 vocabs append "yue").
+LANGUAGES = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su", "yue",
+)
+
+
+def language_token_id(arch: "WhisperArch", code: str | int) -> int:
+    """<|xx|> token id for a language code (or pass an int id through).
+
+    Token layout: languages sit at [sot+1, translate) in declaration order;
+    v2-style vocabs hold 99 of them, v3 adds "yue" (100)."""
+    if isinstance(code, int):
+        return code
+    c = code.lower()
+    if c not in LANGUAGES:
+        raise ValueError(f"unknown language code {code!r}")
+    tok = arch.decoder_start_token_id + 1 + LANGUAGES.index(c)
+    if not arch.multilingual:
+        raise ValueError(f"{arch.name} is English-only")
+    if tok >= arch.task_translate_token_id:  # past the language block
+        raise ValueError(
+            f"language {code!r} not in {arch.name}'s vocab "
+            f"(v2-style vocabs lack 'yue')")
+    return tok
 
 
 # ---------------------------------------------------------------------------

@@ -165,3 +165,43 @@ def test_english_only_archs():
                        cross_pallas=False)
     toks, lens = decode.greedy_decode(params, arch, enc, cfg)
     assert np.asarray(toks)[0, 0] == arch.decoder_start_token_id
+
+
+def test_language_and_task_token_ids():
+    """Language tokens sit at sot+1+index in LANGUAGES order; task ids are
+    fixed offsets below <|notimestamps|> — all v2/v3-layout aware."""
+    from openai_whisper_compression_tpu.config import (
+        LANGUAGES, language_token_id)
+
+    small = ARCHS["small"]
+    assert language_token_id(small, "en") == 50259
+    assert language_token_id(small, "de") == 50261
+    assert language_token_id(small, 12345) == 12345       # int passthrough
+    assert small.task_translate_token_id == 50358
+    assert small.task_transcribe_token_id == 50359
+    v3 = ARCHS["large-v3"]
+    assert language_token_id(v3, "yue") == 50358          # v3-only language
+    assert v3.task_translate_token_id == 50359
+    assert v3.task_transcribe_token_id == 50360
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        language_token_id(small, "yue")                   # v2 lacks yue
+    with _pt.raises(ValueError):
+        language_token_id(ARCHS["small.en"], "de")        # English-only
+    with _pt.raises(ValueError):
+        language_token_id(small, "xx")
+    assert len(LANGUAGES) == 100 and LANGUAGES[-1] == "yue"
+
+
+def test_transcribe_task_translate_prefix():
+    """task='translate' + language override reach the forced prefix."""
+    import dataclasses
+
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.models import decode
+
+    arch = ARCHS["small"]
+    cfg = dataclasses.replace(DecodeConfig(),
+                              task_token_id=arch.task_translate_token_id,
+                              language_token_id=50261)  # <|de|>
+    assert decode.forced_prefix(arch, cfg) == [50258, 50261, 50358, 50363]
