@@ -155,6 +155,15 @@ LANGUAGES = (
 )
 
 
+def language_code(arch: "WhisperArch", token_id: int) -> str:
+    """Inverse of `language_token_id`: <|xx|> token id -> code (for
+    `models.decode.detect_language` output)."""
+    idx = int(token_id) - (arch.decoder_start_token_id + 1)
+    if not 0 <= idx < len(LANGUAGES):
+        raise ValueError(f"token {token_id} is not a language token")
+    return LANGUAGES[idx]
+
+
 def language_token_id(arch: "WhisperArch", code: str | int) -> int:
     """<|xx|> token id for a language code (or pass an int id through).
 

@@ -205,3 +205,14 @@ def test_transcribe_task_translate_prefix():
                               task_token_id=arch.task_translate_token_id,
                               language_token_id=50261)  # <|de|>
     assert decode.forced_prefix(arch, cfg) == [50258, 50261, 50358, 50363]
+
+
+def test_language_code_roundtrip():
+    from openai_whisper_compression_tpu.config import (
+        language_code, language_token_id)
+
+    small = ARCHS["small"]
+    for c in ("en", "de", "ja"):
+        assert language_code(small, language_token_id(small, c)) == c
+    with pytest.raises(ValueError):
+        language_code(small, 50258)  # sot is not a language token
