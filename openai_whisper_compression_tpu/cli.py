@@ -15,9 +15,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Honor JAX_PLATFORMS even when a site hook force-registered another
+# backend: some deployments (e.g. the axon PJRT sitecustomize) set
+# jax_platforms at interpreter start, which silently overrides the env
+# var — `JAX_PLATFORMS=cpu python -m ...cli` would then still try to
+# initialise the TPU backend (and hang if its tunnel is down). An
+# explicit config.update always wins over both.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def _load_model(args):
@@ -242,7 +252,9 @@ def cmd_transcribe(args):
                                                   arch.decoder_start_token_id)))
         cfg = dataclasses.replace(_decode_cfg(args, arch), notimestamps=False)
         res = transcribe_seek(params, arch, wav, tok, cfg,
-                              word_timestamps=args.word_timestamps)
+                              word_timestamps=args.word_timestamps,
+                              clip_timestamps=getattr(
+                                  args, "clip_timestamps", None))
         for s in res["segments"]:
             end = "?" if s["end"] is None else f"{s['end']:.2f}"
             print(f"[{s['start']:.2f} -> {end}] {s['text']}")
@@ -296,6 +308,12 @@ def cmd_transcribe(args):
                          temperatures=temps,
                          initial_prompt=getattr(args, "initial_prompt", None))
         print(res["text"])
+    if getattr(args, "output_format", None):
+        from .utils.writers import get_writer
+
+        writer = get_writer(args.output_format, args.output_dir)
+        for path in writer(res, args.audio, duration=len(wav) / 16000.0):
+            print(f"wrote {path}")
     return res
 
 
@@ -456,6 +474,9 @@ def main(argv=None):
                    help="segment timestamps via seek decoding")
     p.add_argument("--word-timestamps", action="store_true",
                    help="word-level times via cross-attention DTW")
+    p.add_argument("--clip-timestamps", default=None,
+                   help="'start,end,start,end,...' seconds to transcribe "
+                        "(OpenAI clip_timestamps; needs --timestamps)")
     p.add_argument("--draft-model", default=None,
                    help="speculative decoding with this draft arch "
                         "(e.g. tiny drafting for small; output is exactly "
@@ -473,6 +494,12 @@ def main(argv=None):
                    choices=["transcribe", "translate"])
     p.add_argument("--language", default=None,
                    help="source language code (e.g. de) or raw token id")
+    p.add_argument("--output-format", "-f", default=None,
+                   choices=["txt", "json", "srt", "vtt", "tsv", "all"],
+                   help="also write the result to --output-dir in this "
+                        "format (OpenAI whisper --output_format parity)")
+    p.add_argument("--output-dir", "-o", default=".",
+                   help="directory for --output-format files")
     p.set_defaults(fn=cmd_transcribe)
 
     p = sub.add_parser("agreement", help="compressed-vs-baseline agreement")

@@ -172,11 +172,37 @@ def segments_from_tokens(arch: WhisperArch,
     return segments, last_end
 
 
+def _parse_clips(clip_timestamps, total_s: float) -> list[tuple[float, float]]:
+    """OpenAI `clip_timestamps`: comma string or list of start,end,... pairs
+    in seconds; a missing final end means end-of-audio. Returns merged,
+    in-bounds (start, end) pairs; None/""/"0" → the whole file."""
+    if clip_timestamps in (None, "", "0", 0):
+        return [(0.0, total_s)]
+    if isinstance(clip_timestamps, str):
+        vals = [float(x) for x in clip_timestamps.split(",") if x.strip()]
+    else:
+        vals = [float(x) for x in clip_timestamps]
+    if not vals:
+        return [(0.0, total_s)]
+    if len(vals) % 2 == 1:
+        vals.append(total_s)
+    clips = []
+    for i in range(0, len(vals), 2):
+        s, e = max(0.0, vals[i]), min(vals[i + 1], total_s)
+        if e > s:
+            clips.append((s, e))
+    if not clips:
+        raise ValueError(f"clip_timestamps {clip_timestamps!r} selects no "
+                         f"audio (duration {total_s:.2f}s)")
+    return clips
+
+
 def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     cfg: DecodeConfig | None = None,
                     transcribe_fn=None,
                     word_timestamps: bool = False,
-                    alignment_heads=None) -> dict:
+                    alignment_heads=None,
+                    clip_timestamps=None) -> dict:
     """Timestamp-seeking long-form transcription (OpenAI transcribe()
     semantics): decode a 30 s window with timestamp rules, advance to the
     end of the last complete segment, repeat. Falls back to full-window
@@ -185,6 +211,10 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     word_timestamps=True additionally aligns each window's tokens to audio
     frames via cross-attention DTW (models/alignment.py, ≈ OpenAI
     `word_timestamps=True`) and returns a "words" list with absolute times.
+
+    clip_timestamps (OpenAI parity): "start,end,start,end,..." seconds (or
+    a list of floats); only those ranges are transcribed, segment/word
+    times stay absolute. A missing final end = end of audio.
 
     Returns {"text", "segments" (absolute times), "num_windows"[, "words"]}."""
     from ..models.decode import _timestamps_enabled, forced_prefix
@@ -212,44 +242,47 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             return encode(p, arch, mel.astype(jnp.float32))
 
     wav = np.asarray(wav, np.float32)
-    pos = 0
+    clips = _parse_clips(clip_timestamps, len(wav) / 16000.0)
     windows = 0
     all_segments: list[dict] = []
     all_words: list[dict] = []
-    while pos < len(wav):
-        buf = np.zeros((1, n_samples), np.float32)
-        piece = wav[pos: pos + n_samples]
-        buf[0, : len(piece)] = piece
-        tokens, lengths = transcribe_fn(params, jnp.asarray(buf))
-        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
-        gen = tokens[0, first_gen: lengths[0]]
-        segments, seek_s = segments_from_tokens(arch, gen)
-        t0 = pos / 16000.0
-        for s in segments:
-            all_segments.append({
-                "start": t0 + s["start"],
-                "end": None if s["end"] is None else t0 + s["end"],
-                "text": tokenizer.decode(s["tokens"]),
-            })
-        if word_timestamps:
-            enc = enc_fn(params, jnp.asarray(buf))
-            win_toks = tokens[0, : lengths[0]]
-            n_frames = max(1, min(arch.max_source_positions,
-                                  len(piece) // 320))
-            times = align_mod.find_alignment(
-                params, arch, enc, win_toks,
-                alignment_heads=alignment_heads, n_frames=n_frames)
-            ts_begin = arch.no_timestamps_token_id + 1
-            special = min(arch.eos_token_id, arch.decoder_start_token_id,
-                          ts_begin)
-            all_words.extend(align_mod.word_timestamps(
-                tokenizer, win_toks.tolist(), times,
-                special_threshold=special, offset=t0))
-        windows += 1
-        advance = (int(seek_s * 16000) if seek_s else n_samples)
-        pos += max(advance, 1)  # never stall
-        if len(piece) < n_samples:
-            break  # final (padded) window consumed everything
+    for clip_start, clip_end in clips:
+        pos = int(clip_start * 16000)
+        clip_end_sample = min(int(clip_end * 16000), len(wav))
+        while pos < clip_end_sample:
+            buf = np.zeros((1, n_samples), np.float32)
+            piece = wav[pos: min(pos + n_samples, clip_end_sample)]
+            buf[0, : len(piece)] = piece
+            tokens, lengths = transcribe_fn(params, jnp.asarray(buf))
+            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            gen = tokens[0, first_gen: lengths[0]]
+            segments, seek_s = segments_from_tokens(arch, gen)
+            t0 = pos / 16000.0
+            for s in segments:
+                all_segments.append({
+                    "start": t0 + s["start"],
+                    "end": None if s["end"] is None else t0 + s["end"],
+                    "text": tokenizer.decode(s["tokens"]),
+                })
+            if word_timestamps:
+                enc = enc_fn(params, jnp.asarray(buf))
+                win_toks = tokens[0, : lengths[0]]
+                n_frames = max(1, min(arch.max_source_positions,
+                                      len(piece) // 320))
+                times = align_mod.find_alignment(
+                    params, arch, enc, win_toks,
+                    alignment_heads=alignment_heads, n_frames=n_frames)
+                ts_begin = arch.no_timestamps_token_id + 1
+                special = min(arch.eos_token_id, arch.decoder_start_token_id,
+                              ts_begin)
+                all_words.extend(align_mod.word_timestamps(
+                    tokenizer, win_toks.tolist(), times,
+                    special_threshold=special, offset=t0))
+            windows += 1
+            advance = (int(seek_s * 16000) if seek_s else n_samples)
+            pos += max(advance, 1)  # never stall
+            if len(piece) < n_samples:
+                break  # final (padded) window consumed the clip
     out = {
         "text": " ".join(s["text"] for s in all_segments if s["text"]),
         "segments": all_segments,

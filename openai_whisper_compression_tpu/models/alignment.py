@@ -175,17 +175,63 @@ def _weights_jit(params, arch, tokens, enc_out):
     return cross_attention_weights(params, arch, tokens, enc_out)
 
 
+PREPEND_PUNCTUATIONS = "\"'\u201c\u00bf([{-"
+APPEND_PUNCTUATIONS = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001"
+
+
+def merge_punctuations(words: list[dict],
+                       prepended: str = PREPEND_PUNCTUATIONS,
+                       appended: str = APPEND_PUNCTUATIONS) -> list[dict]:
+    """Attach punctuation-only words to their neighbours.
+
+    OpenAI-parity post-pass (whisper/timing.py merge_punctuations role): a
+    word made entirely of opening punctuation ("¿ ( [ quote …) is glued onto
+    the FOLLOWING word (its start time wins); one made of closing
+    punctuation (. , ! ? quote …) is glued onto the PRECEDING word (end
+    time extends). Operates on [{"word","start","end"}] and returns a new
+    list; input order is preserved.
+    """
+    merged: list[dict] = []
+    pending_prefix: dict | None = None
+    for w in words:
+        text = w["word"]
+        if text and all(c in prepended for c in text):
+            # accumulate consecutive opening punctuation
+            if pending_prefix is None:
+                pending_prefix = dict(w)
+            else:
+                pending_prefix["word"] += text
+            continue
+        if pending_prefix is not None:
+            w = {"word": pending_prefix["word"] + text,
+                 "start": pending_prefix["start"], "end": w["end"]}
+            pending_prefix = None
+        if (merged and text
+                and all(c in appended for c in text)):
+            merged[-1] = {"word": merged[-1]["word"] + text,
+                          "start": merged[-1]["start"], "end": w["end"]}
+            continue
+        merged.append(dict(w))
+    if pending_prefix is not None:  # trailing orphan opener: keep as-is
+        merged.append(pending_prefix)
+    return merged
+
+
 def word_timestamps(tokenizer, tokens: Sequence[int],
                     token_times: np.ndarray,
                     special_threshold: int | None = None,
-                    offset: float = 0.0) -> list[dict]:
+                    offset: float = 0.0,
+                    punctuations: bool = True) -> list[dict]:
     """Group per-token times into words.
 
     A token starting a new word is one whose decoded text begins with a
     space (or the first text token). Special tokens (id >= threshold) are
     skipped; when `special_threshold` is None it defaults to the
     tokenizer's `special_start` (WordTokenizer) or 50257 (the EOT id, start
-    of the special range in every real Whisper vocab).
+    of the special range in every real Whisper vocab). With
+    `punctuations=True` (default) punctuation-only words are merged onto
+    their neighbours via `merge_punctuations` (OpenAI prepend/append
+    punctuation semantics).
 
     Returns [{"word", "start", "end"}] with times offset by `offset` s.
     """
@@ -213,4 +259,4 @@ def word_timestamps(tokenizer, tokens: Sequence[int],
     if cur.strip():
         words.append({"word": cur.strip(), "start": float(cur_start + offset),
                       "end": float(cur_end + offset)})
-    return words
+    return merge_punctuations(words) if punctuations else words

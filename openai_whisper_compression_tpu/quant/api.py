@@ -46,8 +46,31 @@ def quantize_params(params: Any, method: str = "int8",
 
     act: None | "dynamic_int8" | "static_int8" (weight+activation modes).
     name_filter: optional predicate on dotted leaf names to restrict scope.
+
+    `method` may also be a REGISTRY config name (e.g. "quanto_int8", the
+    names the CLI's --quant flag takes): the named config is applied
+    (dtype cast + weight quant + act mode), with `act`/`name_filter`/`kw`
+    still honoured on the weight-quant step.
     """
-    quantizer = QUANTIZERS[method]
+    if method not in QUANTIZERS and method in REGISTRY:
+        cfg = REGISTRY[method]
+        p = params
+        if cfg.dtype:
+            p = tree_cast(p, jnp.dtype(cfg.dtype))
+        if not cfg.method:
+            return p
+        return quantize_params(p, cfg.method,
+                               act=act if act is not None else cfg.act,
+                               include_embed=include_embed,
+                               name_filter=name_filter,
+                               **{**dict(cfg.kwargs), **kw})
+    try:
+        quantizer = QUANTIZERS[method]
+    except KeyError:
+        raise KeyError(
+            f"unknown quant method {method!r}; quantizers: "
+            f"{sorted(QUANTIZERS)}; named configs: {sorted(REGISTRY)}"
+        ) from None
     out = _copy_tree(params)
     for name, leaf in named_leaves(params):
         if isinstance(leaf, QTensor):

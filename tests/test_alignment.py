@@ -106,3 +106,38 @@ def test_cross_attention_weights_shape_and_softmax():
     assert w.shape == (arch.decoder_layers, 2, arch.decoder_heads, 4,
                        arch.max_source_positions)
     np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-4)
+
+
+def test_merge_punctuations_append():
+    words = [{"word": "hello", "start": 0.0, "end": 0.5},
+             {"word": ",", "start": 0.5, "end": 0.6},
+             {"word": "world", "start": 0.6, "end": 1.0},
+             {"word": "!", "start": 1.0, "end": 1.1}]
+    out = alignment.merge_punctuations(words)
+    assert out == [{"word": "hello,", "start": 0.0, "end": 0.6},
+                   {"word": "world!", "start": 0.6, "end": 1.1}]
+
+
+def test_merge_punctuations_prepend():
+    words = [{"word": "¿", "start": 0.0, "end": 0.1},
+             {"word": "qué", "start": 0.1, "end": 0.4},
+             {"word": "?", "start": 0.4, "end": 0.5}]
+    out = alignment.merge_punctuations(words)
+    assert out == [{"word": "¿qué?", "start": 0.0, "end": 0.5}]
+
+
+def test_merge_punctuations_consecutive_and_orphan():
+    # consecutive openers accumulate; a trailing orphan opener is kept
+    words = [{"word": '"', "start": 0.0, "end": 0.1},
+             {"word": "(", "start": 0.1, "end": 0.2},
+             {"word": "hi", "start": 0.2, "end": 0.5},
+             {"word": "-", "start": 0.6, "end": 0.7}]
+    out = alignment.merge_punctuations(words)
+    assert out[0] == {"word": '"(hi', "start": 0.0, "end": 0.5}
+    assert out[1]["word"] == "-"
+
+
+def test_merge_punctuations_no_op_on_plain_words():
+    words = [{"word": "a", "start": 0.0, "end": 0.1},
+             {"word": "b", "start": 0.1, "end": 0.2}]
+    assert alignment.merge_punctuations(words) == words

@@ -191,3 +191,48 @@ def test_initial_prompt_paths():
                            condition_on_previous=True, prompt_window=8,
                            initial_prompt="hello world")
     assert len(out2["chunks"]) == 2
+
+
+def test_parse_clips():
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        _parse_clips)
+
+    assert _parse_clips(None, 10.0) == [(0.0, 10.0)]
+    assert _parse_clips("0", 10.0) == [(0.0, 10.0)]
+    assert _parse_clips("1,3", 10.0) == [(1.0, 3.0)]
+    # odd count: final end = end of audio
+    assert _parse_clips("2", 10.0) == [(2.0, 10.0)]
+    assert _parse_clips("1,3,5", 10.0) == [(1.0, 3.0), (5.0, 10.0)]
+    # list input, clamping past EOF
+    assert _parse_clips([0.5, 99.0], 10.0) == [(0.5, 10.0)]
+    with pytest.raises(ValueError):
+        _parse_clips("8,3", 10.0)  # empty selection
+
+
+def test_transcribe_seek_clip_timestamps():
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(21))
+    g = np.random.default_rng(3)
+    win_s = arch.max_source_positions * 2 * 160 / 16000.0
+    wav = (g.standard_normal(int(3 * win_s * 16000)) * 0.1
+           ).astype(np.float32)
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       max_initial_timestamp_index=20)
+    clip = (0.25 * win_s, 1.25 * win_s)
+    res = transcribe_seek(params, arch, wav, tok, cfg,
+                          clip_timestamps=f"{clip[0]},{clip[1]}")
+    # all segment times stay absolute and inside the clip (+window slack)
+    for s in res["segments"]:
+        assert s["start"] >= clip[0] - 1e-6
+        assert s["start"] <= clip[1] + 1e-6
+    # fewer windows than transcribing the whole 3-window file
+    assert res["num_windows"] <= 2

@@ -411,3 +411,22 @@ def test_w8a8_pallas_kernel_matches_xla_reference():
                        np.float32)
     np.testing.assert_allclose(got_s, np.asarray(ref_static(x)), rtol=2e-2,
                                atol=1e-4)
+
+
+def test_quantize_accepts_registry_names():
+    """Top-level quantize() takes either a quantizer key or a REGISTRY
+    config name (the CLI --quant names), so README/CLI vocab is one set."""
+    import pytest
+
+    from openai_whisper_compression_tpu import quantize
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.models import params as P
+    from openai_whisper_compression_tpu.ops.qtensor import QTensor
+    from openai_whisper_compression_tpu.quant.api import named_leaves
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    qp = quantize(params, "quanto_int8")  # REGISTRY name, not QUANTIZERS key
+    assert any(isinstance(leaf, QTensor) for _, leaf in named_leaves(qp))
+    with pytest.raises(KeyError, match="named configs"):
+        quantize(params, "definitely_not_a_method")
