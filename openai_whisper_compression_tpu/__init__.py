@@ -48,7 +48,9 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
                batch_size: int = 8, timestamps: bool = False,
                word_timestamps: bool = False,
                temperatures=None, initial_prompt: str | None = None,
-               task: str = "transcribe", language: str | int | None = None
+               task: str = "transcribe", language: str | int | None = None,
+               clip_timestamps=None,
+               hallucination_silence_threshold: float | None = None
                ) -> dict:
     """OpenAI-`whisper.transcribe()`-style convenience: accepts a waveform of
     any length (16 kHz float32), long-form chunks at 30 s, returns
@@ -88,8 +90,11 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
 
         cfg = decode_cfg or DecodeConfig()
         cfg = dataclasses.replace(cfg, notimestamps=False)
-        return transcribe_seek(params, arch, audio, tokenizer, cfg,
-                               word_timestamps=word_timestamps)
+        return transcribe_seek(
+            params, arch, audio, tokenizer, cfg,
+            word_timestamps=word_timestamps,
+            clip_timestamps=clip_timestamps,
+            hallucination_silence_threshold=hallucination_silence_threshold)
     return transcribe_long(params, arch, audio, tokenizer,
                            cfg=decode_cfg, batch_size=batch_size,
                            temperatures=temperatures,

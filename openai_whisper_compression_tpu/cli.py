@@ -251,10 +251,13 @@ def cmd_transcribe(args):
                                 special_start=min(arch.eos_token_id,
                                                   arch.decoder_start_token_id)))
         cfg = dataclasses.replace(_decode_cfg(args, arch), notimestamps=False)
+        hst = getattr(args, "hallucination_silence_threshold", None)
         res = transcribe_seek(params, arch, wav, tok, cfg,
-                              word_timestamps=args.word_timestamps,
+                              word_timestamps=(args.word_timestamps
+                                               or hst is not None),
                               clip_timestamps=getattr(
-                                  args, "clip_timestamps", None))
+                                  args, "clip_timestamps", None),
+                              hallucination_silence_threshold=hst)
         for s in res["segments"]:
             end = "?" if s["end"] is None else f"{s['end']:.2f}"
             print(f"[{s['start']:.2f} -> {end}] {s['text']}")
@@ -477,6 +480,11 @@ def main(argv=None):
     p.add_argument("--clip-timestamps", default=None,
                    help="'start,end,start,end,...' seconds to transcribe "
                         "(OpenAI clip_timestamps; needs --timestamps)")
+    p.add_argument("--hallucination-silence-threshold", type=float,
+                   default=None,
+                   help="drop hallucinated segments surrounded by more "
+                        "than this many seconds of silence (OpenAI parity; "
+                        "implies word timestamps)")
     p.add_argument("--draft-model", default=None,
                    help="speculative decoding with this draft arch "
                         "(e.g. tiny drafting for small; output is exactly "

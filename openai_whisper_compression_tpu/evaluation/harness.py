@@ -42,14 +42,20 @@ def samples_for_arch(arch: WhisperArch) -> int:
 def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
                        n_mels: int | None = None, use_pallas_mel: bool = True,
                        fast_mel: bool = False, merge_at: int | None = None,
-                       merge_factor: int = 2, fast_gelu: bool = False):
+                       merge_factor: int = 2, fast_gelu: bool = False,
+                       token_logprobs: bool = False):
     """Build the jitted end-to-end transcription function
     (waveform batch -> token ids + lengths).
 
     fast_mel runs the DFT/mel matmuls in bf16 (fp32 accumulation): ~4x
     faster frontend, log-mel rel. error ~1e-2. merge_at enables encoder
     adjacent-token merging; fast_gelu the tanh-approximate encoder GELU
-    (see models.whisper.encode)."""
+    (see models.whisper.encode). token_logprobs=True appends the greedy
+    per-position logprob trace (B, L) to the outputs (hallucination
+    detection input; greedy only)."""
+    if token_logprobs and cfg.beam_size > 1:
+        raise ValueError("token_logprobs is only available for greedy "
+                         "decoding (beam_size == 1)")
     n_mels = n_mels or arch.num_mel_bins
     n_samples = samples_for_arch(arch)
     dft_dtype = jnp.bfloat16 if fast_mel else jnp.float32
@@ -63,7 +69,8 @@ def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
                      merge_factor=merge_factor, fast_gelu=fast_gelu)
         if cfg.beam_size > 1:
             return decode_mod.beam_decode(params, arch, enc, cfg)
-        return decode_mod.greedy_decode(params, arch, enc, cfg)
+        return decode_mod.greedy_decode(
+            params, arch, enc, cfg, return_token_logprobs=token_logprobs)
 
     return fn
 

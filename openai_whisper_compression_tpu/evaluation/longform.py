@@ -197,12 +197,110 @@ def _parse_clips(clip_timestamps, total_s: float) -> list[tuple[float, float]]:
     return clips
 
 
+def _word_anomaly_score(w: dict) -> float:
+    """Per-word hallucination evidence (OpenAI whisper/transcribe.py
+    word_anomaly_score): improbable tokens, impossibly short or
+    suspiciously long durations."""
+    score = 0.0
+    if w.get("probability", 1.0) < 0.15:
+        score += 1.0
+    dur = w["end"] - w["start"]
+    if dur < 0.133:
+        score += (0.133 - dur) * 15.0
+    if dur > 2.0:
+        score += dur - 2.0
+    return score
+
+
+def _is_segment_anomaly(seg_words: list[dict] | None) -> bool:
+    """Segment looks hallucinated: high total anomaly score over its first
+    8 words (OpenAI is_segment_anomaly)."""
+    if not seg_words:
+        return False
+    ws = seg_words[:8]
+    score = sum(_word_anomaly_score(w) for w in ws)
+    return score >= 3.0 or score + 0.01 >= len(ws)
+
+
+def _segment_words(seg: dict, words: list[dict]) -> list[dict]:
+    """Words whose midpoint falls inside the segment's time span."""
+    end = seg["end"] if seg["end"] is not None else float("inf")
+    return [w for w in words
+            if seg["start"] - 0.1 <= 0.5 * (w["start"] + w["end"]) < end]
+
+
+def apply_hallucination_rules(segments: list[dict], words: list[dict],
+                              t0: float, window_end: float, threshold: float,
+                              last_speech_end: float = 0.0
+                              ) -> tuple[list[dict], list[dict],
+                                         float | None]:
+    """Hallucination-silence policy for one decoded window (OpenAI
+    `hallucination_silence_threshold`, whisper/transcribe.py): when a
+    segment looks hallucinated and is surrounded by silence longer than
+    `threshold` seconds, drop it and seek past the silence instead of
+    transcribing into it.
+
+    All times absolute seconds. Returns (kept_segments, kept_words,
+    seek_override) — seek_override is an absolute time to continue
+    decoding from (None = caller's default advance).
+    """
+    by_seg = [(s, _segment_words(s, words)) for s in segments]
+    with_words = [(s, ws) for s, ws in by_seg if ws]
+
+    # 1. leading silence before a hallucinated first segment: skip the
+    #    silence and re-decode from the first word.
+    if with_words:
+        first_seg, first_ws = with_words[0]
+        gap = first_ws[0]["start"] - t0
+        if _is_segment_anomaly(first_ws) and gap > threshold:
+            return [], [], first_ws[0]["start"]
+
+    # 2. a hallucinated segment surrounded by silence: drop it (and
+    #    everything after) and seek just past its start.
+    hal_last_end = last_speech_end
+    for i, (seg, ws) in enumerate(with_words):
+        if _is_segment_anomaly(ws):
+            nxt = with_words[i + 1] if i + 1 < len(with_words) else None
+            next_start = nxt[1][0]["start"] if nxt else window_end
+            silence_before = (seg["start"] - hal_last_end > threshold
+                              or seg["start"] < threshold
+                              or seg["start"] - t0 < 2.0)
+            silence_after = (next_start - (seg["end"] or window_end)
+                             > threshold
+                             or (nxt is not None
+                                 and _is_segment_anomaly(nxt[1]))
+                             or window_end - (seg["end"] or window_end) < 2.0)
+            if silence_before and silence_after:
+                seek = max(t0 + 1.0, seg["start"])
+                if (seg["end"] is not None
+                        and window_end - seg["end"] < threshold):
+                    seek = window_end  # hallucination at content end: skip
+                cut = seg["start"]
+                kept_s = [s for s, _ in by_seg if s["start"] < cut
+                          and s is not seg]
+                kept_w = [w for w in words
+                          if 0.5 * (w["start"] + w["end"]) < cut]
+                return kept_s, kept_w, seek
+        hal_last_end = seg["end"] if seg["end"] is not None else hal_last_end
+
+    # 3. long trailing silence after the last word: continue from the last
+    #    word instead of the window end (don't hand silence to the next
+    #    window's decoder).
+    if words:
+        last_word_end = max(w["end"] for w in words)
+        if window_end - last_word_end > threshold:
+            return segments, words, last_word_end
+    return segments, words, None
+
+
 def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     cfg: DecodeConfig | None = None,
                     transcribe_fn=None,
                     word_timestamps: bool = False,
                     alignment_heads=None,
-                    clip_timestamps=None) -> dict:
+                    clip_timestamps=None,
+                    hallucination_silence_threshold: float | None = None
+                    ) -> dict:
     """Timestamp-seeking long-form transcription (OpenAI transcribe()
     semantics): decode a 30 s window with timestamp rules, advance to the
     end of the last complete segment, repeat. Falls back to full-window
@@ -216,6 +314,13 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     a list of floats); only those ranges are transcribed, segment/word
     times stay absolute. A missing final end = end of audio.
 
+    hallucination_silence_threshold (OpenAI parity; needs word_timestamps):
+    when a decoded segment looks hallucinated (improbable/ill-timed words,
+    `_is_segment_anomaly`) and is surrounded by more than this many seconds
+    of silence, it is dropped and decoding seeks past the silence
+    (`apply_hallucination_rules`). Word "probability" comes from the greedy
+    per-token logprob trace (models.decode return_token_logprobs).
+
     Returns {"text", "segments" (absolute times), "num_windows"[, "words"]}."""
     from ..models.decode import _timestamps_enabled, forced_prefix
 
@@ -224,9 +329,14 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
         raise ValueError("transcribe_seek requires timestamp decoding "
                          "(notimestamps=False and a vocab with timestamp "
                          "tokens); use transcribe_long otherwise")
+    hst = hallucination_silence_threshold
+    if hst is not None and not word_timestamps:
+        raise ValueError("hallucination_silence_threshold requires "
+                         "word_timestamps=True (OpenAI semantics)")
     n_samples = samples_for_arch(arch)
     if transcribe_fn is None:
-        transcribe_fn = make_transcribe_fn(arch, cfg)
+        transcribe_fn = make_transcribe_fn(arch, cfg,
+                                           token_logprobs=hst is not None)
     first_gen = len(forced_prefix(arch, cfg))
 
     enc_fn = None
@@ -246,6 +356,7 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     windows = 0
     all_segments: list[dict] = []
     all_words: list[dict] = []
+    last_speech_end = 0.0
     for clip_start, clip_end in clips:
         pos = int(clip_start * 16000)
         clip_end_sample = min(int(clip_end * 16000), len(wav))
@@ -253,17 +364,18 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             buf = np.zeros((1, n_samples), np.float32)
             piece = wav[pos: min(pos + n_samples, clip_end_sample)]
             buf[0, : len(piece)] = piece
-            tokens, lengths = transcribe_fn(params, jnp.asarray(buf))
-            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            outs = transcribe_fn(params, jnp.asarray(buf))
+            tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])
+            token_lps = np.asarray(outs[2]) if len(outs) > 2 else None
             gen = tokens[0, first_gen: lengths[0]]
             segments, seek_s = segments_from_tokens(arch, gen)
             t0 = pos / 16000.0
-            for s in segments:
-                all_segments.append({
-                    "start": t0 + s["start"],
-                    "end": None if s["end"] is None else t0 + s["end"],
-                    "text": tokenizer.decode(s["tokens"]),
-                })
+            win_segments = [{
+                "start": t0 + s["start"],
+                "end": None if s["end"] is None else t0 + s["end"],
+                "text": tokenizer.decode(s["tokens"]),
+            } for s in segments]
+            win_words: list[dict] = []
             if word_timestamps:
                 enc = enc_fn(params, jnp.asarray(buf))
                 win_toks = tokens[0, : lengths[0]]
@@ -275,10 +387,27 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                 ts_begin = arch.no_timestamps_token_id + 1
                 special = min(arch.eos_token_id, arch.decoder_start_token_id,
                               ts_begin)
-                all_words.extend(align_mod.word_timestamps(
+                win_words = align_mod.word_timestamps(
                     tokenizer, win_toks.tolist(), times,
-                    special_threshold=special, offset=t0))
+                    special_threshold=special, offset=t0,
+                    token_logprobs=(None if token_lps is None
+                                    else token_lps[0, : lengths[0]]))
             windows += 1
+            seek_override = None
+            if hst is not None:
+                window_end = t0 + len(piece) / 16000.0
+                win_segments, win_words, seek_override = (
+                    apply_hallucination_rules(win_segments, win_words, t0,
+                                              window_end, hst,
+                                              last_speech_end))
+            all_segments.extend(win_segments)
+            all_words.extend(win_words)
+            if win_words:
+                last_speech_end = max(w["end"] for w in win_words)
+            if seek_override is not None:
+                # skip detected silence/hallucination; min 0.1 s progress
+                pos = max(int(seek_override * 16000), pos + 1600)
+                continue
             advance = (int(seek_s * 16000) if seek_s else n_samples)
             pos += max(advance, 1)  # never stall
             if len(piece) < n_samples:

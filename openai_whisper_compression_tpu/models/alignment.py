@@ -203,13 +203,14 @@ def merge_punctuations(words: list[dict],
                 pending_prefix["word"] += text
             continue
         if pending_prefix is not None:
-            w = {"word": pending_prefix["word"] + text,
-                 "start": pending_prefix["start"], "end": w["end"]}
+            # main word's extra keys (e.g. "probability") survive the merge
+            w = {**w, "word": pending_prefix["word"] + text,
+                 "start": pending_prefix["start"]}
             pending_prefix = None
         if (merged and text
                 and all(c in appended for c in text)):
-            merged[-1] = {"word": merged[-1]["word"] + text,
-                          "start": merged[-1]["start"], "end": w["end"]}
+            merged[-1] = {**merged[-1], "word": merged[-1]["word"] + text,
+                          "end": w["end"]}
             continue
         merged.append(dict(w))
     if pending_prefix is not None:  # trailing orphan opener: keep as-is
@@ -221,7 +222,8 @@ def word_timestamps(tokenizer, tokens: Sequence[int],
                     token_times: np.ndarray,
                     special_threshold: int | None = None,
                     offset: float = 0.0,
-                    punctuations: bool = True) -> list[dict]:
+                    punctuations: bool = True,
+                    token_logprobs: np.ndarray | None = None) -> list[dict]:
     """Group per-token times into words.
 
     A token starting a new word is one whose decoded text begins with a
@@ -231,32 +233,48 @@ def word_timestamps(tokenizer, tokens: Sequence[int],
     of the special range in every real Whisper vocab). With
     `punctuations=True` (default) punctuation-only words are merged onto
     their neighbours via `merge_punctuations` (OpenAI prepend/append
-    punctuation semantics).
+    punctuation semantics). `token_logprobs` (len(tokens),) adds a
+    "probability" key per word: exp(mean logprob of its tokens) — OpenAI
+    word-probability semantics (whisper/timing.py).
 
-    Returns [{"word", "start", "end"}] with times offset by `offset` s.
+    Returns [{"word", "start", "end"[, "probability"]}] with times offset
+    by `offset` s.
     """
     if special_threshold is None:
         special_threshold = getattr(tokenizer, "special_start", 50257)
+    lps = (None if token_logprobs is None
+           else np.asarray(token_logprobs, np.float64))
     words: list[dict] = []
     cur = ""
     cur_start = cur_end = None
-    for tok, (t0, t1) in zip(tokens, np.asarray(token_times)):
+    cur_lp_sum, cur_lp_n = 0.0, 0
+
+    def _flush():
+        w = {"word": cur.strip(), "start": float(cur_start + offset),
+             "end": float(cur_end + offset)}
+        if lps is not None:
+            w["probability"] = float(np.exp(cur_lp_sum / max(cur_lp_n, 1)))
+        words.append(w)
+
+    for i, (tok, (t0, t1)) in enumerate(zip(tokens,
+                                            np.asarray(token_times))):
         if tok >= special_threshold:
             continue
         piece = tokenizer.decode([int(tok)])
         if not piece:
             continue
         if piece.startswith(" ") and cur.strip():
-            words.append({"word": cur.strip(),
-                          "start": float(cur_start + offset),
-                          "end": float(cur_end + offset)})
+            _flush()
             cur = ""
             cur_start = None
+            cur_lp_sum, cur_lp_n = 0.0, 0
         if cur_start is None:
             cur_start = t0
         cur += piece
         cur_end = t1
+        if lps is not None:
+            cur_lp_sum += float(lps[i])
+            cur_lp_n += 1
     if cur.strip():
-        words.append({"word": cur.strip(), "start": float(cur_start + offset),
-                      "end": float(cur_end + offset)})
+        _flush()
     return merge_punctuations(words) if punctuations else words

@@ -341,7 +341,8 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
                   prompt_lens: jax.Array | None = None,
                   sample_key: jax.Array | None = None,
                   temperature: jax.Array | float = 0.0,
-                  return_logprobs: bool = False):
+                  return_logprobs: bool = False,
+                  return_token_logprobs: bool = False):
     """Batched greedy decode.
 
     Optional prompt conditioning (long-form `condition_on_previous_text`):
@@ -360,9 +361,15 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     token logprob (the fallback quality gate; computed in-loop from the
     already-materialized logits).
 
+    return_token_logprobs=True instead appends the full (B, max_len) f32
+    per-position logprob trace (0.0 at prompt/prefix/padding positions;
+    trace[i] is the logprob of tokens[:, i]) — the word-probability input
+    for hallucination detection (OpenAI whisper/timing.py word probs).
+
     Returns (tokens (B, max_len) — [prompt +] prefix + generated, padded
     with EOT after stop; lengths (B,) — valid tokens incl. prompt window,
-    prefix and final EOT[, avg_logprob (B,) f32]).
+    prefix and final EOT[, avg_logprob (B,) f32][, token_logprobs
+    (B, max_len) f32]).
     """
     cfg = cfg or DecodeConfig()
     b = enc_out.shape[0]
@@ -420,7 +427,7 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         return jnp.logical_and(state[2] < limit - 1, ~jnp.all(state[3]))
 
     def body(state):
-        tokens, cache, pos, finished, last_ts, sum_lp = state
+        tokens, cache, pos, finished, last_ts, sum_lp, lp_trace = state
         logits, cache = step_fn(tokens[:, pos], pos, cache)
         logits = logits + sup
         logits = jnp.where(pos == first_gen - 1, logits + begin_sup, logits)
@@ -437,25 +444,35 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         else:
             nxt = greedy
         nxt = jnp.where(finished, eot, nxt)
-        if return_logprobs:
+        if return_logprobs or return_token_logprobs:
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
-            sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+            tok_lp = jnp.where(finished, 0.0, tok_lp)
+            sum_lp = sum_lp + tok_lp
+            if return_token_logprobs:
+                lp_trace = lax.dynamic_update_slice(
+                    lp_trace, tok_lp[:, None], (0, pos + 1))
         if use_ts:
             last_ts = jnp.where(jnp.logical_and(~finished, nxt >= ts_begin),
                                 nxt, last_ts)
         tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = jnp.logical_or(finished, nxt == eot)
-        return tokens, cache, pos + 1, finished, last_ts, sum_lp
+        return tokens, cache, pos + 1, finished, last_ts, sum_lp, lp_trace
 
+    lp_trace0 = jnp.zeros((b, max_len if return_token_logprobs else 1),
+                          jnp.float32)  # size-1 dummy keeps the carry static
     state = (tokens, cache, jnp.asarray(first_gen - 1), jnp.zeros((b,), bool),
-             jnp.full((b,), ts_begin, jnp.int32), jnp.zeros((b,), jnp.float32))
-    tokens, _, pos, _, _, sum_lp = lax.while_loop(cond, body, state)
+             jnp.full((b,), ts_begin, jnp.int32), jnp.zeros((b,), jnp.float32),
+             lp_trace0)
+    tokens, _, pos, _, _, sum_lp, lp_trace = lax.while_loop(cond, body, state)
     lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
+    out = (tokens, lengths)
     if return_logprobs:
         n_gen = jnp.maximum(lengths - first_gen, 1).astype(jnp.float32)
-        return tokens, lengths, sum_lp / n_gen
-    return tokens, lengths
+        out = out + (sum_lp / n_gen,)
+    if return_token_logprobs:
+        out = out + (lp_trace,)
+    return out
 
 
 def _auto_cache_len(arch: WhisperArch, p_len: int, cfg: DecodeConfig) -> int:

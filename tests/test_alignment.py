@@ -141,3 +141,26 @@ def test_merge_punctuations_no_op_on_plain_words():
     words = [{"word": "a", "start": 0.0, "end": 0.1},
              {"word": "b", "start": 0.1, "end": 0.2}]
     assert alignment.merge_punctuations(words) == words
+
+
+def test_word_probabilities_from_token_logprobs():
+    class SpacedTok:  # BPE-like: a leading space starts a new word
+        special_start = 900
+
+        def decode(self, ids):
+            return "".join({10: " he", 11: "llo", 12: " there"}[i]
+                           for i in ids)
+
+    tok = SpacedTok()
+    ids = [950, 10, 11, 12]  # special, then "hello" (2 tokens) + "there"
+    times = np.asarray([[0.0, 0.1], [0.1, 0.5], [0.5, 0.9], [0.9, 1.3]])
+    lps = np.log(np.asarray([1.0, 0.8, 0.2, 0.5]))
+    words = alignment.word_timestamps(tok, ids, times, token_logprobs=lps)
+    assert [w["word"] for w in words] == ["hello", "there"]
+    # word probability = exp(mean token logprob): sqrt(0.8*0.2), then 0.5
+    np.testing.assert_allclose(words[0]["probability"],
+                               (0.8 * 0.2) ** 0.5, rtol=1e-6)
+    np.testing.assert_allclose(words[1]["probability"], 0.5, rtol=1e-6)
+    # without logprobs, no probability key
+    words2 = alignment.word_timestamps(tok, ids, times)
+    assert "probability" not in words2[0]

@@ -234,3 +234,32 @@ def test_detect_language(hf_pair, mel):
     # <|translate|>=50358 excluded (ADVICE r1: -4 wrongly included it)
     assert lo2 == 50259 and hi2 == 50358
     assert hi2 - lo2 == 99
+
+
+def test_token_logprob_trace(hf_pair, mel):
+    """return_token_logprobs: per-position trace is zero outside generation
+    and its generated-positions mean equals return_logprobs' avg_logprob."""
+    _, params, arch = hf_pair
+    cfg = _cfg()
+    enc = whisper.encode(params, arch, jnp.asarray(mel))
+    toks, lens, avg_lp, trace = decode.greedy_decode(
+        params, arch, enc, cfg, return_logprobs=True,
+        return_token_logprobs=True)
+    toks2, lens2 = decode.greedy_decode(params, arch, enc, cfg)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+    trace = np.asarray(trace)
+    lens = np.asarray(lens)
+    first_gen = len(decode.forced_prefix(arch, cfg))
+    assert trace.shape == np.asarray(toks).shape
+    # prefix positions carry no logprob
+    assert (trace[:, :first_gen] == 0.0).all()
+    # generated-token logprobs are real (negative) log-softmax values
+    for b in range(trace.shape[0]):
+        gen_lps = trace[b, first_gen: lens[b]]
+        assert (gen_lps <= 0.0).all()
+        n = max(lens[b] - first_gen, 1)
+        np.testing.assert_allclose(gen_lps.sum() / n,
+                                   np.asarray(avg_lp)[b], rtol=1e-5,
+                                   atol=1e-6)
+        # nothing written past the stop position
+        assert (trace[b, lens[b]:] == 0.0).all()
