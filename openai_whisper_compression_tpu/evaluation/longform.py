@@ -423,6 +423,117 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     return out
 
 
+def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
+                          cfg: DecodeConfig | None = None,
+                          batch_size: int = 8,
+                          transcribe_fn=None,
+                          word_timestamps: bool = False,
+                          alignment_heads=None) -> list[dict]:
+    """Multi-stream timestamp-seek transcription.
+
+    OpenAI's seek loop is inherently sequential PER FILE (each window's
+    seek position depends on the previous window's timestamps), but
+    nothing couples different files — so the TPU-first schedule is to
+    multiplex windows from many streams into ONE fixed-batch compiled
+    window decoder and keep the MXU saturated: each iteration gathers the
+    next window of up to `batch_size` unfinished streams, decodes them in
+    one call, and advances every stream's seek independently. Idle slots
+    are zero-padded (shape-static program, one compile).
+
+    Per-stream results match `transcribe_seek` (each batch row is
+    independent under the batched model). Word timestamps are supported
+    (batched encoder pass + per-row DTW); for
+    `hallucination_silence_threshold` use the single-stream API.
+
+    Returns a list of result dicts, one per input waveform, in order.
+    """
+    from ..models.decode import _timestamps_enabled, forced_prefix
+
+    cfg = cfg or DecodeConfig(notimestamps=False)
+    if not _timestamps_enabled(arch, cfg):
+        raise ValueError("transcribe_seek_batch requires timestamp decoding "
+                         "(notimestamps=False and a vocab with timestamp "
+                         "tokens)")
+    n_samples = samples_for_arch(arch)
+    if transcribe_fn is None:
+        transcribe_fn = make_transcribe_fn(arch, cfg)
+    first_gen = len(forced_prefix(arch, cfg))
+
+    enc_fn = None
+    if word_timestamps:
+        from ..audio import features
+        from ..models import alignment as align_mod
+        from ..models.whisper import encode
+
+        @jax.jit
+        def enc_fn(p, w):
+            mel = features.preprocess(w, arch.num_mel_bins,
+                                      length=n_samples)
+            return encode(p, arch, mel.astype(jnp.float32))
+
+    wavs = [np.asarray(w, np.float32) for w in wavs]
+    n = len(wavs)
+    pos = [0] * n
+    done = [len(w) == 0 for w in wavs]
+    segs: list[list[dict]] = [[] for _ in range(n)]
+    words: list[list[dict]] = [[] for _ in range(n)]
+    win_count = [0] * n
+
+    while not all(done):
+        rows = [s for s in range(n) if not done[s]][:batch_size]
+        buf = np.zeros((batch_size, n_samples), np.float32)
+        pieces = {}
+        for r, s in enumerate(rows):
+            piece = wavs[s][pos[s]: pos[s] + n_samples]
+            pieces[s] = piece
+            buf[r, : len(piece)] = piece
+        jbuf = jnp.asarray(buf)
+        tokens, lengths = transcribe_fn(params, jbuf)
+        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+        enc = enc_fn(params, jbuf) if word_timestamps else None
+        for r, s in enumerate(rows):
+            gen = tokens[r, first_gen: lengths[r]]
+            window_segs, seek_s = segments_from_tokens(arch, gen)
+            t0 = pos[s] / 16000.0
+            for seg in window_segs:
+                segs[s].append({
+                    "start": t0 + seg["start"],
+                    "end": None if seg["end"] is None else t0 + seg["end"],
+                    "text": tokenizer.decode(seg["tokens"]),
+                })
+            if word_timestamps:
+                win_toks = tokens[r, : lengths[r]]
+                n_frames = max(1, min(arch.max_source_positions,
+                                      len(pieces[s]) // 320))
+                times = align_mod.find_alignment(
+                    params, arch, enc[r: r + 1], win_toks,
+                    alignment_heads=alignment_heads, n_frames=n_frames)
+                ts_begin = arch.no_timestamps_token_id + 1
+                special = min(arch.eos_token_id,
+                              arch.decoder_start_token_id, ts_begin)
+                words[s].extend(align_mod.word_timestamps(
+                    tokenizer, win_toks.tolist(), times,
+                    special_threshold=special, offset=t0))
+            win_count[s] += 1
+            advance = (int(seek_s * 16000) if seek_s else n_samples)
+            pos[s] += max(advance, 1)
+            if len(pieces[s]) < n_samples or pos[s] >= len(wavs[s]):
+                done[s] = True
+
+    out = []
+    for s in range(n):
+        res = {
+            "text": " ".join(x["text"] for x in segs[s] if x["text"]),
+            "segments": segs[s],
+            "num_windows": win_count[s],
+            "audio_seconds": len(wavs[s]) / 16000.0,
+        }
+        if word_timestamps:
+            res["words"] = words[s]
+        out.append(res)
+    return out
+
+
 def _seed_prompt(ids: list, pw: int, eot: int,
                  vocab: int) -> tuple[np.ndarray, np.ndarray]:
     """Right-aligned (1, pw) prompt window [<|startofprev|>] + trailing ids

@@ -339,3 +339,68 @@ def test_transcribe_seek_hallucination_path_runs():
     assert "words" in res and "segments" in res
     for w in res["words"]:
         assert 0.0 <= w["probability"] <= 1.0
+
+
+def test_transcribe_seek_batch_matches_single_stream():
+    """Batched multi-stream seek = per-stream transcribe_seek, row for row
+    (same compiled decode semantics; scheduling must not change results)."""
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.evaluation.harness import (
+        make_transcribe_fn)
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek, transcribe_seek_batch)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(21))
+    g = np.random.default_rng(5)
+    win = arch.max_source_positions * 2 * 160
+    wavs = [(g.standard_normal(int(k * win)) * 0.1).astype(np.float32)
+            for k in (0.6, 1.7, 2.3)]
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       max_initial_timestamp_index=20)
+    batched = transcribe_seek_batch(params, arch, wavs, tok, cfg,
+                                    batch_size=2)
+    # single-stream reference via a batch-1 fn
+    fn1 = make_transcribe_fn(arch, cfg)
+    singles = [transcribe_seek(params, arch, w, tok, cfg, transcribe_fn=fn1)
+               for w in wavs]
+    assert len(batched) == 3
+    for b, s in zip(batched, singles):
+        assert b["num_windows"] == s["num_windows"]
+        assert b["text"] == s["text"]
+        assert len(b["segments"]) == len(s["segments"])
+        for bs, ss in zip(b["segments"], s["segments"]):
+            assert bs["text"] == ss["text"]
+            np.testing.assert_allclose(bs["start"], ss["start"], atol=1e-6)
+
+
+def test_transcribe_seek_batch_word_timestamps():
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek_batch)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(21))
+    g = np.random.default_rng(7)
+    win = arch.max_source_positions * 2 * 160
+    wavs = [(g.standard_normal(int(1.4 * win)) * 0.1).astype(np.float32),
+            (g.standard_normal(int(0.5 * win)) * 0.1).astype(np.float32)]
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       max_initial_timestamp_index=20)
+    out = transcribe_seek_batch(params, arch, wavs, tok, cfg, batch_size=4,
+                                word_timestamps=True)
+    assert len(out) == 2
+    for res in out:
+        assert "words" in res
+        for w in res["words"]:
+            assert w["end"] >= w["start"] >= 0
