@@ -121,7 +121,50 @@ class TranscriptionService:
     # ------------------------------------------------------------------ API
     def submit(self, wav: np.ndarray, sample_rate: int = 16000) -> Future:
         """Enqueue one utterance; resolves to
-        {"text", "tokens", "audio_seconds", "latency_s"}."""
+        {"text", "tokens", "audio_seconds", "latency_s"}.
+
+        Audio longer than one 30 s window is transparently split into
+        fixed windows that ride the same dynamic batcher as independent
+        items (they fill otherwise-idle batch slots and can interleave
+        with other requests), then reassembled in order — the result
+        gains a "num_chunks" key. Short requests are unaffected.
+        """
+        wav = np.asarray(wav, np.float32)
+        src_win = int(self.n_samples * sample_rate / 16000)
+        if len(wav) <= src_win:
+            return self._submit_window(wav, sample_rate)
+        from .evaluation.longform import chunk_waveform
+
+        t_submit = time.perf_counter()
+        futs = [self._submit_window(c, sample_rate)
+                for c in chunk_waveform(wav, src_win)]
+        agg: Future = Future()
+        remaining = [len(futs)]
+        lock = threading.Lock()
+
+        def _one_done(_f):
+            with lock:
+                remaining[0] -= 1
+                if remaining[0]:
+                    return
+            try:
+                parts = [f.result() for f in futs]  # all done; no blocking
+                agg.set_result({
+                    "text": " ".join(p["text"] for p in parts if p["text"]),
+                    "tokens": [t for p in parts for t in p["tokens"]],
+                    "audio_seconds": sum(p["audio_seconds"] for p in parts),
+                    "latency_s": time.perf_counter() - t_submit,
+                    "num_chunks": len(parts),
+                })
+            except Exception as e:
+                if not agg.done():
+                    agg.set_exception(e)
+
+        for f in futs:
+            f.add_done_callback(_one_done)
+        return agg
+
+    def _submit_window(self, wav: np.ndarray, sample_rate: int) -> Future:
         if self._stop.is_set():
             raise RuntimeError("service is shut down")
         fut: Future = Future()

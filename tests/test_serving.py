@@ -110,3 +110,61 @@ def test_transfer_int16_pcm_exact(svc_setup):
     r_i = svc_i.transcribe(pcm)
     svc_i.close()
     assert r_f["tokens"] == r_i["tokens"]
+
+
+def test_long_audio_transparent_chunking(svc_setup):
+    """Audio longer than one window is split, batched, and reassembled in
+    order; text equals the direct per-window decode concatenation."""
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        chunk_waveform)
+
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=4,
+                               max_wait_ms=20)
+    rng = np.random.default_rng(4)
+    n = samples_for_arch(arch)
+    wav = (rng.standard_normal(int(2.4 * n)) * 0.1).astype(np.float32)
+    res = svc.submit(wav).result(timeout=180)
+    svc.close()
+
+    assert res["num_chunks"] == 3
+    assert res["audio_seconds"] == pytest.approx(len(wav) / 16000.0)
+
+    # direct reference: decode each window individually with the same fn
+    fn = make_transcribe_fn(arch, cfg)
+    first_gen = len(forced_prefix(arch, cfg))
+    texts, all_ids = [], []
+    for c in chunk_waveform(wav, n):
+        buf = np.zeros((4, n), np.float32)
+        buf[0, : len(c)] = c
+        toks, lens = fn(params, jnp.asarray(buf))
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        ids = toks[0, first_gen: lens[0]]
+        ids = ids[ids != arch.eos_token_id].tolist()
+        all_ids.extend(ids)
+        t = tok.decode(ids)
+        if t:
+            texts.append(t)
+    assert res["tokens"] == all_ids
+    assert res["text"] == " ".join(texts)
+
+
+def test_long_audio_interleaves_with_short_requests(svc_setup):
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=4,
+                               max_wait_ms=20)
+    rng = np.random.default_rng(9)
+    n = samples_for_arch(arch)
+    long_fut = svc.submit((rng.standard_normal(int(3.2 * n)) * 0.1
+                           ).astype(np.float32))
+    short_futs = [svc.submit((rng.standard_normal(n // 2) * 0.1
+                              ).astype(np.float32)) for _ in range(3)]
+    long_res = long_fut.result(timeout=180)
+    short_res = [f.result(timeout=180) for f in short_futs]
+    stats = svc.stats.snapshot()
+    svc.close()
+    assert long_res["num_chunks"] == 4
+    for r in short_res:
+        assert "num_chunks" not in r and isinstance(r["text"], str)
+    # 4 long windows + 3 shorts = 7 queue items
+    assert stats["requests"] == 7
