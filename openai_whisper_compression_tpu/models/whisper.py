@@ -303,10 +303,14 @@ def _conv1d(x: jax.Array, w: jax.Array, b: jax.Array, stride: int) -> jax.Array:
 def encoder_layer(p: Params, x: jax.Array, head_dim: int,
                   head_mask: jax.Array | None = None,
                   fast_gelu: bool = False) -> jax.Array:
-    x = x + self_attention(p["attn"], layer_norm(x, p["attn_ln"]), head_dim,
-                           head_mask=head_mask)
-    x = x + mlp(p, layer_norm(x, p["mlp_ln"]), fast_gelu=fast_gelu)
-    return x
+    ln_a = layer_norm(x, p["attn_ln"])
+    ln_m_input = x + self_attention(p["attn"], ln_a, head_dim,
+                                    head_mask=head_mask)
+    ln_m = layer_norm(ln_m_input, p["mlp_ln"])
+    if capture.active():  # eager calibration (quant/smooth.py)
+        capture.record("attn_ln_out", ln_a)
+        capture.record("mlp_ln_out", ln_m)
+    return ln_m_input + mlp(p, ln_m, fast_gelu=fast_gelu)
 
 
 def _encode_batch_chunks(b: int, h: int, t: int) -> int:
@@ -549,11 +553,20 @@ def decoder_layer(p: Params, x: jax.Array, cross_kv, head_dim: int,
                   self_mask: jax.Array | None,
                   head_mask: jax.Array | None = None,
                   cross_head_mask: jax.Array | None = None) -> jax.Array:
-    x = x + self_attention(p["attn"], layer_norm(x, p["attn_ln"]), head_dim,
+    ln_a = layer_norm(x, p["attn_ln"])
+    if capture.active():  # eager calibration (quant/smooth.py)
+        capture.record("attn_ln_out", ln_a)
+    x = x + self_attention(p["attn"], ln_a, head_dim,
                            mask=self_mask, head_mask=head_mask)
-    x = x + cross_attention(p["cross"], layer_norm(x, p["cross_ln"]), cross_kv,
+    ln_c = layer_norm(x, p["cross_ln"])
+    if capture.active():
+        capture.record("cross_ln_out", ln_c)
+    x = x + cross_attention(p["cross"], ln_c, cross_kv,
                             head_dim, head_mask=cross_head_mask)
-    x = x + mlp(p, layer_norm(x, p["mlp_ln"]))
+    ln_m = layer_norm(x, p["mlp_ln"])
+    if capture.active():
+        capture.record("mlp_ln_out", ln_m)
+    x = x + mlp(p, ln_m)
     return x
 
 

@@ -32,6 +32,11 @@ def record(tag: str, value) -> None:
         # per-hidden-unit mean |act| (last axis) — used by activation-guided
         # FFN pruning
         "per_unit_mean_abs": jnp.mean(jnp.abs(v), axis=tuple(range(v.ndim - 1))),
+        # per-channel absmax (last axis) — SmoothQuant/AWQ smoothing scales
+        "per_unit_max_abs": jnp.max(jnp.abs(v), axis=tuple(range(v.ndim - 1))),
+        # a small row subsample of the flattened (tokens, channels) view —
+        # AWQ's scale search evaluates quantized-matmul MSE on real rows
+        "rows": v.reshape(-1, v.shape[-1])[:64],
     })
 
 
