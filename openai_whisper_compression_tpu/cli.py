@@ -91,7 +91,14 @@ def cmd_evaluate(args):
     if args.prune_recipe:
         params = recipe_mod.apply_recipe(params, arch)
     if args.quant:
-        params = quant_api.apply_named_config(params, args.quant)
+        if args.quant in quant_api.DATA_AWARE:
+            run_cal = harness.make_calibration_fn(
+                arch, datasets.get("calibration_clean") or [], tok,
+                batch_size=min(args.batch_size, 4))
+            params = quant_api.quantize_data_aware(params, arch,
+                                                   args.quant, run_cal)
+        else:
+            params = quant_api.apply_named_config(params, args.quant)
     tracker = MemoryTracker(f"{arch.name}_{args.quant or 'dense'}")
     scores, records = harness.evaluate_model(
         params, arch, datasets["test_clean"], tok,
@@ -333,7 +340,15 @@ def cmd_agreement(args):
     from .quant import api as quant_api
 
     params, arch = _load_model(args)
-    comp = quant_api.apply_named_config(params, args.quant)
+    if args.quant in quant_api.DATA_AWARE:
+        from .evaluation.data import synthetic_dataset as _sd
+        from .evaluation.harness import make_calibration_fn
+
+        run_cal = make_calibration_fn(arch, _sd(4, seed=args.seed))
+        comp = quant_api.quantize_data_aware(params, arch, args.quant,
+                                             run_cal)
+    else:
+        comp = quant_api.apply_named_config(params, args.quant)
     if args.prune_recipe:
         from .prune import recipe as recipe_mod
 
@@ -408,7 +423,15 @@ def cmd_compress(args):
     rec = recipe_mod.INCREASED_RECIPE if args.increase_pruning else None
     pruned = recipe_mod.apply_recipe(params, arch, rec)
     if args.quant:
-        pruned = quant_api.apply_named_config(pruned, args.quant)
+        if args.quant in quant_api.DATA_AWARE:
+            from .evaluation.data import synthetic_dataset as _sd
+            from .evaluation.harness import make_calibration_fn
+
+            run_cal = make_calibration_fn(arch, _sd(4, seed=args.seed))
+            pruned = quant_api.quantize_data_aware(pruned, arch,
+                                                   args.quant, run_cal)
+        else:
+            pruned = quant_api.apply_named_config(pruned, args.quant)
     rep = magnitude.sparsity_report(pruned)
     print(f"sparsity: {rep['overall_sparsity']:.3f}  "
           f"nnz: {rep['nonzero_params']:,}")
@@ -455,7 +478,7 @@ def main(argv=None):
     data_opts(p)
     p.add_argument("--sweep", default="quant",
                    choices=["quant", "l1", "random", "experimental",
-                            "prune_quant"])
+                            "prune_quant", "data_aware"])
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--no-resume", action="store_true",
                    help="rerun configs already present in all_results.json")

@@ -39,6 +39,51 @@ def samples_for_arch(arch: WhisperArch) -> int:
     return arch.max_source_positions * 2 * HOP_LENGTH
 
 
+def make_calibration_fn(arch: WhisperArch, cal: Sequence[Utterance],
+                        tokenizer=None, batch_size: int = 4,
+                        n_tokens: int = 8):
+    """Eager calibration callable for data-aware quantizers (GPTQ Hessian
+    tap, SmoothQuant/AWQ LN-output capture — quant/gptq.py, quant/smooth.py):
+    each call runs ONE full eager teacher-forced forward over a fixed
+    calibration batch, so both instrumentation channels observe real
+    activations (the jitted transcribe path traces once and records nothing).
+
+    Decoder tokens are the tokenized reference text when a tokenizer is
+    given (teacher forcing), else the sot prefix padded with eos. The batch
+    is capped at `batch_size` so the encoder never sub-batch-chunks (which
+    would break SmoothQuant's per-pass record-stream accounting —
+    quant/smooth.py::collect_ln_stats).
+
+    Activation-needing role of the reference's `with Calibration():` eval
+    pass (`model_utils.py:199-208`).
+    """
+    from ..models.whisper import forward
+
+    cal = list(cal)[: max(int(batch_size), 1)]
+    if not cal:
+        raise ValueError("data-aware calibration needs >= 1 utterance")
+    n_samples = samples_for_arch(arch)
+    wavs = np.zeros((len(cal), n_samples), np.float32)
+    for i, u in enumerate(cal):
+        a = np.asarray(u.audio, np.float32)[:n_samples]
+        wavs[i, : len(a)] = a
+    toks = np.full((len(cal), n_tokens), arch.eos_token_id, np.int32)
+    toks[:, 0] = arch.decoder_start_token_id
+    if tokenizer is not None:
+        for i, u in enumerate(cal):
+            ids = [t for t in tokenizer.encode(u.text)
+                   if t < arch.vocab_size][: n_tokens - 1]
+            toks[i, 1 : 1 + len(ids)] = np.asarray(ids, np.int32)
+    wavs_j, toks_j = jnp.asarray(wavs), jnp.asarray(toks)
+
+    def run_cal(params):
+        mel = features.preprocess(wavs_j, n_mels=arch.num_mel_bins,
+                                  length=n_samples)
+        forward(params, arch, mel, toks_j)
+
+    return run_cal
+
+
 def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
                        n_mels: int | None = None, use_pallas_mel: bool = True,
                        fast_mel: bool = False, merge_at: int | None = None,

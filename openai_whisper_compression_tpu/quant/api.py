@@ -174,3 +174,60 @@ REGISTRY: dict[str, QuantConfig] = {c.name: c for c in [
 
 def apply_named_config(params: Any, name: str) -> Any:
     return REGISTRY[name].apply(params)
+
+
+# ---------------------------------------------------------------------------
+# Data-aware methods (need a calibration callable, not just weights):
+# GPTQ (arXiv:2210.17323), SmoothQuant (arXiv:2211.10438), AWQ
+# (arXiv:2306.00978). Beyond-reference: the reference's only data-aware
+# step is quanto's static-act observer pass (`model_utils.py:152-214`).
+# ---------------------------------------------------------------------------
+
+def _da_gptq(bits: int):
+    def f(params, arch, run_cal):
+        from .gptq import gptq_quantize_params
+
+        return gptq_quantize_params(params, run_cal, bits=bits)
+    return f
+
+
+def _da_smooth(method: str, act: str | None = None, alpha: float = 0.5):
+    def f(params, arch, run_cal):
+        from .smooth import smoothquant_params
+
+        smoothed = smoothquant_params(params, arch, run_cal, alpha=alpha)
+        return quantize_params(smoothed, method, act=act)
+    return f
+
+
+def _da_awq(method: str):
+    def f(params, arch, run_cal):
+        from .smooth import awq_quantize_params
+
+        return awq_quantize_params(params, arch, run_cal, method=method)
+    return f
+
+
+DATA_AWARE: dict[str, Callable[..., Any]] = {
+    "gptq_int2": _da_gptq(2),
+    "gptq_int4": _da_gptq(4),
+    "gptq_int8": _da_gptq(8),
+    "smoothquant_int4": _da_smooth("int4"),
+    "smoothquant_int8": _da_smooth("int8"),
+    "smoothquant_w8a8": _da_smooth("int8", act="dynamic_int8"),
+    "awq_int4": _da_awq("int4"),
+    "awq_nf4": _da_awq("nf4"),
+}
+
+
+def quantize_data_aware(params: Any, arch: Any, name: str,
+                        run_calibration: Callable[[Any], Any]) -> Any:
+    """Apply DATA_AWARE[name]: run_calibration(params) must drive eager
+    full forwards (`evaluation.harness.make_calibration_fn` builds one from
+    a calibration split)."""
+    try:
+        fn = DATA_AWARE[name]
+    except KeyError:
+        raise KeyError(f"unknown data-aware config {name!r}; "
+                       f"have {sorted(DATA_AWARE)}") from None
+    return fn(params, arch, run_calibration)

@@ -202,10 +202,26 @@ def prune_quant_sweep(quant_names: tuple[str, ...] = (
             for q in quant_names]
 
 
+def data_aware_sweep() -> list[dict]:
+    """Data-aware PTQ matrix (GPTQ / SmoothQuant / AWQ — beyond-reference,
+    `quant_api.DATA_AWARE`). Each config's `apply` takes
+    (params, arch, run_calibration); the driver builds the eager
+    calibration callable from the calibration split."""
+    def mk(name):
+        return {"name": name,
+                "apply": (lambda p, a, run_cal, n=name:
+                          quant_api.quantize_data_aware(p, a, n, run_cal)),
+                "needs_data": True}
+
+    return ([{"name": "baseline_fp32", "apply": _q("baseline_fp32")}]
+            + [mk(n) for n in sorted(quant_api.DATA_AWARE)])
+
+
 SWEEPS: dict[str, Callable[..., list[dict]]] = {
     "quant": lambda arch: quant_sweep(),
     "l1": lambda arch: unstructured_l1_sweep(),
     "random": lambda arch: random_pruning_sweep(),
     "experimental": experimental_pruning_sweep,
     "prune_quant": lambda arch: prune_quant_sweep(),
+    "data_aware": lambda arch: data_aware_sweep(),
 }

@@ -114,7 +114,16 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
             continue
         t0 = time.time()
         try:
-            compressed = cfg["apply"](params, arch)
+            if cfg.get("needs_data"):
+                # data-aware quantizers (GPTQ/SmoothQuant/AWQ) consume an
+                # eager calibration callable built from the calibration split
+                cal = datasets.get(calibration_split) or []
+                run_cal = harness.make_calibration_fn(
+                    arch, cal, tokenizer,
+                    batch_size=min(eval_cfg.batch_size, 4))
+                compressed = cfg["apply"](params, arch, run_cal)
+            else:
+                compressed = cfg["apply"](params, arch)
             if cfg.get("needs_calibration"):
                 cal = datasets.get(calibration_split) or []
                 if cal:

@@ -211,3 +211,77 @@ def test_plot_metric_curves(tmp_path):
             r["sparsity"] = 0.0
     paths = plots.plot_metric_curves(results, str(tmp_path), prefix="c2")
     assert len(paths) == 5
+
+
+def test_data_aware_sweep_through_driver(setup, tmp_path):
+    """GPTQ/SmoothQuant/AWQ run end-to-end through the sweep driver: the
+    driver builds the eager calibration callable from the calibration
+    split and each config returns a QTensor-bearing pytree."""
+    from openai_whisper_compression_tpu.models.params import named_leaves
+    from openai_whisper_compression_tpu.ops.qtensor import QTensor
+
+    params, arch, datasets, tok = setup
+    cfgs = sweep_configs.data_aware_sweep()
+    names = {c["name"] for c in cfgs}
+    assert {"baseline_fp32", "gptq_int2", "gptq_int4", "gptq_int8",
+            "smoothquant_int4", "smoothquant_int8", "smoothquant_w8a8",
+            "awq_int4", "awq_nf4"} == names
+    want = {"baseline_fp32", "gptq_int8", "smoothquant_w8a8", "awq_int4"}
+    sub = [c for c in cfgs if c["name"] in want]
+    results = run_sweep(params, arch, sub, datasets, tok,
+                        eval_cfg=EvalConfig(batch_size=2, warmup_batches=0),
+                        decode_cfg=_dc(), save_path=str(tmp_path))
+    for n in want:
+        assert "error" not in results[n], results[n]
+        assert results[n]["splits"]["test_clean"]["wer"] is not None
+    base_mb = results["baseline_fp32"]["model_size_mb"]
+    assert results["gptq_int8"]["model_size_mb"] < base_mb
+    assert results["awq_int4"]["model_size_mb"] < base_mb
+
+    # the apply transforms actually produced QTensor linears
+    from openai_whisper_compression_tpu.evaluation import harness
+    from openai_whisper_compression_tpu.quant import api as quant_api
+
+    run_cal = harness.make_calibration_fn(arch,
+                                          datasets["calibration_clean"], tok,
+                                          batch_size=2)
+    qp = quant_api.quantize_data_aware(params, arch, "smoothquant_w8a8",
+                                       run_cal)
+    kinds = {l.kind for _, l in named_leaves(qp) if isinstance(l, QTensor)}
+    assert kinds == {"int8_pc"}
+    acts = {l.act for _, l in named_leaves(qp) if isinstance(l, QTensor)}
+    assert acts == {"dynamic_int8"}
+
+    with pytest.raises(KeyError, match="data-aware"):
+        quant_api.quantize_data_aware(params, arch, "nope", run_cal)
+
+
+def test_make_calibration_fn_feeds_both_taps(setup):
+    """One callable serves both instrumentation channels: SmoothQuant's
+    LN-output capture sees a well-formed record stream, and GPTQ's linear
+    tap accumulates Hessians for every linear weight."""
+    from openai_whisper_compression_tpu.evaluation import harness
+    from openai_whisper_compression_tpu.quant import gptq, smooth
+
+    params, arch, datasets, tok = setup
+    run_cal = harness.make_calibration_fn(arch,
+                                          datasets["calibration_clean"], tok,
+                                          batch_size=2, n_tokens=6)
+    stats = smooth.collect_ln_stats(params, arch, run_cal)
+    n_sites = 2 * arch.encoder_layers + 3 * arch.decoder_layers
+    assert len(stats) == n_sites
+    hes = gptq.collect_hessians(params, run_cal)
+    assert any(k.endswith(".fc1.w") for k in hes)
+    assert any(".attn.q.w" in k for k in hes)
+
+    with pytest.raises(ValueError, match=">= 1"):
+        harness.make_calibration_fn(arch, [], tok)
+
+
+def test_cli_evaluate_data_aware(capsys):
+    from openai_whisper_compression_tpu import cli
+
+    cli.main(["evaluate", "--model", "test2l", "--samples", "2",
+              "--batch-size", "2", "--max-new-tokens", "4",
+              "--calibration-samples", "2", "--quant", "gptq_int4"])
+    assert "WER" in capsys.readouterr().out
