@@ -61,6 +61,19 @@ def _load_data(args, arch):
     return datasets, tok
 
 
+def _normalizer_for(args) -> str:
+    """--normalizer wins; otherwise real data (--librispeech/--hf) scores
+    under the reference's full Whisper normalizer (`data_utils.py:60,170`),
+    while the synthetic token set keeps the basic normalizer (the number
+    normalizer rewrites ids like "w1")."""
+    explicit = getattr(args, "normalizer", None)
+    if explicit:
+        return explicit
+    real_data = getattr(args, "librispeech", False) or getattr(args, "hf",
+                                                               None)
+    return "whisper" if real_data else "basic"
+
+
 def _decode_cfg(args, arch):
     from .config import DecodeConfig
 
@@ -103,7 +116,8 @@ def cmd_evaluate(args):
     scores, records = harness.evaluate_model(
         params, arch, datasets["test_clean"], tok,
         eval_cfg=EvalConfig(batch_size=args.batch_size,
-                            split="test_clean"),
+                            split="test_clean",
+                            normalizer=_normalizer_for(args)),
         decode_cfg=_decode_cfg(args, arch), memory_tracker=tracker)
     if args.save_path:
         harness.save_evaluation_results(scores, records, arch.name,
@@ -124,7 +138,8 @@ def cmd_sweep(args):
     if args.limit:
         configs = configs[: args.limit]
     results = run_sweep(params, arch, configs, datasets, tok,
-                        eval_cfg=EvalConfig(batch_size=args.batch_size),
+                        eval_cfg=EvalConfig(batch_size=args.batch_size,
+                                            normalizer=_normalizer_for(args)),
                         decode_cfg=_decode_cfg(args, arch),
                         save_path=args.save_path,
                         resume=not args.no_resume)
@@ -460,6 +475,11 @@ def main(argv=None):
 
     def data_opts(p):
         p.add_argument("--samples", type=int, default=8)
+        p.add_argument("--normalizer", default=None,
+                       choices=["whisper", "basic", "none"],
+                       help="WER/CER text normalization (default: whisper "
+                            "for real data via --librispeech/--hf, basic "
+                            "for the synthetic set)")
         p.add_argument("--calibration-samples", type=int, default=4)
         p.add_argument("--librispeech", action="store_true")
         p.add_argument("--max-new-tokens", type=int, default=32)

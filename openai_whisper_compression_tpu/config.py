@@ -245,6 +245,11 @@ class EvalConfig:
     warmup_batches: int = 1
     compute_cer: bool = True
     save_path: str | None = None
+    # text normalization before WER/CER: "basic" (lowercase/strip-punct —
+    # safe for synthetic token ids), "whisper" (full OpenAI normalizer, the
+    # scoring the reference's recorded WERs use — data_utils.py:60,170), or
+    # "none". The CLI real-data path (--hf/--librispeech) selects "whisper".
+    normalizer: str = "basic"
 
 
 @dataclass

@@ -225,6 +225,9 @@ def evaluate_model(params, arch: WhisperArch, dataset: list[Utterance],
             transcribe_batch(transcribe_fn, params, warm, tokenizer, bs,
                              n_samples)
 
+    norm = metrics.resolve_normalizer(getattr(eval_cfg, "normalizer",
+                                              "basic"))
+    normalize = norm is not None
     refs: list[str] = []
     hyps: list[str] = []
     records: list[dict] = []
@@ -246,7 +249,8 @@ def evaluate_model(params, arch: WhisperArch, dataset: list[Utterance],
             hyps.append(hyp)
             records.append({"id": utt.uid, "reference": utt.text,
                             "hypothesis": hyp, "duration": utt.duration,
-                            "wer": metrics.per_sample_wer(utt.text, hyp)})
+                            "wer": metrics.per_sample_wer(
+                                utt.text, hyp, normalize, norm)})
         if memory_tracker is not None:
             memory_tracker.log_memory(split=eval_cfg.split, batch_idx=bi,
                                       batch_size=len(batch),
@@ -254,8 +258,9 @@ def evaluate_model(params, arch: WhisperArch, dataset: list[Utterance],
 
     scores: dict[str, Any] = {
         "num_samples": len(refs),
-        "wer": metrics.wer(refs, hyps) if refs else None,
-        "cer": metrics.cer(refs, hyps) if (refs and eval_cfg.compute_cer) else None,
+        "wer": metrics.wer(refs, hyps, normalize, norm) if refs else None,
+        "cer": (metrics.cer(refs, hyps, normalize, norm)
+                if (refs and eval_cfg.compute_cer) else None),
         "total_processing_time_s": total_proc,
         "total_audio_duration_s": total_audio,
         "rtf": total_proc / max(total_audio, 1e-9),
@@ -269,6 +274,7 @@ def evaluate_model(params, arch: WhisperArch, dataset: list[Utterance],
         },
         "batch_size": bs,
         "split": eval_cfg.split,
+        "normalizer": getattr(eval_cfg, "normalizer", "basic"),
     }
     if memory_tracker is not None:
         scores["memory"] = memory_tracker.get_memory_summary()

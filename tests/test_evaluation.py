@@ -52,6 +52,55 @@ def test_normalize():
     assert metrics.wer(["Hello!"], ["hello"]) == 0.0
 
 
+def test_whisper_normalizer():
+    """Full OpenAI-style normalizer (reference scoring at
+    data_utils.py:60,170): contractions expand, spelled numbers/currency
+    become digits, brackets drop — all differences the basic normalizer
+    cannot erase."""
+    n = metrics.whisper_normalizer()
+    assert n("It's one hundred and twenty-three dollars! [laughs]") \
+        == "it is $123"
+    assert n("Mr. Smith won't go") == "mister smith will not go"
+    # WER 0 under whisper normalization, nonzero under basic
+    refs = ["It's twenty-two dollars"]
+    hyps = ["it is $22"]
+    assert metrics.wer(refs, hyps, normalizer=n) == 0.0
+    assert metrics.wer(refs, hyps) > 0.0
+    # same instance cached; non-English falls to the basic variant
+    assert metrics.whisper_normalizer() is n
+    nb = metrics.whisper_normalizer(language="de")
+    assert nb("Füße!") == "füße "
+
+
+def test_resolve_normalizer():
+    assert metrics.resolve_normalizer(None) is metrics.normalize_text
+    assert metrics.resolve_normalizer("basic") is metrics.normalize_text
+    assert metrics.resolve_normalizer("whisper") \
+        is metrics.whisper_normalizer()
+    assert metrics.resolve_normalizer("none") is None
+    with pytest.raises(ValueError, match="unknown normalizer"):
+        metrics.resolve_normalizer("bogus")
+
+
+def test_harness_normalizer_selection():
+    """EvalConfig.normalizer reaches the scoring: 'none' makes case matter,
+    'whisper'/'basic' do not (and the choice lands in the artifact)."""
+    from openai_whisper_compression_tpu.cli import _normalizer_for
+
+    class A:  # argparse namespace stand-in
+        normalizer = None
+        librispeech = False
+        hf = None
+
+    assert _normalizer_for(A()) == "basic"
+    a = A(); a.librispeech = True
+    assert _normalizer_for(a) == "whisper"
+    a = A(); a.hf = "openai/whisper-tiny"
+    assert _normalizer_for(a) == "whisper"
+    a = A(); a.hf = "x"; a.normalizer = "none"
+    assert _normalizer_for(a) == "none"
+
+
 # ---------------------------------------------------------------------------
 # Memory tracker
 # ---------------------------------------------------------------------------
