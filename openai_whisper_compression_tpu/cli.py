@@ -50,9 +50,12 @@ def _load_data(args, arch):
 
     datasets = prepare_datasets(num_cal=args.calibration_samples,
                                 num_test=args.samples, seed=args.seed,
-                                use_librispeech=args.librispeech)
+                                use_librispeech=args.librispeech,
+                                audio_dir=getattr(args, "audio_dir", None),
+                                transcripts=getattr(args, "transcripts",
+                                                    None))
     tok = None
-    if args.librispeech:
+    if args.librispeech or getattr(args, "audio_dir", None):
         tok = load_tokenizer(f"openai/whisper-{arch.name}")
     if tok is None:
         tok = WordTokenizer(arch.vocab_size,
@@ -69,8 +72,9 @@ def _normalizer_for(args) -> str:
     explicit = getattr(args, "normalizer", None)
     if explicit:
         return explicit
-    real_data = getattr(args, "librispeech", False) or getattr(args, "hf",
-                                                               None)
+    real_data = (getattr(args, "librispeech", False)
+                 or getattr(args, "hf", None)
+                 or getattr(args, "audio_dir", None))
     return "whisper" if real_data else "basic"
 
 
@@ -240,26 +244,9 @@ def cmd_transcribe(args):
 
     from . import transcribe
 
-    if args.audio.endswith(".npy"):
-        wav = np.load(args.audio).astype(np.float32)
-        sr = args.sample_rate
-    else:
-        import wave
+    from .evaluation.data import read_audio_file
 
-        with wave.open(args.audio, "rb") as w:
-            sr = w.getframerate()
-            n = w.getnframes()
-            raw = w.readframes(n)
-            wav = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
-            if w.getnchannels() > 1:
-                wav = wav.reshape(-1, w.getnchannels()).mean(axis=1)
-    if sr != 16000:
-        from .runtime_native import BatchLoader
-
-        n16 = int(len(wav) * 16000 / sr)
-        loader = BatchLoader(1, n16)
-        loader.submit(0, wav, sample_rate=sr)
-        wav = loader.flush()[0]
+    wav = read_audio_file(args.audio, assume_rate=args.sample_rate)
 
     params, arch = _load_model(args)
     if args.timestamps or args.word_timestamps:
@@ -482,6 +469,12 @@ def main(argv=None):
                             "for the synthetic set)")
         p.add_argument("--calibration-samples", type=int, default=4)
         p.add_argument("--librispeech", action="store_true")
+        p.add_argument("--audio-dir", default=None,
+                       help="local dir of .wav/.npy (+ *.trans.txt / "
+                            "sidecar .txt transcripts): real-audio WER "
+                            "with zero egress")
+        p.add_argument("--transcripts", default=None,
+                       help="uid<TAB>text table for --audio-dir")
         p.add_argument("--max-new-tokens", type=int, default=32)
         p.add_argument("--beam", type=int, default=1)
         p.add_argument("--kv-int8", action="store_true")

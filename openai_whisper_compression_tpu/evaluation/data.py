@@ -53,6 +53,95 @@ def load_librispeech(num_samples: int | None = None,
         ) from e
 
 
+def read_audio_file(path: str, sample_rate: int = SAMPLE_RATE,
+                    assume_rate: int | None = None) -> np.ndarray:
+    """Read a .wav (16-bit PCM, any rate/channels) or .npy (float waveform)
+    into a mono float32 array at `sample_rate`. Resampling rides the C++
+    BatchLoader (runtime_native) — the same path the serving frontend uses.
+    `assume_rate` sets the source rate for .npy files (default: already at
+    `sample_rate`)."""
+    if path.endswith(".npy"):
+        wav = np.load(path).astype(np.float32).reshape(-1)
+        sr = assume_rate or sample_rate
+    else:
+        import wave
+
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            raw = w.readframes(w.getnframes())
+            wav = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+            if w.getnchannels() > 1:
+                wav = wav.reshape(-1, w.getnchannels()).mean(axis=1)
+    if sr != sample_rate:
+        from ..runtime_native import BatchLoader
+
+        n_out = int(len(wav) * sample_rate / sr)
+        loader = BatchLoader(1, n_out)
+        loader.submit(0, wav, sample_rate=sr)
+        wav = loader.flush()[0]
+    return np.ascontiguousarray(wav, np.float32)
+
+
+def _dir_transcripts(root) -> dict[str, str]:
+    """Collect LibriSpeech-style `*.trans.txt` ("uid text...") and sidecar
+    `<stem>.txt` transcripts under `root`, keyed by uid/stem."""
+    out: dict[str, str] = {}
+    for tf in sorted(root.rglob("*.trans.txt")):
+        for line in tf.read_text().splitlines():
+            parts = line.strip().split(maxsplit=1)
+            if len(parts) == 2:
+                out[parts[0]] = parts[1]
+    return out
+
+
+def load_audio_dir(path: str, transcripts: str | None = None,
+                   num_samples: int | None = None,
+                   sample_rate: int = SAMPLE_RATE) -> list[Utterance]:
+    """Local-directory dataset: real-audio WER with zero egress.
+
+    Recursively collects `.wav`/`.npy` under `path` (sorted for
+    determinism). Reference text per file, first match wins:
+      1. `transcripts` — a TSV/two-column file of "uid<TAB or space>text"
+         (uid = file stem);
+      2. LibriSpeech layout — any `*.trans.txt` in the tree (so an unpacked
+         LibriSpeech split works verbatim, same records the reference's HF
+         loader yields — `data_utils.py:8-41`);
+      3. a sidecar `<stem>.txt` next to the audio file;
+      4. "" (transcribable, WER meaningless — flagged by the caller).
+    """
+    from pathlib import Path
+
+    root = Path(path)
+    if not root.is_dir():
+        raise FileNotFoundError(f"audio dir {path!r} does not exist")
+    files = sorted(p for p in root.rglob("*")
+                   if p.suffix.lower() in (".wav", ".npy"))
+    if num_samples:
+        files = files[:num_samples]
+    if not files:
+        raise RuntimeError(f"no .wav/.npy files under {path!r}")
+    table: dict[str, str] = {}
+    if transcripts:
+        for line in Path(transcripts).read_text().splitlines():
+            parts = (line.strip().split("\t", 1) if "\t" in line
+                     else line.strip().split(maxsplit=1))
+            if len(parts) == 2:
+                table[parts[0]] = parts[1]
+    trans = _dir_transcripts(root)
+    out = []
+    for f in files:
+        wav = read_audio_file(str(f), sample_rate)
+        stem = f.stem
+        text = table.get(stem) or trans.get(stem) or ""
+        if not text:
+            side = f.with_suffix(".txt")
+            if side.exists():
+                text = side.read_text().strip()
+        out.append(Utterance(audio=wav, text=text,
+                             duration=len(wav) / sample_rate, uid=stem))
+    return out
+
+
 def synthetic_dataset(num_samples: int = 16, seed: int = 0,
                       vocab_size: int = 500, min_words: int = 3,
                       max_words: int = 12,
@@ -84,9 +173,18 @@ def synthetic_dataset(num_samples: int = 16, seed: int = 0,
 
 
 def prepare_datasets(num_cal: int = 8, num_test: int = 16, seed: int = 0,
-                     use_librispeech: bool = False) -> dict[str, list[Utterance]]:
+                     use_librispeech: bool = False,
+                     audio_dir: str | None = None,
+                     transcripts: str | None = None) -> dict[str, list[Utterance]]:
     """Calibration/test splits for clean+other, matching the reference's
-    4-way dict (`data_utils.py:64-116`)."""
+    4-way dict (`data_utils.py:64-116`). `audio_dir` substitutes a local
+    directory (load_audio_dir) for both the hub and the synthetic set —
+    the "other" split is empty in that mode (one local corpus)."""
+    if audio_dir:
+        clean = load_audio_dir(audio_dir, transcripts, num_cal + num_test)
+        return {"calibration_clean": clean[:num_cal],
+                "test_clean": clean[num_cal:],
+                "calibration_other": [], "test_other": []}
     if use_librispeech:
         clean = load_librispeech(num_cal + num_test, "test.clean")
         other = load_librispeech(num_cal + num_test, "test.other")

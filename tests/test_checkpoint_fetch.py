@@ -207,3 +207,91 @@ def test_arch_from_hf_config_special_layouts():
     # custom/test vocab: specials disabled (id >= vocab), multilingual-true
     a_t = arch_from_hf_config(cfg(1000))
     assert a_t.no_timestamps_token_id >= a_t.vocab_size
+
+
+# ---------------------------------------------------------------------------
+# load_audio_dir: local-directory real-audio path (zero-egress WER)
+# ---------------------------------------------------------------------------
+
+def _write_wav(path, wav, sr=16000, channels=1):
+    import wave
+
+    pcm = (np.clip(wav, -1, 1) * 32767).astype("<i2")
+    if channels > 1:
+        pcm = np.repeat(pcm[:, None], channels, axis=1)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture
+def audio_dir(tmp_path):
+    from openai_whisper_compression_tpu.config import SAMPLE_RATE
+
+    t = np.arange(SAMPLE_RATE) / SAMPLE_RATE
+    tone = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    sub = tmp_path / "spk1" / "ch1"
+    sub.mkdir(parents=True)
+    _write_wav(sub / "utt1.wav", tone)
+    _write_wav(sub / "utt2.wav", tone, channels=2)          # stereo downmix
+    _write_wav(sub / "utt3.wav", tone[::2], sr=8000)        # resampled
+    np.save(sub / "utt4.npy", tone)                          # float npy
+    (sub / "any.trans.txt").write_text(
+        "utt1 HELLO WORLD\nutt2 SECOND LINE\n")
+    (sub / "utt4.txt").write_text("sidecar text\n")
+    return tmp_path
+
+
+def test_load_audio_dir(audio_dir):
+    from openai_whisper_compression_tpu.evaluation import data
+
+    utts = data.load_audio_dir(str(audio_dir))
+    assert [u.uid for u in utts] == ["utt1", "utt2", "utt3", "utt4"]
+    assert utts[0].text == "HELLO WORLD"          # trans.txt
+    assert utts[1].text == "SECOND LINE"
+    assert utts[2].text == ""                     # no transcript anywhere
+    assert utts[3].text == "sidecar text"         # sidecar .txt
+    for u in utts:
+        assert u.audio.dtype == np.float32
+        assert abs(u.duration - 1.0) < 0.01       # all ~1 s @ 16 kHz
+    # stereo downmix and 8 kHz resample land at the same length
+    assert len(utts[1].audio) == len(utts[0].audio)
+    assert len(utts[2].audio) == len(utts[0].audio)
+    # explicit TSV table wins over trans.txt
+    tsv = audio_dir / "table.tsv"
+    tsv.write_text("utt1\toverride text\n")
+    utts = data.load_audio_dir(str(audio_dir), transcripts=str(tsv))
+    assert utts[0].text == "override text"
+    assert utts[1].text == "SECOND LINE"
+    # bounded + errors
+    assert len(data.load_audio_dir(str(audio_dir), num_samples=2)) == 2
+    with pytest.raises(FileNotFoundError):
+        data.load_audio_dir(str(audio_dir / "nope"))
+    empty = audio_dir / "empty"
+    empty.mkdir()
+    with pytest.raises(RuntimeError, match="no .wav"):
+        data.load_audio_dir(str(empty))
+
+
+def test_prepare_datasets_audio_dir(audio_dir):
+    from openai_whisper_compression_tpu.evaluation import data
+
+    ds = data.prepare_datasets(num_cal=1, num_test=3,
+                               audio_dir=str(audio_dir))
+    assert [u.uid for u in ds["calibration_clean"]] == ["utt1"]
+    assert [u.uid for u in ds["test_clean"]] == ["utt2", "utt3", "utt4"]
+    assert ds["test_other"] == [] and ds["calibration_other"] == []
+
+
+def test_cli_evaluate_audio_dir(audio_dir, capsys):
+    """Full WER evaluation over a local audio directory — the zero-egress
+    real-audio recipe (`--audio-dir`), whisper-normalized scoring."""
+    from openai_whisper_compression_tpu import cli
+
+    cli.main(["evaluate", "--model", "test2l", "--samples", "3",
+              "--batch-size", "2", "--max-new-tokens", "4",
+              "--calibration-samples", "1",
+              "--audio-dir", str(audio_dir)])
+    assert "WER" in capsys.readouterr().out
