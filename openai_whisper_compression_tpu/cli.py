@@ -116,6 +116,13 @@ def cmd_evaluate(args):
                                                    args.quant, run_cal)
         else:
             params = quant_api.apply_named_config(params, args.quant)
+    if getattr(args, "quant_config", None):
+        from .quant import mixed
+
+        qcfg = mixed.load_quant_config(args.quant_config)
+        params = mixed.apply_quant_config(params, qcfg)
+        print(f"mixed-precision: avg {qcfg['avg_bits']} bits "
+              f"({qcfg['counts']})")
     tracker = MemoryTracker(f"{arch.name}_{args.quant or 'dense'}")
     scores, records = harness.evaluate_model(
         params, arch, datasets["test_clean"], tok,
@@ -175,6 +182,19 @@ def cmd_sensitivity(args):
     if args.method in ("gradient", "fisher"):
         scores = gradient.compute_sensitivity(
             params, arch, batches, power=1.0 if args.method == "gradient" else 2.0)
+        if getattr(args, "quant_bits", None):
+            from .quant import mixed
+
+            qcfg = mixed.generate_quant_config(
+                params, scores, target_bits=args.quant_bits,
+                ladder=tuple(args.quant_ladder.split(",")))
+            print(json.dumps({k: qcfg[k] for k in
+                              ("avg_bits", "target_bits", "counts")},
+                             indent=2))
+            if args.save_path:
+                mixed.save_quant_config(qcfg, args.save_path)
+                print(f"mixed-precision quant config -> {args.save_path}")
+            return qcfg
         cfg = recommend.generate_pruning_config(scores, arch)
         print(json.dumps(cfg["analysis"]["by_category"], indent=2))
         if args.save_path:
@@ -483,6 +503,9 @@ def main(argv=None):
     common(p)
     data_opts(p)
     p.add_argument("--quant", default=None)
+    p.add_argument("--quant-config", default=None,
+                   help="mixed-precision config JSON from "
+                        "`sensitivity --quant-bits`")
     p.add_argument("--prune-recipe", action="store_true")
     p.set_defaults(fn=cmd_evaluate)
 
@@ -570,6 +593,12 @@ def main(argv=None):
     p.add_argument("--batches", type=int, default=2)
     p.add_argument("--use-dataset", action="store_true",
                    help="derive batches from utterances instead of noise")
+    p.add_argument("--quant-bits", type=float, default=None,
+                   help="emit a mixed-precision quant config at this "
+                        "param-weighted average bit-width instead of a "
+                        "pruning config")
+    p.add_argument("--quant-ladder", default="int4,int8",
+                   help="comma list of quant methods, ascending bits")
     p.set_defaults(fn=cmd_sensitivity)
 
     p = sub.add_parser("analyze", help="architecture introspection")
