@@ -217,6 +217,34 @@ def data_aware_sweep() -> list[dict]:
             + [mk(n) for n in sorted(quant_api.DATA_AWARE)])
 
 
+def mixed_precision_sweep(
+        budgets: tuple[float, ...] = (4.0, 4.5, 5.0, 6.0, 7.0),
+        ladder: tuple[str, ...] = ("int4", "int8")) -> list[dict]:
+    """Average-bits budget ladder for sensitivity-driven mixed precision
+    (`quant/mixed.py`). Gradient scores are computed once on first apply
+    and shared across budgets (the sensitivity pass dominates the cost)."""
+    cache: dict = {}
+
+    def mk(bits):
+        def f(p, arch):
+            from ..quant import mixed
+            from ..sensitivity import gradient
+
+            if "scores" not in cache:
+                batches = gradient.make_synthetic_batches(
+                    arch, n_batches=2, batch=2, seq=16)
+                cache["scores"] = gradient.compute_sensitivity(
+                    p, arch, batches)
+            cfg = mixed.generate_quant_config(p, cache["scores"],
+                                              target_bits=bits,
+                                              ladder=ladder)
+            return mixed.apply_quant_config(p, cfg)
+        return {"name": f"mixed_{bits}b", "apply": f}
+
+    return ([{"name": "baseline_fp32", "apply": _q("baseline_fp32")}]
+            + [mk(b) for b in budgets])
+
+
 SWEEPS: dict[str, Callable[..., list[dict]]] = {
     "quant": lambda arch: quant_sweep(),
     "l1": lambda arch: unstructured_l1_sweep(),
@@ -224,4 +252,5 @@ SWEEPS: dict[str, Callable[..., list[dict]]] = {
     "experimental": experimental_pruning_sweep,
     "prune_quant": lambda arch: prune_quant_sweep(),
     "data_aware": lambda arch: data_aware_sweep(),
+    "mixed": lambda arch: mixed_precision_sweep(),
 }

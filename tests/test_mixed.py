@@ -110,3 +110,32 @@ def test_cli_sensitivity_quant_bits(tmp_path, capsys):
               "--quant-config", str(path)])
     out = capsys.readouterr().out
     assert "mixed-precision" in out and "WER" in out
+
+
+def test_mixed_precision_sweep_through_driver(tmp_path):
+    """Budget-ladder sweep: model size decreases monotonically with the
+    bits budget; scores computed once and shared (cache)."""
+    from openai_whisper_compression_tpu.config import EvalConfig, DecodeConfig
+    from openai_whisper_compression_tpu.evaluation.data import prepare_datasets
+    from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+    from openai_whisper_compression_tpu.sweep import configs as sweep_configs
+    from openai_whisper_compression_tpu.sweep.driver import run_sweep
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    datasets = prepare_datasets(num_cal=2, num_test=2)
+    tok = WordTokenizer(arch.vocab_size,
+                        special_start=min(arch.eos_token_id,
+                                          arch.decoder_start_token_id))
+    cfgs = sweep_configs.mixed_precision_sweep(budgets=(4.0, 6.0, 8.0))
+    assert [c["name"] for c in cfgs] == [
+        "baseline_fp32", "mixed_4.0b", "mixed_6.0b", "mixed_8.0b"]
+    results = run_sweep(params, arch, cfgs, datasets, tok,
+                        eval_cfg=EvalConfig(batch_size=2, warmup_batches=0),
+                        decode_cfg=DecodeConfig(max_new_tokens=4),
+                        save_path=str(tmp_path))
+    for c in cfgs:
+        assert "error" not in results[c["name"]], results[c["name"]]
+    sizes = [results[f"mixed_{b}b"]["model_size_mb"] for b in (4.0, 6.0, 8.0)]
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert sizes[2] < results["baseline_fp32"]["model_size_mb"]
