@@ -141,13 +141,30 @@ def cmd_sweep(args):
     from .config import EvalConfig
     from .sweep import plots
     from .sweep.configs import SWEEPS
-    from .sweep.driver import run_sweep, summarize
+    from .sweep.driver import (merge_host_results, run_sweep, shard_configs,
+                               summarize)
 
+    if args.merge_hosts:
+        merged = merge_host_results(args.save_path or ".")
+        summarize(merged)
+        return merged
     params, arch = _load_model(args)
     datasets, tok = _load_data(args, arch)
     configs = SWEEPS[args.sweep](arch)
     if args.limit:
         configs = configs[: args.limit]
+    if args.host_shard:
+        import os
+
+        from .parallel import multihost
+
+        info = multihost.initialize()
+        configs = shard_configs(configs)
+        if args.save_path:
+            args.save_path = os.path.join(
+                args.save_path, f"host{info.get('process_id', 0)}")
+        print(f"host shard: {len(configs)} configs on process "
+              f"{info.get('process_id', 0)}/{info['processes']}")
     results = run_sweep(params, arch, configs, datasets, tok,
                         eval_cfg=EvalConfig(batch_size=args.batch_size,
                                             normalizer=_normalizer_for(args)),
@@ -518,6 +535,12 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--no-resume", action="store_true",
                    help="rerun configs already present in all_results.json")
+    p.add_argument("--host-shard", action="store_true",
+                   help="multi-host fan-out: this process runs its "
+                        "round-robin share of configs (jax.distributed), "
+                        "writing under <save-path>/host<i>/")
+    p.add_argument("--merge-hosts", action="store_true",
+                   help="merge <save-path>/host*/all_results.json and exit")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("run", help="execute a RunConfig JSON experiment")

@@ -187,6 +187,71 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
     return all_results
 
 
+def shard_configs(configs: list[dict], process_id: int | None = None,
+                  num_processes: int | None = None,
+                  keep_baseline: bool = True) -> list[dict]:
+    """Round-robin config assignment for multi-host sweep fan-out (SURVEY §5
+    distributed backend: sweeps fan out across hosts over DCN after
+    `parallel.multihost.initialize`). Host i runs configs[i::n]; the
+    baseline config is kept on EVERY host (when present) so each host's
+    wer_vs_baseline / exact-match anchors resolve from its own artifacts.
+
+    Defaults read the live JAX process topology, so the same CLI command
+    runs on every host of a pod slice unchanged."""
+    if process_id is None or num_processes is None:
+        import jax
+
+        process_id = jax.process_index() if process_id is None else process_id
+        num_processes = (jax.process_count() if num_processes is None
+                         else num_processes)
+    if num_processes <= 1:
+        return list(configs)
+    if not 0 <= process_id < num_processes:
+        raise ValueError(f"process_id {process_id} outside "
+                         f"[0, {num_processes})")
+    baseline = next((c for c in configs if c["name"].startswith("baseline")),
+                    None)
+    rest = [c for c in configs if c is not baseline]
+    mine = rest[process_id::num_processes]
+    if keep_baseline and baseline is not None:
+        mine = [baseline] + mine
+    return mine
+
+
+def merge_host_results(save_path: str,
+                       out_file: str = "all_results.json") -> dict[str, Any]:
+    """Merge per-host sweep artifacts (`<save_path>/host*/all_results.json`,
+    as written by `cli sweep --host-shard`) into one result dict + file.
+    Duplicate config names (the shared baseline) take the first host's
+    entry; _meta fingerprints must agree or the merge refuses."""
+    import glob
+
+    merged: dict[str, Any] = {}
+    meta = None
+    files = sorted(glob.glob(os.path.join(save_path, "host*",
+                                          "all_results.json")))
+    if not files:
+        raise FileNotFoundError(f"no host*/all_results.json under "
+                                f"{save_path!r}")
+    for path in files:
+        with open(path) as f:
+            res = json.load(f)
+        m = res.pop("_meta", None)
+        if meta is None:
+            meta = m
+        elif m != meta:
+            raise ValueError(f"{path} was produced under a different "
+                             "eval/decode fingerprint — refusing to merge")
+        for name, entry in res.items():
+            merged.setdefault(name, entry)
+    out = os.path.join(save_path, out_file)
+    with open(out, "w") as f:
+        json.dump({**merged, "_meta": meta or {}}, f, indent=2, default=str)
+    logger.info("merged %d hosts -> %s (%d configs)", len(files), out,
+                len(merged))
+    return merged
+
+
 def summarize(all_results: dict[str, Any]) -> str:
     """Console table ≈ reference sweep summaries
     (`unstructured_L1_baseline.py:1330-1417`)."""

@@ -285,3 +285,56 @@ def test_cli_evaluate_data_aware(capsys):
               "--batch-size", "2", "--max-new-tokens", "4",
               "--calibration-samples", "2", "--quant", "gptq_int4"])
     assert "WER" in capsys.readouterr().out
+
+
+def test_shard_configs_round_robin():
+    """Multi-host fan-out: disjoint cover of non-baseline configs, baseline
+    replicated to every host, topology defaults from live JAX."""
+    from openai_whisper_compression_tpu.sweep.driver import shard_configs
+
+    cfgs = ([{"name": "baseline_fp32"}]
+            + [{"name": f"c{i}"} for i in range(7)])
+    shards = [shard_configs(cfgs, process_id=i, num_processes=3)
+              for i in range(3)]
+    for s in shards:
+        assert s[0]["name"] == "baseline_fp32"
+    names = [n["name"] for s in shards for n in s[1:]]
+    assert sorted(names) == [f"c{i}" for i in range(7)]
+    assert len(set(names)) == 7                       # disjoint
+    # single process → unchanged; bad ids reject
+    assert shard_configs(cfgs, process_id=0, num_processes=1) == cfgs
+    with pytest.raises(ValueError, match="outside"):
+        shard_configs(cfgs, process_id=3, num_processes=3)
+    # no-baseline matrices shard fully
+    nb = shard_configs(cfgs[1:], process_id=0, num_processes=2)
+    assert all(not c["name"].startswith("baseline") for c in nb)
+    # live-topology default (single test process) is identity
+    assert shard_configs(cfgs) == cfgs
+
+
+def test_host_sharded_sweep_and_merge(setup, tmp_path):
+    """Two simulated hosts run disjoint config shards into host<i>/ dirs;
+    merge_host_results reassembles the full matrix."""
+    from openai_whisper_compression_tpu.sweep.driver import (
+        merge_host_results, shard_configs)
+
+    params, arch, datasets, tok = setup
+    cfgs = sweep_configs.quant_sweep()[:5]
+    assert cfgs[0]["name"] == "baseline_fp32"
+    for pid in range(2):
+        mine = shard_configs(cfgs, process_id=pid, num_processes=2)
+        run_sweep(params, arch, mine, datasets, tok,
+                  eval_cfg=EvalConfig(batch_size=2, warmup_batches=0),
+                  decode_cfg=_dc(),
+                  save_path=str(tmp_path / f"host{pid}"))
+    merged = merge_host_results(str(tmp_path))
+    assert set(merged) == {c["name"] for c in cfgs}
+    for name, entry in merged.items():
+        assert "error" not in entry, entry
+    import json
+    with open(tmp_path / "all_results.json") as f:
+        on_disk = json.load(f)
+    assert set(on_disk) == set(merged) | {"_meta"}
+
+    with pytest.raises(FileNotFoundError):
+        merge_host_results(str(tmp_path / "nope"))
