@@ -286,6 +286,29 @@ def cmd_transcribe(args):
     wav = read_audio_file(args.audio, assume_rate=args.sample_rate)
 
     params, arch = _load_model(args)
+    if getattr(args, "stream", False):
+        # simulate live streaming from the file: feed chunk_s-sized pieces,
+        # print committed/pending partials as they stabilize
+        import dataclasses
+
+        from .evaluation.tokenizer import WordTokenizer, load_tokenizer
+        from .streaming import StreamingTranscriber
+
+        tok = (load_tokenizer(f"openai/whisper-{arch.name}")
+               or WordTokenizer(arch.vocab_size,
+                                special_start=min(arch.eos_token_id,
+                                                  arch.decoder_start_token_id)))
+        cfg = dataclasses.replace(_decode_cfg(args, arch), notimestamps=False)
+        st = StreamingTranscriber(params, arch, tok, cfg,
+                                  min_step_s=args.stream_chunk_s)
+        step = int(args.stream_chunk_s * 16000)
+        for i in range(0, len(wav), step):
+            out = st.feed(wav[i: i + step])
+            print(f"[{(i + step) / 16000.0:6.1f}s] {out['committed']} "
+                  f"| {out['pending']}")
+        final = st.flush()
+        print(final["committed"])
+        return final
     if args.timestamps or args.word_timestamps:
         import dataclasses
 
@@ -555,6 +578,11 @@ def main(argv=None):
     p.add_argument("--audio", required=True)
     p.add_argument("--sample-rate", type=int, default=16000,
                    help="sample rate for .npy inputs")
+    p.add_argument("--stream", action="store_true",
+                   help="simulate live streaming: feed the file in "
+                        "--stream-chunk-s pieces, print stable partials "
+                        "(LocalAgreement commitment)")
+    p.add_argument("--stream-chunk-s", type=float, default=1.0)
     p.add_argument("--timestamps", action="store_true",
                    help="segment timestamps via seek decoding")
     p.add_argument("--word-timestamps", action="store_true",

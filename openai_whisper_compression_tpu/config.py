@@ -123,6 +123,12 @@ ARCHS: dict[str, WhisperArch] = {
         no_timestamps_token_id=999,
     ),
 }
+# timestamp-capable twin of test2l (OpenAI token layout: text < eot < sot <
+# notimestamps < 100 timestamp ids) so CLI-level seek/stream paths are
+# testable without a real vocab.
+ARCHS["test2l-ts"] = ARCHS["test2l"].replace(
+    name="test2l-ts", bos_token_id=897, eos_token_id=897,
+    decoder_start_token_id=898, no_timestamps_token_id=899)
 ARCHS.update({a.name + ".en": _en(a) for a in
               [ARCHS[n] for n in ("tiny", "base", "small", "medium")]})
 # distil-whisper (HF distil-whisper/*): full encoder + a distilled shallow

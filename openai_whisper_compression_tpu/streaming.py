@@ -1,0 +1,230 @@
+"""Streaming (incremental) transcription with stable-prefix commitment.
+
+Real-time partial hypotheses over a growing audio stream — beyond the
+reference (offline batch eval only; its closest surface is the whole-file
+`model.generate` at `data_utils.py:152`) and a natural companion to the
+serving frontend (serving.py handles complete utterances).
+
+Policy: **LocalAgreement-n** (the whisper-streaming recipe): after each
+re-decode of the live window, the stable prefix is the longest common prefix
+of the last n hypotheses; only that prefix is surfaced as committed text.
+Commitment is monotonic — committed text never retracts. When the live
+window fills 30 s, the transcriber finalizes every complete segment inside
+the committed prefix, slides the window to that boundary (timestamp-seek,
+same rules as `evaluation.longform.transcribe_seek`), and carries the
+committed tokens as `<|startofprev|>` prompt conditioning so context
+survives the slide.
+
+Jit discipline: every decode reuses ONE fixed-shape jitted step (padded 30 s
+window + right-aligned fixed-width prompt), so an entire stream costs a
+single compile.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SAMPLE_RATE, DecodeConfig, WhisperArch
+from .evaluation.harness import samples_for_arch
+from .evaluation.longform import _seed_prompt, segments_from_tokens
+
+
+def _lcp(seqs: list[tuple]) -> int:
+    """Length of the longest common prefix across token sequences."""
+    if not seqs:
+        return 0
+    n = min(len(s) for s in seqs)
+    for i in range(n):
+        t = seqs[0][i]
+        if any(s[i] != t for s in seqs[1:]):
+            return i
+    return n
+
+
+class StreamingTranscriber:
+    """Incremental transcriber: `feed(samples)` audio as it arrives, read
+    back `{"committed", "pending"}`; `flush()` finalizes the tail.
+
+    agreement: LocalAgreement window (n successive hypotheses must agree
+    before text is committed; 1 = commit every decode immediately).
+    min_step_s: don't re-decode until at least this much new audio arrived
+    (decode cadence / cost knob).
+    """
+
+    def __init__(self, params, arch: WhisperArch, tokenizer,
+                 cfg: DecodeConfig | None = None, agreement: int = 2,
+                 min_step_s: float = 1.0, prompt_window: int = 32,
+                 condition_on_previous_text: bool = True):
+        from .audio import features
+        from .models.decode import (_timestamps_enabled, beam_decode,
+                                    forced_prefix)
+        from .models.whisper import encode
+
+        cfg = cfg or DecodeConfig(notimestamps=False)
+        if not _timestamps_enabled(arch, cfg):
+            raise ValueError("streaming needs timestamp decoding "
+                             "(notimestamps=False and a vocab with "
+                             "timestamp tokens) to slide the window")
+        if agreement < 1:
+            raise ValueError("agreement must be >= 1")
+        self.arch, self.tokenizer, self.cfg = arch, tokenizer, cfg
+        self.params = params
+        self.agreement = int(agreement)
+        self.min_step = int(min_step_s * SAMPLE_RATE)
+        # the prompt shares the decoder's position budget with the forced
+        # prefix and the generated tokens — clamp so generation keeps room
+        p_len = len(forced_prefix(arch, cfg))
+        max_pw = arch.max_target_positions - p_len - cfg.max_new_tokens - 1
+        self.pw = max(min(int(prompt_window), max_pw), 0)
+        if self.pw < 2:          # no room for <|startofprev|> + a token
+            self.pw = 0
+            condition_on_previous_text = False
+        self.condition = condition_on_previous_text
+        self.n_samples = samples_for_arch(arch)
+        self._first_gen = self.pw + p_len
+        n_samples = self.n_samples
+        use_prompt = self.pw > 0
+
+        @jax.jit
+        def step(params, wav, prompt, plen):
+            mel = features.preprocess(wav, arch.num_mel_bins,
+                                      length=n_samples).astype(jnp.float32)
+            enc = encode(params, arch, mel)
+            if use_prompt:
+                return beam_decode(params, arch, enc, cfg,
+                                   prompt_tokens=prompt, prompt_lens=plen)
+            return beam_decode(params, arch, enc, cfg)
+
+        self._step = step
+        # stream state
+        self._audio: list[np.ndarray] = []
+        self._total = 0                   # samples buffered all-time
+        self._window_start = 0            # absolute sample of live window
+        self._decoded_until = 0           # absolute sample of last decode
+        self._hyps: deque = deque(maxlen=self.agreement)
+        self._win_segments: list[dict] = []   # last decode, absolute times
+        self._exposed = 0                 # committed text tokens in window
+        self._final_ids: list[int] = []   # finalized (slid-past) tokens
+        self._final_segments: list[dict] = []
+        self._prompt_ids: list[int] = []
+
+    # -- internals ----------------------------------------------------------
+
+    def _window(self) -> np.ndarray:
+        wav = np.concatenate(self._audio) if self._audio else np.zeros(
+            (0,), np.float32)
+        lo = self._window_start
+        return wav[lo: lo + self.n_samples]
+
+    def _decode_window(self) -> None:
+        piece = self._window()
+        buf = np.zeros((1, self.n_samples), np.float32)
+        buf[0, : len(piece)] = piece
+        prompt, plen = _seed_prompt(
+            self._prompt_ids if self.condition else [],
+            self.pw, self.arch.eos_token_id, self.arch.vocab_size)
+        tokens, lengths = self._step(self.params, jnp.asarray(buf),
+                                     jnp.asarray(prompt), jnp.asarray(plen))
+        gen = np.asarray(tokens)[0, self._first_gen: np.asarray(lengths)[0]]
+        segments, seek_s = segments_from_tokens(self.arch, gen)
+        t0 = self._window_start / SAMPLE_RATE
+        self._win_segments = [{
+            "start": t0 + s["start"],
+            "end": None if s["end"] is None else t0 + s["end"],
+            "tokens": [int(t) for t in s["tokens"]],
+        } for s in segments]
+        flat = tuple(t for s in self._win_segments for t in s["tokens"])
+        self._hyps.append(flat)
+        stable = (_lcp(list(self._hyps))
+                  if len(self._hyps) == self.agreement else 0)
+        # monotonic within the window; never beyond the current hypothesis
+        self._exposed = min(max(self._exposed, stable), len(flat))
+        self._decoded_until = self._total
+
+    def _complete_within(self, n_tokens: int) -> int:
+        """Index AFTER the last window segment that is fully inside the
+        first n_tokens AND has a closing timestamp; 0 if none."""
+        count = k = 0
+        for i, s in enumerate(self._win_segments):
+            count += len(s["tokens"])
+            if count <= n_tokens and s["end"] is not None:
+                k = i + 1
+        return k
+
+    def _slide(self) -> None:
+        """Finalize committed complete segments and advance the window."""
+        k = self._complete_within(self._exposed)
+        if k == 0:
+            # window is full but nothing committed+complete: finalize the
+            # whole hypothesis and advance a full window (transcribe_seek's
+            # no-closing-timestamp fallback) — keeps the stream live
+            k = len(self._win_segments)
+            advance = self.n_samples
+            if not k:
+                self._window_start += advance
+                self._reset_window()
+                return
+        else:
+            end_s = self._win_segments[k - 1]["end"]
+            advance = max(int(end_s * SAMPLE_RATE) - self._window_start, 1)
+        done = self._win_segments[:k]
+        self._final_segments.extend(done)
+        for s in done:
+            self._final_ids.extend(s["tokens"])
+        self._prompt_ids = self._final_ids[-(self.pw - 1):]
+        self._window_start += min(advance, self.n_samples)
+        self._reset_window()
+
+    def _reset_window(self) -> None:
+        self._hyps.clear()
+        self._win_segments = []
+        self._exposed = 0
+
+    def _texts(self) -> dict:
+        flat = [t for s in self._win_segments for t in s["tokens"]]
+        committed = self._final_ids + flat[: self._exposed]
+        return {
+            "committed": self.tokenizer.decode(committed),
+            "pending": self.tokenizer.decode(flat[self._exposed:]),
+            "segments": list(self._final_segments),
+            "buffered_s": (self._total - self._window_start) / SAMPLE_RATE,
+        }
+
+    # -- public API ---------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> dict:
+        """Append audio; re-decode when ≥ min_step_s new audio accumulated
+        (sliding first whenever the live window is full). Returns the
+        current {"committed", "pending", "segments", "buffered_s"}."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        if len(samples):
+            self._audio.append(samples)
+            self._total += len(samples)
+        while self._total - self._window_start > self.n_samples:
+            if not self._hyps:
+                self._decode_window()
+            self._slide()
+        if self._total - self._decoded_until >= self.min_step:
+            self._decode_window()
+        return self._texts()
+
+    def flush(self) -> dict:
+        """Finalize: decode any undecoded tail and commit everything."""
+        while self._total - self._window_start > self.n_samples:
+            if not self._hyps:
+                self._decode_window()
+            self._slide()
+        if self._total > self._window_start:
+            self._decode_window()
+        self._final_segments.extend(self._win_segments)
+        for s in self._win_segments:
+            self._final_ids.extend(s["tokens"])
+        self._reset_window()
+        self._window_start = self._total
+        out = self._texts()
+        out["pending"] = ""
+        return out

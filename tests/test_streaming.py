@@ -1,0 +1,130 @@
+"""StreamingTranscriber: incremental decode with LocalAgreement commitment."""
+
+import jax
+import numpy as np
+import pytest
+
+from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+from openai_whisper_compression_tpu.evaluation.harness import samples_for_arch
+from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+from openai_whisper_compression_tpu.models import params as P
+from openai_whisper_compression_tpu.streaming import (StreamingTranscriber,
+                                                      _lcp)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(7))
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       max_initial_timestamp_index=20)
+    return params, arch, tok, cfg
+
+
+def test_lcp():
+    assert _lcp([(1, 2, 3), (1, 2, 4)]) == 2
+    assert _lcp([(1, 2), (1, 2)]) == 2
+    assert _lcp([(), (1,)]) == 0
+    assert _lcp([]) == 0
+    assert _lcp([(5, 6, 7)]) == 3
+
+
+def test_validation(setup):
+    params, arch, tok, cfg = setup
+    with pytest.raises(ValueError, match="agreement"):
+        StreamingTranscriber(params, arch, tok, cfg, agreement=0)
+    with pytest.raises(ValueError, match="timestamp"):
+        StreamingTranscriber(params, arch, tok,
+                             DecodeConfig(notimestamps=True))
+
+
+def test_feed_monotonic_commit_and_flush(setup):
+    """Committed text only ever grows (string-prefix chain), flush empties
+    pending, and a stream longer than one window slides the live window."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg, agreement=2,
+                              min_step_s=0.5)
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(0)
+    wav = (g.standard_normal(int(2.4 * n)) * 0.1).astype(np.float32)
+
+    committed_history = []
+    chunk = n // 4
+    for i in range(0, len(wav), chunk):
+        out = st.feed(wav[i: i + chunk])
+        assert set(out) == {"committed", "pending", "segments",
+                            "buffered_s"}
+        assert 0.0 <= out["buffered_s"] <= n / 16000.0 + chunk / 16000.0
+        committed_history.append(out["committed"])
+    assert st._window_start > 0                      # slid past window 1
+    final = st.flush()
+    assert final["pending"] == ""
+    committed_history.append(final["committed"])
+    for a, b in zip(committed_history, committed_history[1:]):
+        assert b.startswith(a), (a, b)
+    # finalized segments carry absolute, non-decreasing start times
+    starts = [s["start"] for s in final["segments"]]
+    assert starts == sorted(starts)
+    # stream is fully consumed
+    assert st._window_start == st._total
+
+
+def test_agreement_one_commits_immediately(setup):
+    """agreement=1: every decode's full hypothesis is committed at once."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg, agreement=1,
+                              min_step_s=0.25)
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(1)
+    out = st.feed((g.standard_normal(n // 2) * 0.1).astype(np.float32))
+    assert out["pending"] == ""
+
+
+def test_min_step_gates_decoding(setup):
+    """Feeds smaller than min_step_s don't trigger a decode."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg, min_step_s=5.0)
+    out = st.feed(np.zeros(16000, np.float32))       # 1 s < 5 s
+    assert out["committed"] == "" and out["pending"] == ""
+    assert st._decoded_until == 0
+    st.feed(np.zeros(5 * 16000, np.float32))
+    assert st._decoded_until == st._total
+
+
+def test_flush_equals_offline_tail(setup):
+    """flush() on a sub-window stream decodes once and commits everything;
+    conditioning off reproduces the same text for the same audio."""
+    params, arch, tok, cfg = setup
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(2)
+    wav = (g.standard_normal(n // 3) * 0.1).astype(np.float32)
+
+    a = StreamingTranscriber(params, arch, tok, cfg,
+                             condition_on_previous_text=False)
+    a.feed(wav)
+    ra = a.flush()
+    b = StreamingTranscriber(params, arch, tok, cfg,
+                             condition_on_previous_text=False)
+    b.feed(wav)
+    rb = b.flush()
+    assert ra["committed"] == rb["committed"]
+    assert ra["pending"] == rb["pending"] == ""
+
+
+def test_cli_transcribe_stream(tmp_path, capsys):
+    """--stream simulates live feeding from a file and prints partials plus
+    the final committed line (uses the timestamp-capable test arch)."""
+    from openai_whisper_compression_tpu import cli
+
+    g = np.random.default_rng(4)
+    wav = (g.standard_normal(2 * 16000) * 0.1).astype(np.float32)
+    path = tmp_path / "a.npy"
+    np.save(path, wav)
+    res = cli.main(["transcribe", "--model", "test2l-ts",
+                    "--audio", str(path), "--max-new-tokens", "6",
+                    "--stream", "--stream-chunk-s", "0.5"])
+    out = capsys.readouterr().out
+    assert "|" in out                 # committed | pending partial lines
+    assert res["pending"] == ""
