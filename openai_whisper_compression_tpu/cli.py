@@ -64,16 +64,37 @@ def _load_data(args, arch):
     return datasets, tok
 
 
+def _apply_quant_arg(params, arch, name: str, args,
+                     datasets=None, tok=None):
+    """Apply a --quant name: REGISTRY configs directly; DATA_AWARE ones
+    (GPTQ/SmoothQuant/AWQ) via an eager calibration callable built from the
+    loaded calibration split (or a small synthetic set when none is)."""
+    from .evaluation.harness import make_calibration_fn
+    from .quant import api as quant_api
+
+    if name not in quant_api.DATA_AWARE:
+        return quant_api.apply_named_config(params, name)
+    if datasets is not None:
+        cal = datasets.get("calibration_clean") or []
+    else:
+        from .evaluation.data import synthetic_dataset
+
+        cal = synthetic_dataset(4, seed=args.seed)
+    run_cal = make_calibration_fn(
+        arch, cal, tok, batch_size=min(getattr(args, "batch_size", 4), 4))
+    return quant_api.quantize_data_aware(params, arch, name, run_cal)
+
+
 def _normalizer_for(args) -> str:
-    """--normalizer wins; otherwise real data (--librispeech/--hf) scores
-    under the reference's full Whisper normalizer (`data_utils.py:60,170`),
-    while the synthetic token set keeps the basic normalizer (the number
-    normalizer rewrites ids like "w1")."""
+    """--normalizer wins; otherwise real DATA (--librispeech/--audio-dir)
+    scores under the reference's full Whisper normalizer
+    (`data_utils.py:60,170`), while the synthetic token set keeps the basic
+    normalizer (the number normalizer rewrites ids like "w1" — so --hf
+    alone, which only changes the WEIGHTS, must not flip the scoring)."""
     explicit = getattr(args, "normalizer", None)
     if explicit:
         return explicit
     real_data = (getattr(args, "librispeech", False)
-                 or getattr(args, "hf", None)
                  or getattr(args, "audio_dir", None))
     return "whisper" if real_data else "basic"
 
@@ -101,21 +122,14 @@ def cmd_evaluate(args):
     from .evaluation import harness
     from .evaluation.memory import MemoryTracker
     from .prune import recipe as recipe_mod
-    from .quant import api as quant_api
 
     params, arch = _load_model(args)
     datasets, tok = _load_data(args, arch)
     if args.prune_recipe:
         params = recipe_mod.apply_recipe(params, arch)
     if args.quant:
-        if args.quant in quant_api.DATA_AWARE:
-            run_cal = harness.make_calibration_fn(
-                arch, datasets.get("calibration_clean") or [], tok,
-                batch_size=min(args.batch_size, 4))
-            params = quant_api.quantize_data_aware(params, arch,
-                                                   args.quant, run_cal)
-        else:
-            params = quant_api.apply_named_config(params, args.quant)
+        params = _apply_quant_arg(params, arch, args.quant, args,
+                                  datasets, tok)
     if getattr(args, "quant_config", None):
         from .quant import mixed
 
@@ -204,7 +218,8 @@ def cmd_sensitivity(args):
 
             qcfg = mixed.generate_quant_config(
                 params, scores, target_bits=args.quant_bits,
-                ladder=tuple(args.quant_ladder.split(",")))
+                ladder=tuple(m.strip() for m in args.quant_ladder.split(",")
+                             if m.strip()))
             print(json.dumps({k: qcfg[k] for k in
                               ("avg_bits", "target_bits", "counts")},
                              indent=2))
@@ -399,18 +414,9 @@ def cmd_agreement(args):
     from .evaluation.agreement import model_agreement
     from .evaluation.data import synthetic_dataset
     from .evaluation.harness import samples_for_arch
-    from .quant import api as quant_api
 
     params, arch = _load_model(args)
-    if args.quant in quant_api.DATA_AWARE:
-        from .evaluation.data import synthetic_dataset as _sd
-        from .evaluation.harness import make_calibration_fn
-
-        run_cal = make_calibration_fn(arch, _sd(4, seed=args.seed))
-        comp = quant_api.quantize_data_aware(params, arch, args.quant,
-                                             run_cal)
-    else:
-        comp = quant_api.apply_named_config(params, args.quant)
+    comp = _apply_quant_arg(params, arch, args.quant, args)
     if args.prune_recipe:
         from .prune import recipe as recipe_mod
 
@@ -478,22 +484,13 @@ def cmd_analyze(args):
 
 def cmd_compress(args):
     from .prune import magnitude, recipe as recipe_mod
-    from .quant import api as quant_api
     from .storage import formats
 
     params, arch = _load_model(args)
     rec = recipe_mod.INCREASED_RECIPE if args.increase_pruning else None
     pruned = recipe_mod.apply_recipe(params, arch, rec)
     if args.quant:
-        if args.quant in quant_api.DATA_AWARE:
-            from .evaluation.data import synthetic_dataset as _sd
-            from .evaluation.harness import make_calibration_fn
-
-            run_cal = make_calibration_fn(arch, _sd(4, seed=args.seed))
-            pruned = quant_api.quantize_data_aware(pruned, arch,
-                                                   args.quant, run_cal)
-        else:
-            pruned = quant_api.apply_named_config(pruned, args.quant)
+        pruned = _apply_quant_arg(pruned, arch, args.quant, args)
     rep = magnitude.sparsity_report(pruned)
     print(f"sparsity: {rep['overall_sparsity']:.3f}  "
           f"nnz: {rep['nonzero_params']:,}")

@@ -46,7 +46,8 @@ def whisper_normalizer(language: str | None = "en",
     normalizer unless EvalConfig.normalizer selects "whisper" (the
     `--hf/--librispeech` CLI path does).
     """
-    key = (language, id(spelling) if spelling else None)
+    key = (language,
+           tuple(sorted(spelling.items())) if spelling else None)
     if key in _WHISPER_NORMALIZERS:
         return _WHISPER_NORMALIZERS[key]
     try:

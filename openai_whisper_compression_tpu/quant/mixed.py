@@ -25,14 +25,18 @@ import numpy as np
 from ..models.params import named_leaves
 from ..ops.qtensor import QTensor
 from .api import LINEAR_WEIGHT_RE, quantize_params
+from .core import QUANTIZERS
 
 # nominal stored bits/weight per QUANTIZERS method (scale/zero metadata is
 # O(1/group) and identical across rungs at fixed group size, so it cancels
 # in the average)
 METHOD_BITS: dict[str, float] = {
-    "int2": 2, "hqq3": 3, "int4": 4, "nf4": 4, "fp4": 4, "hqq4": 4,
-    "nf4_dq": 4, "fp4_dq": 4, "int8": 8, "hqq8": 8, "fp8": 8,
+    "int2": 2, "hqq_int3": 3, "int4": 4, "nf4": 4, "fp4": 4, "hqq_int4": 4,
+    "nf4_dq": 4, "fp4_dq": 4, "int8": 8, "hqq_int8": 8, "fp8": 8,
 }
+# every rung must be an applicable QUANTIZERS method, or configs could be
+# generated that apply_quant_config cannot apply
+assert set(METHOD_BITS) <= set(QUANTIZERS)
 
 DEFAULT_LADDER = ("int4", "int8")
 

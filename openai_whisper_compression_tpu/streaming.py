@@ -100,14 +100,21 @@ class StreamingTranscriber:
             return beam_decode(params, arch, enc, cfg)
 
         self._step = step
-        # stream state
-        self._audio: list[np.ndarray] = []
-        self._total = 0                   # samples buffered all-time
+        # stream state. The buffer holds only un-consumed audio: `_base` is
+        # the absolute sample index of _buf[0]; slides drop everything
+        # before the new window start, so memory and per-decode copy cost
+        # are bounded by one window, not the stream length.
+        self._buf = np.zeros((0,), np.float32)
+        self._base = 0
+        self._total = 0                   # samples received all-time
         self._window_start = 0            # absolute sample of live window
         self._decoded_until = 0           # absolute sample of last decode
         self._hyps: deque = deque(maxlen=self.agreement)
         self._win_segments: list[dict] = []   # last decode, absolute times
-        self._exposed = 0                 # committed text tokens in window
+        # committed-but-not-finalized token ids. Commitment is stored as
+        # TOKENS, not an index into the live hypothesis: a later re-decode
+        # that disagrees inside the committed prefix cannot rewrite it.
+        self._exposed_ids: list[int] = []
         self._final_ids: list[int] = []   # finalized (slid-past) tokens
         self._final_segments: list[dict] = []
         self._prompt_ids: list[int] = []
@@ -115,34 +122,48 @@ class StreamingTranscriber:
     # -- internals ----------------------------------------------------------
 
     def _window(self) -> np.ndarray:
-        wav = np.concatenate(self._audio) if self._audio else np.zeros(
-            (0,), np.float32)
-        lo = self._window_start
-        return wav[lo: lo + self.n_samples]
+        lo = self._window_start - self._base
+        return self._buf[lo: lo + self.n_samples]
+
+    def _flat(self) -> tuple:
+        return tuple(t for s in self._win_segments for t in s["tokens"])
+
+    def _common(self, flat: tuple | None = None) -> int:
+        """How far the live hypothesis agrees with the committed tokens."""
+        flat = self._flat() if flat is None else flat
+        return _lcp([tuple(self._exposed_ids), flat])
 
     def _decode_window(self) -> None:
         piece = self._window()
         buf = np.zeros((1, self.n_samples), np.float32)
         buf[0, : len(piece)] = piece
-        prompt, plen = _seed_prompt(
-            self._prompt_ids if self.condition else [],
-            self.pw, self.arch.eos_token_id, self.arch.vocab_size)
+        ids = self._prompt_ids if self.condition else []
+        if ids:
+            prompt, plen = _seed_prompt(ids, self.pw,
+                                        self.arch.eos_token_id,
+                                        self.arch.vocab_size)
+        else:  # no context: plen=0, no dangling <|startofprev|>
+            prompt = np.full((1, self.pw), self.arch.eos_token_id, np.int32)
+            plen = np.zeros((1,), np.int32)
         tokens, lengths = self._step(self.params, jnp.asarray(buf),
                                      jnp.asarray(prompt), jnp.asarray(plen))
         gen = np.asarray(tokens)[0, self._first_gen: np.asarray(lengths)[0]]
-        segments, seek_s = segments_from_tokens(self.arch, gen)
+        segments, _ = segments_from_tokens(self.arch, gen)
         t0 = self._window_start / SAMPLE_RATE
         self._win_segments = [{
             "start": t0 + s["start"],
             "end": None if s["end"] is None else t0 + s["end"],
             "tokens": [int(t) for t in s["tokens"]],
         } for s in segments]
-        flat = tuple(t for s in self._win_segments for t in s["tokens"])
+        flat = self._flat()
         self._hyps.append(flat)
         stable = (_lcp(list(self._hyps))
                   if len(self._hyps) == self.agreement else 0)
-        # monotonic within the window; never beyond the current hypothesis
-        self._exposed = min(max(self._exposed, stable), len(flat))
+        # extend committed tokens only when the live hypothesis still starts
+        # with them (monotonic: divergence never rewrites committed text)
+        common = self._common(flat)
+        if common == len(self._exposed_ids) and stable > common:
+            self._exposed_ids = list(flat[:stable])
         self._decoded_until = self._total
 
     def _complete_within(self, n_tokens: int) -> int:
@@ -157,39 +178,47 @@ class StreamingTranscriber:
 
     def _slide(self) -> None:
         """Finalize committed complete segments and advance the window."""
-        k = self._complete_within(self._exposed)
+        flat = self._flat()
+        common = self._common(flat)
+        k = self._complete_within(common)
         if k == 0:
             # window is full but nothing committed+complete: finalize the
-            # whole hypothesis and advance a full window (transcribe_seek's
-            # no-closing-timestamp fallback) — keeps the stream live
-            k = len(self._win_segments)
+            # committed tokens plus the hypothesis tail and advance a full
+            # window (transcribe_seek's no-closing-timestamp fallback)
+            self._final_ids += self._exposed_ids + list(flat[common:])
+            self._final_segments.extend(self._win_segments)
+            self._exposed_ids = []
             advance = self.n_samples
-            if not k:
-                self._window_start += advance
-                self._reset_window()
-                return
         else:
+            m = sum(len(s["tokens"]) for s in self._win_segments[:k])
+            self._final_ids += list(flat[:m])       # == exposed_ids[:m]
+            self._exposed_ids = self._exposed_ids[m:]
+            self._final_segments.extend(self._win_segments[:k])
             end_s = self._win_segments[k - 1]["end"]
             advance = max(int(end_s * SAMPLE_RATE) - self._window_start, 1)
-        done = self._win_segments[:k]
-        self._final_segments.extend(done)
-        for s in done:
-            self._final_ids.extend(s["tokens"])
-        self._prompt_ids = self._final_ids[-(self.pw - 1):]
+        self._prompt_ids = (self._final_ids + self._exposed_ids
+                            )[-(self.pw - 1):]
         self._window_start += min(advance, self.n_samples)
+        self._trim_buffer()
         self._reset_window()
+
+    def _trim_buffer(self) -> None:
+        drop = min(self._window_start, self._total) - self._base
+        if drop > 0:
+            self._buf = self._buf[drop:]
+            self._base += drop
 
     def _reset_window(self) -> None:
         self._hyps.clear()
         self._win_segments = []
-        self._exposed = 0
 
     def _texts(self) -> dict:
-        flat = [t for s in self._win_segments for t in s["tokens"]]
-        committed = self._final_ids + flat[: self._exposed]
+        flat = self._flat()
+        common = self._common(flat)
         return {
-            "committed": self.tokenizer.decode(committed),
-            "pending": self.tokenizer.decode(flat[self._exposed:]),
+            "committed": self.tokenizer.decode(self._final_ids
+                                               + self._exposed_ids),
+            "pending": self.tokenizer.decode(list(flat[common:])),
             "segments": list(self._final_segments),
             "buffered_s": (self._total - self._window_start) / SAMPLE_RATE,
         }
@@ -202,7 +231,7 @@ class StreamingTranscriber:
         current {"committed", "pending", "segments", "buffered_s"}."""
         samples = np.asarray(samples, np.float32).reshape(-1)
         if len(samples):
-            self._audio.append(samples)
+            self._buf = np.concatenate([self._buf, samples])
             self._total += len(samples)
         while self._total - self._window_start > self.n_samples:
             if not self._hyps:
@@ -220,11 +249,14 @@ class StreamingTranscriber:
             self._slide()
         if self._total > self._window_start:
             self._decode_window()
+        flat = self._flat()
+        common = self._common(flat)
+        self._final_ids += self._exposed_ids + list(flat[common:])
         self._final_segments.extend(self._win_segments)
-        for s in self._win_segments:
-            self._final_ids.extend(s["tokens"])
+        self._exposed_ids = []
         self._reset_window()
         self._window_start = self._total
+        self._trim_buffer()
         out = self._texts()
         out["pending"] = ""
         return out

@@ -77,11 +77,10 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
     # transcripts* (wer_vs_baseline — 0.0 means compression was
     # transcript-neutral; the reference always has LibriSpeech ground truth
     # instead, `quantization.py:149-208`).
-    baseline_name = next((c["name"] for c in configs
-                          if c["name"].startswith("baseline")
-                          or c["name"].endswith("_0pct")),
-                         configs[0]["name"] if configs else None)
+    baseline_name = _baseline_name(configs)
     baseline_hyps: dict[str, dict[str, str]] = {}
+    base_norm = metrics.resolve_normalizer(getattr(eval_cfg, "normalizer",
+                                                   "basic"))
 
     def _load_baseline_hyps(split: str) -> dict[str, str] | None:
         if split in baseline_hyps:
@@ -158,9 +157,13 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
                         pairs = [(base[r["id"]], r["hypothesis"])
                                  for r in records if r["id"] in base]
                         if pairs:
+                            # same normalizer as the split's own wer so the
+                            # two columns stay comparable
                             b, h = zip(*pairs)
                             scores["wer_vs_baseline"] = metrics.wer(
-                                list(b), list(h))
+                                list(b), list(h),
+                                normalize=base_norm is not None,
+                                normalizer=base_norm)
                             scores["exact_match_vs_baseline"] = float(
                                 np.mean([x == y for x, y in pairs]))
                 entry["splits"][split] = scores
@@ -187,6 +190,15 @@ def run_sweep(params: Any, arch: WhisperArch, configs: list[dict],
     return all_results
 
 
+def _baseline_name(configs: list[dict]) -> str | None:
+    """The config run_sweep anchors wer_vs_baseline to: the first baseline*
+    or *_0pct entry, else the first config."""
+    return next((c["name"] for c in configs
+                 if c["name"].startswith("baseline")
+                 or c["name"].endswith("_0pct")),
+                configs[0]["name"] if configs else None)
+
+
 def shard_configs(configs: list[dict], process_id: int | None = None,
                   num_processes: int | None = None,
                   keep_baseline: bool = True) -> list[dict]:
@@ -209,8 +221,14 @@ def shard_configs(configs: list[dict], process_id: int | None = None,
     if not 0 <= process_id < num_processes:
         raise ValueError(f"process_id {process_id} outside "
                          f"[0, {num_processes})")
-    baseline = next((c for c in configs if c["name"].startswith("baseline")),
-                    None)
+    bname = _baseline_name(configs)
+    baseline = next((c for c in configs if c["name"] == bname), None)
+    # only replicate a REAL anchor (baseline*/_0pct); the configs[0]
+    # fallback is positional, not semantic — duplicating it would just
+    # waste a slot on every host
+    if baseline is not None and not (
+            bname.startswith("baseline") or bname.endswith("_0pct")):
+        baseline = None
     rest = [c for c in configs if c is not baseline]
     mine = rest[process_id::num_processes]
     if keep_baseline and baseline is not None:

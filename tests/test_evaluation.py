@@ -95,9 +95,13 @@ def test_harness_normalizer_selection():
     assert _normalizer_for(A()) == "basic"
     a = A(); a.librispeech = True
     assert _normalizer_for(a) == "whisper"
-    a = A(); a.hf = "openai/whisper-tiny"
+    a = A(); a.audio_dir = "/data"
     assert _normalizer_for(a) == "whisper"
-    a = A(); a.hf = "x"; a.normalizer = "none"
+    # --hf alone changes the weights, not the data: synthetic token refs
+    # must keep basic scoring
+    a = A(); a.hf = "openai/whisper-tiny"
+    assert _normalizer_for(a) == "basic"
+    a = A(); a.librispeech = True; a.normalizer = "none"
     assert _normalizer_for(a) == "none"
 
 

@@ -128,3 +128,55 @@ def test_cli_transcribe_stream(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "|" in out                 # committed | pending partial lines
     assert res["pending"] == ""
+
+
+def test_divergent_redecode_never_retracts(setup):
+    """Commitment is stored as tokens: a hypothesis that disagrees inside
+    the committed prefix cannot rewrite committed text (white-box)."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg, agreement=2)
+    st._exposed_ids = [1, 2, 3, 4, 5]
+    st._win_segments = [
+        {"start": 0.0, "end": 0.5, "tokens": [1, 2]},
+        {"start": 0.5, "end": None, "tokens": [9, 9]},  # diverges at idx 2
+    ]
+    out = st._texts()
+    assert out["committed"] == tok.decode([1, 2, 3, 4, 5])
+    assert out["pending"] == tok.decode([9, 9])     # only past the agreement
+
+    # sliding in this state finalizes the committed-consistent complete
+    # segment and keeps the committed remainder — total committed unchanged
+    st._total = st.n_samples + 1
+    st._buf = np.zeros(st._total, np.float32)
+    st._slide()
+    assert st._final_ids == [1, 2]
+    assert st._exposed_ids == [3, 4, 5]
+    assert st._texts()["committed"] == tok.decode([1, 2, 3, 4, 5])
+
+    # the extension rule: a hypothesis that still starts with the committed
+    # tokens can extend them; one that diverges cannot
+    st2 = StreamingTranscriber(params, arch, tok, cfg, agreement=2)
+    st2._exposed_ids = [1, 2]
+    st2._hyps.extend([(1, 2, 7, 8), (1, 2, 7, 9)])
+    st2._win_segments = [{"start": 0.0, "end": None, "tokens": [1, 2, 7, 9]}]
+    stable = _lcp(list(st2._hyps))
+    common = st2._common()
+    assert stable == 3 and common == 2
+    if common == len(st2._exposed_ids) and stable > common:
+        st2._exposed_ids = list(st2._flat()[:stable])
+    assert st2._exposed_ids == [1, 2, 7]
+
+
+def test_buffer_trimmed_on_slide(setup):
+    """Audio before the live window is dropped: memory stays bounded by one
+    window regardless of stream length."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg, min_step_s=0.5)
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(5)
+    for _ in range(6):                       # 6 half-windows = 3 windows
+        st.feed((g.standard_normal(n // 2) * 0.1).astype(np.float32))
+    assert st._window_start > 0
+    assert st._base == st._window_start      # consumed audio dropped
+    assert len(st._buf) == st._total - st._base
+    assert len(st._buf) <= n + n // 2

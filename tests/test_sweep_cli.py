@@ -338,3 +338,17 @@ def test_host_sharded_sweep_and_merge(setup, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         merge_host_results(str(tmp_path / "nope"))
+
+
+def test_shard_configs_replicates_0pct_anchor():
+    """Pruning sweeps anchor wer_vs_baseline to the *_0pct config; sharding
+    must replicate that anchor to every host, same as baseline_*."""
+    from openai_whisper_compression_tpu.sweep.driver import shard_configs
+
+    cfgs = [{"name": f"l1_global_{p}pct"} for p in (0, 10, 30, 50, 90)]
+    shards = [shard_configs(cfgs, process_id=i, num_processes=2)
+              for i in range(2)]
+    for s in shards:
+        assert s[0]["name"] == "l1_global_0pct"
+    rest = [c["name"] for s in shards for c in s[1:]]
+    assert sorted(rest) == sorted(c["name"] for c in cfgs[1:])
