@@ -58,7 +58,8 @@ class StreamingTranscriber:
     def __init__(self, params, arch: WhisperArch, tokenizer,
                  cfg: DecodeConfig | None = None, agreement: int = 2,
                  min_step_s: float = 1.0, prompt_window: int = 32,
-                 condition_on_previous_text: bool = True):
+                 condition_on_previous_text: bool = True,
+                 vad_threshold: float | None = None):
         from .audio import features
         from .models.decode import (_timestamps_enabled, beam_decode,
                                     forced_prefix)
@@ -75,6 +76,10 @@ class StreamingTranscriber:
         self.params = params
         self.agreement = int(agreement)
         self.min_step = int(min_step_s * SAMPLE_RATE)
+        # energy VAD: windows whose RMS is below this skip decoding
+        # entirely (silence costs zero TPU steps; full-silence windows
+        # fast-forward without decode). None = always decode.
+        self.vad = vad_threshold
         # the prompt shares the decoder's position budget with the forced
         # prefix and the generated tokens — clamp so generation keeps room
         p_len = len(forced_prefix(arch, cfg))
@@ -124,6 +129,11 @@ class StreamingTranscriber:
     def _window(self) -> np.ndarray:
         lo = self._window_start - self._base
         return self._buf[lo: lo + self.n_samples]
+
+    def _silent(self, x: np.ndarray) -> bool:
+        return (self.vad is not None
+                and (len(x) == 0
+                     or float(np.sqrt(np.mean(x * x))) < self.vad))
 
     def _flat(self) -> tuple:
         return tuple(t for s in self._win_segments for t in s["tokens"])
@@ -234,20 +244,35 @@ class StreamingTranscriber:
             self._buf = np.concatenate([self._buf, samples])
             self._total += len(samples)
         while self._total - self._window_start > self.n_samples:
+            if self._silent(self._window()):
+                # full-silence window: fast-forward, zero decodes
+                self._window_start += self.n_samples
+                self._trim_buffer()
+                self._reset_window()
+                continue
             if not self._hyps:
                 self._decode_window()
             self._slide()
         if self._total - self._decoded_until >= self.min_step:
-            self._decode_window()
+            if self._silent(self._window()):
+                self._decoded_until = self._total   # nothing to transcribe
+            else:
+                self._decode_window()
         return self._texts()
 
     def flush(self) -> dict:
         """Finalize: decode any undecoded tail and commit everything."""
         while self._total - self._window_start > self.n_samples:
+            if self._silent(self._window()):
+                self._window_start += self.n_samples
+                self._trim_buffer()
+                self._reset_window()
+                continue
             if not self._hyps:
                 self._decode_window()
             self._slide()
-        if self._total > self._window_start:
+        if (self._total > self._window_start
+                and not self._silent(self._window())):
             self._decode_window()
         flat = self._flat()
         common = self._common(flat)

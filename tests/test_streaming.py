@@ -180,3 +180,35 @@ def test_buffer_trimmed_on_slide(setup):
     assert st._base == st._window_start      # consumed audio dropped
     assert len(st._buf) == st._total - st._base
     assert len(st._buf) <= n + n // 2
+
+
+def test_vad_skips_silent_windows(setup, monkeypatch):
+    """vad_threshold: silence never reaches the TPU — no decodes for a pure
+    silence stream (including multi-window fast-forward and flush), while a
+    loud stream still decodes."""
+    params, arch, tok, cfg = setup
+    n = samples_for_arch(arch)
+
+    st = StreamingTranscriber(params, arch, tok, cfg, min_step_s=0.25,
+                              vad_threshold=1e-3)
+    calls = {"n": 0}
+    real = st._decode_window
+
+    def counted():
+        calls["n"] += 1
+        real()
+    monkeypatch.setattr(st, "_decode_window", counted)
+
+    for _ in range(5):                       # 2.5 windows of silence
+        st.feed(np.zeros(n // 2, np.float32))
+    out = st.flush()
+    assert calls["n"] == 0
+    assert out["committed"] == "" and out["segments"] == []
+    assert st._window_start == st._total     # fast-forwarded through all
+
+    # speech-level audio still decodes
+    st2 = StreamingTranscriber(params, arch, tok, cfg, min_step_s=0.25,
+                               vad_threshold=1e-3)
+    g = np.random.default_rng(6)
+    st2.feed((g.standard_normal(n // 2) * 0.1).astype(np.float32))
+    assert st2._decoded_until == st2._total
