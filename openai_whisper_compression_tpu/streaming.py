@@ -59,7 +59,8 @@ class StreamingTranscriber:
                  cfg: DecodeConfig | None = None, agreement: int = 2,
                  min_step_s: float = 1.0, prompt_window: int = 32,
                  condition_on_previous_text: bool = True,
-                 vad_threshold: float | None = None):
+                 vad_threshold: float | None = None,
+                 step_fn=None):
         from .audio import features
         from .models.decode import (_timestamps_enabled, beam_decode,
                                     forced_prefix)
@@ -94,17 +95,25 @@ class StreamingTranscriber:
         n_samples = self.n_samples
         use_prompt = self.pw > 0
 
-        @jax.jit
-        def step(params, wav, prompt, plen):
-            mel = features.preprocess(wav, arch.num_mel_bins,
-                                      length=n_samples).astype(jnp.float32)
-            enc = encode(params, arch, mel)
-            if use_prompt:
-                return beam_decode(params, arch, enc, cfg,
-                                   prompt_tokens=prompt, prompt_lens=plen)
-            return beam_decode(params, arch, enc, cfg)
+        if step_fn is not None:
+            # injected (e.g. a StreamingPool's shared batched step wrapped
+            # for one row) — must accept (params, wav, prompt, plen) and
+            # return (tokens, lengths)
+            self._step = step_fn
+        else:
+            @jax.jit
+            def step(params, wav, prompt, plen):
+                mel = features.preprocess(wav, arch.num_mel_bins,
+                                          length=n_samples
+                                          ).astype(jnp.float32)
+                enc = encode(params, arch, mel)
+                if use_prompt:
+                    return beam_decode(params, arch, enc, cfg,
+                                       prompt_tokens=prompt,
+                                       prompt_lens=plen)
+                return beam_decode(params, arch, enc, cfg)
 
-        self._step = step
+            self._step = step
         # stream state. The buffer holds only un-consumed audio: `_base` is
         # the absolute sample index of _buf[0]; slides drop everything
         # before the new window start, so memory and per-decode copy cost
@@ -143,7 +152,9 @@ class StreamingTranscriber:
         flat = self._flat() if flat is None else flat
         return _lcp([tuple(self._exposed_ids), flat])
 
-    def _decode_window(self) -> None:
+    def _decode_inputs(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(window, prompt, plen) rows for the jitted step — split out so a
+        StreamingPool can batch many sessions into one call."""
         piece = self._window()
         buf = np.zeros((1, self.n_samples), np.float32)
         buf[0, : len(piece)] = piece
@@ -155,9 +166,11 @@ class StreamingTranscriber:
         else:  # no context: plen=0, no dangling <|startofprev|>
             prompt = np.full((1, self.pw), self.arch.eos_token_id, np.int32)
             plen = np.zeros((1,), np.int32)
-        tokens, lengths = self._step(self.params, jnp.asarray(buf),
-                                     jnp.asarray(prompt), jnp.asarray(plen))
-        gen = np.asarray(tokens)[0, self._first_gen: np.asarray(lengths)[0]]
+        return buf, prompt, plen
+
+    def _absorb(self, tokens: np.ndarray, length: int) -> None:
+        """Ingest one decoded row (counterpart of _decode_inputs)."""
+        gen = np.asarray(tokens)[self._first_gen: int(length)]
         segments, _ = segments_from_tokens(self.arch, gen)
         t0 = self._window_start / SAMPLE_RATE
         self._win_segments = [{
@@ -175,6 +188,12 @@ class StreamingTranscriber:
         if common == len(self._exposed_ids) and stable > common:
             self._exposed_ids = list(flat[:stable])
         self._decoded_until = self._total
+
+    def _decode_window(self) -> None:
+        buf, prompt, plen = self._decode_inputs()
+        tokens, lengths = self._step(self.params, jnp.asarray(buf),
+                                     jnp.asarray(prompt), jnp.asarray(plen))
+        self._absorb(np.asarray(tokens)[0], int(np.asarray(lengths)[0]))
 
     def _complete_within(self, n_tokens: int) -> int:
         """Index AFTER the last window segment that is fully inside the
@@ -233,6 +252,34 @@ class StreamingTranscriber:
             "buffered_s": (self._total - self._window_start) / SAMPLE_RATE,
         }
 
+    def _pump(self) -> None:
+        """Decode-free progress: fast-forward silent full windows, slide
+        once a full window has a decoded hypothesis, retire silent
+        min-steps. Leaves the state either caught-up or wanting a decode."""
+        while True:
+            if self._total - self._window_start > self.n_samples:
+                if self._silent(self._window()):
+                    self._window_start += self.n_samples
+                    self._trim_buffer()
+                    self._reset_window()
+                    continue
+                if self._hyps:
+                    self._slide()
+                    continue
+            elif (self._total - self._decoded_until >= self.min_step
+                    and self._silent(self._window())):
+                self._decoded_until = self._total   # nothing to transcribe
+            return
+
+    def wants_decode(self) -> bool:
+        """True when progress needs a model call: a full (non-silent)
+        window awaiting its hypothesis, or ≥ min_step_s of new audio."""
+        if self._silent(self._window()):
+            return False
+        if self._total - self._window_start > self.n_samples:
+            return not self._hyps
+        return self._total - self._decoded_until >= self.min_step
+
     # -- public API ---------------------------------------------------------
 
     def feed(self, samples: np.ndarray) -> dict:
@@ -243,37 +290,22 @@ class StreamingTranscriber:
         if len(samples):
             self._buf = np.concatenate([self._buf, samples])
             self._total += len(samples)
-        while self._total - self._window_start > self.n_samples:
-            if self._silent(self._window()):
-                # full-silence window: fast-forward, zero decodes
-                self._window_start += self.n_samples
-                self._trim_buffer()
-                self._reset_window()
-                continue
-            if not self._hyps:
-                self._decode_window()
-            self._slide()
-        if self._total - self._decoded_until >= self.min_step:
-            if self._silent(self._window()):
-                self._decoded_until = self._total   # nothing to transcribe
-            else:
-                self._decode_window()
+        self._pump()
+        while self.wants_decode():
+            self._decode_window()
+            self._pump()
         return self._texts()
 
     def flush(self) -> dict:
         """Finalize: decode any undecoded tail and commit everything."""
-        while self._total - self._window_start > self.n_samples:
-            if self._silent(self._window()):
-                self._window_start += self.n_samples
-                self._trim_buffer()
-                self._reset_window()
-                continue
-            if not self._hyps:
-                self._decode_window()
-            self._slide()
-        if (self._total > self._window_start
-                and not self._silent(self._window())):
+        self._pump()
+        while self.wants_decode():
             self._decode_window()
+            self._pump()
+        if (self._total > self._window_start
+                and not self._silent(self._window())
+                and (not self._hyps or self._total > self._decoded_until)):
+            self._decode_window()   # sub-min_step tail still transcribed
         flat = self._flat()
         common = self._common(flat)
         self._final_ids += self._exposed_ids + list(flat[common:])
@@ -285,3 +317,135 @@ class StreamingTranscriber:
         out = self._texts()
         out["pending"] = ""
         return out
+
+
+class StreamingPool:
+    """Multiplex many live streams through ONE batched jitted decode.
+
+    Serving story for streaming on TPU: N concurrent sessions re-decode
+    their live windows in a single (max_streams, 30 s) batch per tick —
+    batch-64-style MXU efficiency instead of N sequential batch-1 calls
+    (per-batch decode cost is nearly flat in batch size on v5e; DESIGN.md
+    §8). Sessions are ordinary StreamingTranscribers sharing the pool's
+    step, so `feed`/`flush` also work directly on a session (single rows
+    ride the same compiled program, padded).
+
+    Usage::
+
+        pool = StreamingPool(params, arch, tok, cfg, max_streams=8)
+        pool.open("a"); pool.open("b")
+        pool.feed("a", chunk_a); pool.feed("b", chunk_b)
+        partials = pool.tick()          # one batched decode round-robin
+        final_a = pool.close("a")
+    """
+
+    def __init__(self, params, arch: WhisperArch, tokenizer,
+                 cfg: DecodeConfig | None = None, max_streams: int = 8,
+                 **session_kw):
+        from .audio import features
+        from .models.decode import beam_decode, forced_prefix
+        from .models.whisper import encode
+
+        cfg = cfg or DecodeConfig(notimestamps=False)
+        if max_streams < 1:
+            raise ValueError("max_streams must be >= 1")
+        self.params, self.arch, self.tokenizer, self.cfg = (params, arch,
+                                                            tokenizer, cfg)
+        self.B = int(max_streams)
+        self.session_kw = dict(session_kw)
+        # mirror StreamingTranscriber's prompt-budget clamp so the batched
+        # step and every session agree on shapes
+        p_len = len(forced_prefix(arch, cfg))
+        pw = int(self.session_kw.get("prompt_window", 32))
+        max_pw = arch.max_target_positions - p_len - cfg.max_new_tokens - 1
+        pw = max(min(pw, max_pw), 0)
+        if pw < 2:
+            pw = 0
+        self._pw = pw
+        n_samples = samples_for_arch(arch)
+        self._n_samples = n_samples
+        use_prompt = pw > 0
+        B = self.B
+
+        @jax.jit
+        def batched_step(params, wav, prompt, plen):   # (B, n) rows
+            mel = features.preprocess(wav, arch.num_mel_bins,
+                                      length=n_samples).astype(jnp.float32)
+            enc = encode(params, arch, mel)
+            if use_prompt:
+                return beam_decode(params, arch, enc, cfg,
+                                   prompt_tokens=prompt, prompt_lens=plen)
+            return beam_decode(params, arch, enc, cfg)
+
+        self._batched_step = batched_step
+
+        def single_step(params_, wav, prompt, plen):
+            # pad one session's row into the shared compiled program
+            wavB = np.zeros((B, n_samples), np.float32)
+            wavB[0] = np.asarray(wav)[0]
+            pB = np.full((B, pw), arch.eos_token_id, np.int32)
+            lB = np.zeros((B,), np.int32)
+            if pw:
+                pB[0] = np.asarray(prompt)[0]
+                lB[0] = np.asarray(plen)[0]
+            toks, lens = batched_step(params_, jnp.asarray(wavB),
+                                      jnp.asarray(pB), jnp.asarray(lB))
+            return toks[:1], lens[:1]
+
+        self._single_step = single_step
+        self.sessions: dict = {}
+
+    def open(self, sid) -> None:
+        if sid in self.sessions:
+            raise KeyError(f"session {sid!r} already open")
+        if len(self.sessions) >= self.B:
+            raise RuntimeError(f"pool full ({self.B} streams)")
+        self.sessions[sid] = StreamingTranscriber(
+            self.params, self.arch, self.tokenizer, self.cfg,
+            step_fn=self._single_step, **self.session_kw)
+
+    def feed(self, sid, samples: np.ndarray) -> dict:
+        """Buffer audio for one session WITHOUT decoding (decode-free
+        catch-up only); call tick() to run the batched decodes."""
+        s = self.sessions[sid]
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        if len(samples):
+            s._buf = np.concatenate([s._buf, samples])
+            s._total += len(samples)
+        s._pump()
+        return s._texts()
+
+    def tick(self) -> dict:
+        """Run batched decode rounds until no session wants one; returns
+        {sid: partials} for every open session."""
+        while True:
+            need = [(sid, s) for sid, s in self.sessions.items()
+                    if s.wants_decode()]
+            if not need:
+                break
+            for group in (need[i: i + self.B]
+                          for i in range(0, len(need), self.B)):
+                wav = np.zeros((self.B, self._n_samples), np.float32)
+                prompt = np.full((self.B, self._pw),
+                                 self.arch.eos_token_id, np.int32)
+                plen = np.zeros((self.B,), np.int32)
+                for i, (_, s) in enumerate(group):
+                    w, p, l = s._decode_inputs()
+                    wav[i] = w[0]
+                    if self._pw:
+                        prompt[i] = p[0]
+                        plen[i] = l[0]
+                toks, lens = self._batched_step(self.params,
+                                                jnp.asarray(wav),
+                                                jnp.asarray(prompt),
+                                                jnp.asarray(plen))
+                toks, lens = np.asarray(toks), np.asarray(lens)
+                for i, (_, s) in enumerate(group):
+                    s._absorb(toks[i], int(lens[i]))
+                    s._pump()
+        return {sid: s._texts() for sid, s in self.sessions.items()}
+
+    def close(self, sid) -> dict:
+        """Flush and remove a session; returns its final transcript."""
+        s = self.sessions.pop(sid)
+        return s.flush()

@@ -212,3 +212,52 @@ def test_vad_skips_silent_windows(setup, monkeypatch):
     g = np.random.default_rng(6)
     st2.feed((g.standard_normal(n // 2) * 0.1).astype(np.float32))
     assert st2._decoded_until == st2._total
+
+
+def test_streaming_pool_matches_standalone(setup):
+    """Sessions multiplexed through the pool's batched step produce exactly
+    the same partials and finals as standalone transcribers fed
+    identically (padding rows don't leak across the batch)."""
+    from openai_whisper_compression_tpu.streaming import StreamingPool
+
+    params, arch, tok, cfg = setup
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(8)
+    streams = {sid: (g.standard_normal(int(1.5 * n)) * 0.1
+                     ).astype(np.float32) for sid in ("a", "b", "c")}
+
+    pool = StreamingPool(params, arch, tok, cfg, max_streams=4,
+                         min_step_s=0.5)
+    solo = {sid: StreamingTranscriber(params, arch, tok, cfg,
+                                      min_step_s=0.5)
+            for sid in streams}
+    for sid in streams:
+        pool.open(sid)
+    chunk = n // 3
+    for i in range(0, int(1.5 * n), chunk):
+        for sid, wav in streams.items():
+            pool.feed(sid, wav[i: i + chunk])
+        ticked = pool.tick()
+        for sid, wav in streams.items():
+            ref = solo[sid].feed(wav[i: i + chunk])
+            assert ticked[sid]["committed"] == ref["committed"], sid
+            assert ticked[sid]["pending"] == ref["pending"], sid
+    for sid in list(streams):
+        assert pool.close(sid)["committed"] == solo[sid].flush()["committed"]
+    assert not pool.sessions
+
+
+def test_streaming_pool_limits(setup):
+    from openai_whisper_compression_tpu.streaming import StreamingPool
+
+    params, arch, tok, cfg = setup
+    pool = StreamingPool(params, arch, tok, cfg, max_streams=1)
+    pool.open("x")
+    with pytest.raises(KeyError, match="already open"):
+        pool.open("x")
+    with pytest.raises(RuntimeError, match="full"):
+        pool.open("y")
+    with pytest.raises(ValueError, match="max_streams"):
+        StreamingPool(params, arch, tok, cfg, max_streams=0)
+    pool.close("x")
+    pool.open("y")                      # slot freed
