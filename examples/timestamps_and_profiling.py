@@ -14,6 +14,15 @@ Runs fully offline (random weights + synthetic audio):
 from __future__ import annotations
 
 import argparse
+import os
+
+import jax
+
+# honor JAX_PLATFORMS even when a site hook force-registered another
+# backend (same guard as cli.py: the env var alone can lose to it, and a
+# down TPU tunnel would hang the example)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import tempfile
 
 import numpy as np
