@@ -394,6 +394,22 @@ class StreamingPool:
 
         self._single_step = single_step
         self.sessions: dict = {}
+        # serving-style counters (≈ serving.ServiceStats for streams)
+        self._stats = {"ticks": 0, "batched_calls": 0, "decodes": 0,
+                       "occupancy_sum": 0.0, "busy_seconds": 0.0,
+                       "audio_seconds": 0.0}
+
+    def stats(self) -> dict:
+        """Occupancy/throughput snapshot: mean decode-batch occupancy,
+        decodes per tick, TPU-busy seconds, stream-audio RTFx."""
+        s = dict(self._stats)
+        s["open_streams"] = len(self.sessions)
+        s["mean_batch_occupancy"] = (s.pop("occupancy_sum") /
+                                     s["batched_calls"]
+                                     if s["batched_calls"] else 0.0)
+        s["rtfx"] = (s["audio_seconds"] / s["busy_seconds"]
+                     if s["busy_seconds"] else 0.0)
+        return s
 
     def open(self, sid) -> None:
         if sid in self.sessions:
@@ -412,12 +428,16 @@ class StreamingPool:
         if len(samples):
             s._buf = np.concatenate([s._buf, samples])
             s._total += len(samples)
+            self._stats["audio_seconds"] += len(samples) / SAMPLE_RATE
         s._pump()
         return s._texts()
 
     def tick(self) -> dict:
         """Run batched decode rounds until no session wants one; returns
         {sid: partials} for every open session."""
+        import time
+
+        self._stats["ticks"] += 1
         while True:
             need = [(sid, s) for sid, s in self.sessions.items()
                     if s.wants_decode()]
@@ -435,11 +455,16 @@ class StreamingPool:
                     if self._pw:
                         prompt[i] = p[0]
                         plen[i] = l[0]
+                t0 = time.time()
                 toks, lens = self._batched_step(self.params,
                                                 jnp.asarray(wav),
                                                 jnp.asarray(prompt),
                                                 jnp.asarray(plen))
-                toks, lens = np.asarray(toks), np.asarray(lens)
+                toks, lens = np.asarray(toks), np.asarray(lens)  # host fence
+                self._stats["busy_seconds"] += time.time() - t0
+                self._stats["batched_calls"] += 1
+                self._stats["decodes"] += len(group)
+                self._stats["occupancy_sum"] += len(group) / self.B
                 for i, (_, s) in enumerate(group):
                     s._absorb(toks[i], int(lens[i]))
                     s._pump()

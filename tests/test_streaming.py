@@ -261,3 +261,24 @@ def test_streaming_pool_limits(setup):
         StreamingPool(params, arch, tok, cfg, max_streams=0)
     pool.close("x")
     pool.open("y")                      # slot freed
+
+
+def test_pool_stats(setup):
+    from openai_whisper_compression_tpu.streaming import StreamingPool
+
+    params, arch, tok, cfg = setup
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(9)
+    pool = StreamingPool(params, arch, tok, cfg, max_streams=4,
+                         min_step_s=0.25)
+    pool.open("a"); pool.open("b")
+    pool.feed("a", (g.standard_normal(n // 2) * 0.1).astype(np.float32))
+    pool.feed("b", (g.standard_normal(n // 2) * 0.1).astype(np.float32))
+    pool.tick()
+    s = pool.stats()
+    assert s["open_streams"] == 2
+    assert s["ticks"] == 1 and s["batched_calls"] >= 1
+    assert s["decodes"] >= 2
+    assert 0 < s["mean_batch_occupancy"] <= 1.0
+    assert s["busy_seconds"] > 0 and s["rtfx"] > 0
+    assert s["audio_seconds"] == pytest.approx(2 * (n // 2) / 16000.0)
