@@ -282,3 +282,24 @@ def test_pool_stats(setup):
     assert 0 < s["mean_batch_occupancy"] <= 1.0
     assert s["busy_seconds"] > 0 and s["rtfx"] > 0
     assert s["audio_seconds"] == pytest.approx(2 * (n // 2) / 16000.0)
+
+
+def test_streaming_with_quantized_model(setup):
+    """Streaming rides QTensor params (int8 weights + int8 KV cache)
+    unchanged — the compression and serving axes compose."""
+    import dataclasses
+
+    from openai_whisper_compression_tpu.quant.api import quantize_params
+
+    params, arch, tok, cfg = setup
+    qp = quantize_params(params, "int8")
+    qcfg = dataclasses.replace(cfg, kv_int8=True)
+    st = StreamingTranscriber(qp, arch, tok, qcfg, min_step_s=0.5)
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(10)
+    wav = (g.standard_normal(int(1.2 * n)) * 0.1).astype(np.float32)
+    for i in range(0, len(wav), n // 2):
+        st.feed(wav[i: i + n // 2])
+    out = st.flush()
+    assert out["pending"] == ""
+    assert isinstance(out["committed"], str)
