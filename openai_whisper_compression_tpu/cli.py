@@ -267,18 +267,30 @@ def cmd_run(args):
             from .prune.magnitude import prune_global_l1
 
             params = prune_global_l1(params, rc.pruning["global_l1"])
-    if rc.quantization:
-        from .quant import api as quant_api
-
-        if "name" in rc.quantization:
-            params = quant_api.apply_named_config(params, rc.quantization["name"])
-        else:
-            params = quant_api.quantize_params(params, **rc.quantization)
-
     args.samples = rc.eval.num_samples
     args.calibration_samples = 4
     args.librispeech = getattr(args, "librispeech", False)
     datasets, tok = _load_data(args, arch)
+
+    if rc.quantization:
+        from .quant import api as quant_api
+
+        if "mixed_config" in rc.quantization:
+            # path to a sensitivity --quant-bits artifact
+            from .quant import mixed
+
+            params = mixed.apply_quant_config(
+                params, mixed.load_quant_config(
+                    rc.quantization["mixed_config"]))
+        elif "name" in rc.quantization:
+            # REGISTRY or DATA_AWARE name (data-aware calibrates on the
+            # loaded calibration split)
+            params = _apply_quant_arg(params, arch,
+                                      rc.quantization["name"], args,
+                                      datasets, tok)
+        else:
+            params = quant_api.quantize_params(params, **rc.quantization)
+
     tracker = MemoryTracker(f"run_{rc.model}")
     scores, records = harness.evaluate_model(
         params, arch, datasets["test_clean"][: rc.eval.num_samples], tok,

@@ -106,3 +106,42 @@ def test_cli_transcribe_temperature_fallback(tmp_path, capsys):
               "--max-new-tokens", "3", "--batch-size", "1",
               "--temperatures", "0,0.5"])
     assert isinstance(capsys.readouterr().out, str)
+
+
+def test_cli_run_data_aware_and_mixed(tmp_path):
+    """RunConfig quantization supports DATA_AWARE names (calibrated on the
+    loaded split) and mixed_config artifacts."""
+    import json
+
+    import jax
+
+    from openai_whisper_compression_tpu import cli
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.models import params as P
+    from openai_whisper_compression_tpu.quant import mixed
+    from openai_whisper_compression_tpu.sensitivity import gradient
+
+    base = {
+        "model": "test2l",
+        "decode": {"max_new_tokens": 4, "language_token_id": None,
+                   "task_token_id": None, "notimestamps": False},
+        "eval": {"num_samples": 2, "batch_size": 2, "warmup_batches": 0},
+    }
+    cfg = dict(base, quantization={"name": "gptq_int4"})
+    path = tmp_path / "da.json"
+    path.write_text(json.dumps(cfg))
+    scores = cli.main(["run", "--config", str(path)])
+    assert scores["num_samples"] == 2
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    batches = gradient.make_synthetic_batches(arch, n_batches=1, batch=2,
+                                              seq=8)
+    qcfg = mixed.generate_quant_config(
+        params, gradient.compute_sensitivity(params, arch, batches), 6.0)
+    qpath = mixed.save_quant_config(qcfg, str(tmp_path / "mixed.json"))
+    cfg = dict(base, quantization={"mixed_config": qpath})
+    path2 = tmp_path / "mx.json"
+    path2.write_text(json.dumps(cfg))
+    scores = cli.main(["run", "--config", str(path2)])
+    assert scores["num_samples"] == 2
