@@ -67,18 +67,30 @@ def read_audio_file(path: str, sample_rate: int = SAMPLE_RATE,
         import wave
 
         with wave.open(path, "rb") as w:
+            if w.getsampwidth() != 2:
+                raise ValueError(
+                    f"{path}: only 16-bit PCM .wav supported "
+                    f"(got sample width {w.getsampwidth()} bytes)")
             sr = w.getframerate()
             raw = w.readframes(w.getnframes())
             wav = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
             if w.getnchannels() > 1:
                 wav = wav.reshape(-1, w.getnchannels()).mean(axis=1)
     if sr != sample_rate:
-        from ..runtime_native import BatchLoader
+        if sample_rate == SAMPLE_RATE:
+            # native threaded path (hardwired to the model's 16 kHz)
+            from ..runtime_native import BatchLoader
 
-        n_out = int(len(wav) * sample_rate / sr)
-        loader = BatchLoader(1, n_out)
-        loader.submit(0, wav, sample_rate=sr)
-        wav = loader.flush()[0]
+            n_out = int(len(wav) * sample_rate / sr)
+            loader = BatchLoader(1, n_out)
+            loader.submit(0, wav, sample_rate=sr)
+            wav = loader.flush()[0]
+        else:
+            # arbitrary target: linear interpolation (BatchLoader only
+            # resamples to 16 kHz — runtime_native.py)
+            n_out = int(len(wav) * sample_rate / sr)
+            x = np.linspace(0.0, len(wav) - 1.0, max(n_out, 1))
+            wav = np.interp(x, np.arange(len(wav)), wav)
     return np.ascontiguousarray(wav, np.float32)
 
 
@@ -182,6 +194,12 @@ def prepare_datasets(num_cal: int = 8, num_test: int = 16, seed: int = 0,
     the "other" split is empty in that mode (one local corpus)."""
     if audio_dir:
         clean = load_audio_dir(audio_dir, transcripts, num_cal + num_test)
+        if len(clean) <= num_cal:
+            raise RuntimeError(
+                f"audio dir {audio_dir!r} holds {len(clean)} usable files "
+                f"but num_cal={num_cal} — the test split would be empty "
+                f"(WER on zero utterances reads 0.0); lower "
+                f"--calibration-samples or add files")
         return {"calibration_clean": clean[:num_cal],
                 "test_clean": clean[num_cal:],
                 "calibration_other": [], "test_other": []}

@@ -108,6 +108,15 @@ def apply_quant_config(params: Any, config: dict) -> Any:
     distinct method, scoped by name_filter, so every leaf rides the same
     QTensor kinds (and Pallas kernels) as uniform quantization."""
     assignments: dict[str, str] = config["assignments"]
+    present = {n for n, _ in quantizable_leaves(params)}
+    missing = sorted(set(assignments) - present)
+    if missing:
+        # a config generated for a different checkpoint/arch would
+        # otherwise silently leave weights dense while the caller reports
+        # the config's avg_bits
+        raise KeyError(
+            f"{len(missing)} assigned leaves absent from params (config "
+            f"from a different model?), e.g. {missing[:3]}")
     out = params
     for method in dict.fromkeys(assignments.values()):
         names = {n for n, m in assignments.items() if m == method}

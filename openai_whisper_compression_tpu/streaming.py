@@ -33,6 +33,27 @@ from .evaluation.harness import samples_for_arch
 from .evaluation.longform import _seed_prompt, segments_from_tokens
 
 
+def _build_step(arch: WhisperArch, cfg: DecodeConfig, n_samples: int,
+                use_prompt: bool):
+    """One jitted preprocess→encode→beam_decode step (any batch size) —
+    shared by StreamingTranscriber (B=1) and StreamingPool (B=streams)."""
+    from .audio import features
+    from .models.decode import beam_decode
+    from .models.whisper import encode
+
+    @jax.jit
+    def step(params, wav, prompt, plen):
+        mel = features.preprocess(wav, arch.num_mel_bins,
+                                  length=n_samples).astype(jnp.float32)
+        enc = encode(params, arch, mel)
+        if use_prompt:
+            return beam_decode(params, arch, enc, cfg,
+                               prompt_tokens=prompt, prompt_lens=plen)
+        return beam_decode(params, arch, enc, cfg)
+
+    return step
+
+
 def _lcp(seqs: list[tuple]) -> int:
     """Length of the longest common prefix across token sequences."""
     if not seqs:
@@ -61,10 +82,7 @@ class StreamingTranscriber:
                  condition_on_previous_text: bool = True,
                  vad_threshold: float | None = None,
                  step_fn=None):
-        from .audio import features
-        from .models.decode import (_timestamps_enabled, beam_decode,
-                                    forced_prefix)
-        from .models.whisper import encode
+        from .models.decode import _timestamps_enabled, forced_prefix
 
         cfg = cfg or DecodeConfig(notimestamps=False)
         if not _timestamps_enabled(arch, cfg):
@@ -76,7 +94,9 @@ class StreamingTranscriber:
         self.arch, self.tokenizer, self.cfg = arch, tokenizer, cfg
         self.params = params
         self.agreement = int(agreement)
-        self.min_step = int(min_step_s * SAMPLE_RATE)
+        # >= 1 sample: wants_decode uses >=, so a zero step would re-decode
+        # an already-decoded window forever (feed() would never return)
+        self.min_step = max(int(min_step_s * SAMPLE_RATE), 1)
         # energy VAD: windows whose RMS is below this skip decoding
         # entirely (silence costs zero TPU steps; full-silence windows
         # fast-forward without decode). None = always decode.
@@ -95,25 +115,11 @@ class StreamingTranscriber:
         n_samples = self.n_samples
         use_prompt = self.pw > 0
 
-        if step_fn is not None:
-            # injected (e.g. a StreamingPool's shared batched step wrapped
-            # for one row) — must accept (params, wav, prompt, plen) and
-            # return (tokens, lengths)
-            self._step = step_fn
-        else:
-            @jax.jit
-            def step(params, wav, prompt, plen):
-                mel = features.preprocess(wav, arch.num_mel_bins,
-                                          length=n_samples
-                                          ).astype(jnp.float32)
-                enc = encode(params, arch, mel)
-                if use_prompt:
-                    return beam_decode(params, arch, enc, cfg,
-                                       prompt_tokens=prompt,
-                                       prompt_lens=plen)
-                return beam_decode(params, arch, enc, cfg)
-
-            self._step = step
+        # step_fn injection: a StreamingPool's shared batched step wrapped
+        # for one row — must accept (params, wav, prompt, plen) and return
+        # (tokens, lengths)
+        self._step = (step_fn if step_fn is not None
+                      else _build_step(arch, cfg, n_samples, use_prompt))
         # stream state. The buffer holds only un-consumed audio: `_base` is
         # the absolute sample index of _buf[0]; slides drop everything
         # before the new window start, so memory and per-decode copy cost
@@ -213,9 +219,16 @@ class StreamingTranscriber:
         if k == 0:
             # window is full but nothing committed+complete: finalize the
             # committed tokens plus the hypothesis tail and advance a full
-            # window (transcribe_seek's no-closing-timestamp fallback)
-            self._final_ids += self._exposed_ids + list(flat[common:])
-            self._final_segments.extend(self._win_segments)
+            # window (transcribe_seek's no-closing-timestamp fallback).
+            # When the hypothesis DIVERGES inside the committed prefix the
+            # committed tokens win and the conflicting re-decode is
+            # discarded — appending both would transcribe the overlapping
+            # audio twice.
+            extends = common == len(self._exposed_ids)
+            self._final_ids += self._exposed_ids + (
+                list(flat[common:]) if extends else [])
+            if extends:
+                self._final_segments.extend(self._win_segments)
             self._exposed_ids = []
             advance = self.n_samples
         else:
@@ -258,13 +271,16 @@ class StreamingTranscriber:
         min-steps. Leaves the state either caught-up or wanting a decode."""
         while True:
             if self._total - self._window_start > self.n_samples:
+                # decoded hypotheses finalize via slide BEFORE any VAD
+                # fast-forward: trailing silence diluting a full window's
+                # RMS must not discard already-decoded speech
+                if self._hyps:
+                    self._slide()
+                    continue
                 if self._silent(self._window()):
                     self._window_start += self.n_samples
                     self._trim_buffer()
                     self._reset_window()
-                    continue
-                if self._hyps:
-                    self._slide()
                     continue
             elif (self._total - self._decoded_until >= self.min_step
                     and self._silent(self._window())):
@@ -282,14 +298,19 @@ class StreamingTranscriber:
 
     # -- public API ---------------------------------------------------------
 
-    def feed(self, samples: np.ndarray) -> dict:
-        """Append audio; re-decode when ≥ min_step_s new audio accumulated
-        (sliding first whenever the live window is full). Returns the
-        current {"committed", "pending", "segments", "buffered_s"}."""
+    def _ingest(self, samples: np.ndarray) -> int:
+        """Append raw audio to the stream buffer; returns samples added."""
         samples = np.asarray(samples, np.float32).reshape(-1)
         if len(samples):
             self._buf = np.concatenate([self._buf, samples])
             self._total += len(samples)
+        return len(samples)
+
+    def feed(self, samples: np.ndarray) -> dict:
+        """Append audio; re-decode when ≥ min_step_s new audio accumulated
+        (sliding first whenever the live window is full). Returns the
+        current {"committed", "pending", "segments", "buffered_s"}."""
+        self._ingest(samples)
         self._pump()
         while self.wants_decode():
             self._decode_window()
@@ -308,8 +329,11 @@ class StreamingTranscriber:
             self._decode_window()   # sub-min_step tail still transcribed
         flat = self._flat()
         common = self._common(flat)
-        self._final_ids += self._exposed_ids + list(flat[common:])
-        self._final_segments.extend(self._win_segments)
+        extends = common == len(self._exposed_ids)
+        self._final_ids += self._exposed_ids + (
+            list(flat[common:]) if extends else [])   # no divergence dup
+        if extends:
+            self._final_segments.extend(self._win_segments)
         self._exposed_ids = []
         self._reset_window()
         self._window_start = self._total
@@ -342,9 +366,7 @@ class StreamingPool:
     def __init__(self, params, arch: WhisperArch, tokenizer,
                  cfg: DecodeConfig | None = None, max_streams: int = 8,
                  **session_kw):
-        from .audio import features
-        from .models.decode import beam_decode, forced_prefix
-        from .models.whisper import encode
+        from .models.decode import forced_prefix
 
         cfg = cfg or DecodeConfig(notimestamps=False)
         if max_streams < 1:
@@ -364,19 +386,8 @@ class StreamingPool:
         self._pw = pw
         n_samples = samples_for_arch(arch)
         self._n_samples = n_samples
-        use_prompt = pw > 0
         B = self.B
-
-        @jax.jit
-        def batched_step(params, wav, prompt, plen):   # (B, n) rows
-            mel = features.preprocess(wav, arch.num_mel_bins,
-                                      length=n_samples).astype(jnp.float32)
-            enc = encode(params, arch, mel)
-            if use_prompt:
-                return beam_decode(params, arch, enc, cfg,
-                                   prompt_tokens=prompt, prompt_lens=plen)
-            return beam_decode(params, arch, enc, cfg)
-
+        batched_step = _build_step(arch, cfg, n_samples, use_prompt=pw > 0)
         self._batched_step = batched_step
 
         def single_step(params_, wav, prompt, plen):
@@ -424,11 +435,7 @@ class StreamingPool:
         """Buffer audio for one session WITHOUT decoding (decode-free
         catch-up only); call tick() to run the batched decodes."""
         s = self.sessions[sid]
-        samples = np.asarray(samples, np.float32).reshape(-1)
-        if len(samples):
-            s._buf = np.concatenate([s._buf, samples])
-            s._total += len(samples)
-            self._stats["audio_seconds"] += len(samples) / SAMPLE_RATE
+        self._stats["audio_seconds"] += s._ingest(samples) / SAMPLE_RATE
         s._pump()
         return s._texts()
 
@@ -439,35 +446,33 @@ class StreamingPool:
 
         self._stats["ticks"] += 1
         while True:
-            need = [(sid, s) for sid, s in self.sessions.items()
-                    if s.wants_decode()]
-            if not need:
+            # open() caps sessions at B, so one batch always covers `need`
+            group = [(sid, s) for sid, s in self.sessions.items()
+                     if s.wants_decode()]
+            if not group:
                 break
-            for group in (need[i: i + self.B]
-                          for i in range(0, len(need), self.B)):
-                wav = np.zeros((self.B, self._n_samples), np.float32)
-                prompt = np.full((self.B, self._pw),
-                                 self.arch.eos_token_id, np.int32)
-                plen = np.zeros((self.B,), np.int32)
-                for i, (_, s) in enumerate(group):
-                    w, p, l = s._decode_inputs()
-                    wav[i] = w[0]
-                    if self._pw:
-                        prompt[i] = p[0]
-                        plen[i] = l[0]
-                t0 = time.time()
-                toks, lens = self._batched_step(self.params,
-                                                jnp.asarray(wav),
-                                                jnp.asarray(prompt),
-                                                jnp.asarray(plen))
-                toks, lens = np.asarray(toks), np.asarray(lens)  # host fence
-                self._stats["busy_seconds"] += time.time() - t0
-                self._stats["batched_calls"] += 1
-                self._stats["decodes"] += len(group)
-                self._stats["occupancy_sum"] += len(group) / self.B
-                for i, (_, s) in enumerate(group):
-                    s._absorb(toks[i], int(lens[i]))
-                    s._pump()
+            wav = np.zeros((self.B, self._n_samples), np.float32)
+            prompt = np.full((self.B, self._pw),
+                             self.arch.eos_token_id, np.int32)
+            plen = np.zeros((self.B,), np.int32)
+            for i, (_, s) in enumerate(group):
+                w, p, l = s._decode_inputs()
+                wav[i] = w[0]
+                if self._pw:
+                    prompt[i] = p[0]
+                    plen[i] = l[0]
+            t0 = time.time()
+            toks, lens = self._batched_step(self.params, jnp.asarray(wav),
+                                            jnp.asarray(prompt),
+                                            jnp.asarray(plen))
+            toks, lens = np.asarray(toks), np.asarray(lens)   # host fence
+            self._stats["busy_seconds"] += time.time() - t0
+            self._stats["batched_calls"] += 1
+            self._stats["decodes"] += len(group)
+            self._stats["occupancy_sum"] += len(group) / self.B
+            for i, (_, s) in enumerate(group):
+                s._absorb(toks[i], int(lens[i]))
+                s._pump()
         return {sid: s._texts() for sid, s in self.sessions.items()}
 
     def close(self, sid) -> dict:

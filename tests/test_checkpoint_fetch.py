@@ -295,3 +295,36 @@ def test_cli_evaluate_audio_dir(audio_dir, capsys):
               "--calibration-samples", "1",
               "--audio-dir", str(audio_dir)])
     assert "WER" in capsys.readouterr().out
+
+
+def test_read_audio_file_guards(tmp_path):
+    """Non-16-bit PCM rejects; arbitrary target rates resample correctly
+    (BatchLoader only targets 16 kHz)."""
+    import wave
+
+    from openai_whisper_compression_tpu.evaluation import data
+
+    t = np.arange(16000) / 16000.0
+    tone = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    p = tmp_path / "w24.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)                      # 24-bit PCM
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x00\x00" * 100)
+    with pytest.raises(ValueError, match="16-bit"):
+        data.read_audio_file(str(p))
+
+    p16 = tmp_path / "w16.wav"
+    _write_wav(p16, tone)
+    out = data.read_audio_file(str(p16), sample_rate=8000)
+    assert len(out) == 8000                    # halved, not truncated
+    assert float(np.abs(out).max()) > 0.1      # real signal, not garbage
+
+
+def test_prepare_datasets_audio_dir_too_few(audio_dir):
+    from openai_whisper_compression_tpu.evaluation import data
+
+    with pytest.raises(RuntimeError, match="test split would be empty"):
+        data.prepare_datasets(num_cal=8, num_test=16,
+                              audio_dir=str(audio_dir))

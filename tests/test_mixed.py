@@ -139,3 +139,13 @@ def test_mixed_precision_sweep_through_driver(tmp_path):
     sizes = [results[f"mixed_{b}b"]["model_size_mb"] for b in (4.0, 6.0, 8.0)]
     assert sizes[0] < sizes[1] < sizes[2]
     assert sizes[2] < results["baseline_fp32"]["model_size_mb"]
+
+
+def test_apply_quant_config_rejects_foreign_config(setup):
+    """A config whose assignments don't exist in the params tree raises
+    instead of silently leaving weights dense."""
+    params, arch, scores = setup
+    cfg = mixed.generate_quant_config(params, scores, target_bits=6.0)
+    cfg["assignments"]["decoder.blocks.99.fake.w"] = "int8"
+    with pytest.raises(KeyError, match="absent from params"):
+        mixed.apply_quant_config(params, cfg)

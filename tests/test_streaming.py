@@ -303,3 +303,47 @@ def test_streaming_with_quantized_model(setup):
     out = st.flush()
     assert out["pending"] == ""
     assert isinstance(out["committed"], str)
+
+
+def test_min_step_zero_terminates(setup):
+    """min_step_s=0 (CLI --stream-chunk-s 0) is clamped to one sample:
+    feed() must terminate instead of re-decoding the same window forever."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg, min_step_s=0.0)
+    assert st.min_step == 1
+    g = np.random.default_rng(11)
+    for _ in range(2):
+        out = st.feed((g.standard_normal(4000) * 0.1).astype(np.float32))
+    assert isinstance(out["committed"], str)
+
+
+def test_divergent_fallback_does_not_duplicate(setup):
+    """Window-full fallback with a hypothesis diverging inside the
+    committed prefix finalizes the committed tokens ONLY — the overlapping
+    audio is not transcribed twice."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg)
+    st._exposed_ids = [1, 2, 3]
+    st._win_segments = [{"start": 0.0, "end": None, "tokens": [1, 9]}]
+    st._hyps.append((1, 9))
+    st._total = st.n_samples + 1
+    st._buf = np.zeros(st._total, np.float32)
+    st._slide()
+    assert st._final_ids == [1, 2, 3]         # no trailing [9] duplication
+    assert st._exposed_ids == []
+
+
+def test_vad_never_discards_decoded_speech(setup):
+    """A full window whose RMS fell below the VAD threshold (speech then
+    long silence) still finalizes its decoded hypothesis via slide — the
+    silence fast-forward only ever skips undecoded windows."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg, vad_threshold=1e-3)
+    st._exposed_ids = [5, 6]
+    st._win_segments = [{"start": 0.0, "end": 0.4, "tokens": [5, 6]}]
+    st._hyps.append((5, 6))
+    st._total = st.n_samples + 1600
+    st._buf = np.zeros(st._total, np.float32)     # silent full window
+    st._pump()
+    assert st._final_ids == [5, 6]                # slid + finalized
+    assert st.flush()["committed"] == tok.decode([5, 6])
