@@ -88,7 +88,8 @@ def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
                        n_mels: int | None = None, use_pallas_mel: bool = True,
                        fast_mel: bool = False, merge_at: int | None = None,
                        merge_factor: int = 2, fast_gelu: bool = False,
-                       token_logprobs: bool = False):
+                       token_logprobs: bool = False,
+                       return_enc: bool = False):
     """Build the jitted end-to-end transcription function
     (waveform batch -> token ids + lengths).
 
@@ -97,7 +98,9 @@ def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
     adjacent-token merging; fast_gelu the tanh-approximate encoder GELU
     (see models.whisper.encode). token_logprobs=True appends the greedy
     per-position logprob trace (B, L) to the outputs (hallucination
-    detection input; greedy only)."""
+    detection input; greedy only). return_enc=True appends the encoder
+    output as the LAST element, so alignment consumers (word timestamps)
+    reuse it instead of paying a second full encoder pass per window."""
     if token_logprobs and cfg.beam_size > 1:
         raise ValueError("token_logprobs is only available for greedy "
                          "decoding (beam_size == 1)")
@@ -113,9 +116,12 @@ def make_transcribe_fn(arch: WhisperArch, cfg: DecodeConfig,
         enc = encode(params, arch, mel, merge_at=merge_at,
                      merge_factor=merge_factor, fast_gelu=fast_gelu)
         if cfg.beam_size > 1:
-            return decode_mod.beam_decode(params, arch, enc, cfg)
-        return decode_mod.greedy_decode(
-            params, arch, enc, cfg, return_token_logprobs=token_logprobs)
+            out = decode_mod.beam_decode(params, arch, enc, cfg)
+        else:
+            out = decode_mod.greedy_decode(
+                params, arch, enc, cfg,
+                return_token_logprobs=token_logprobs)
+        return out + (enc,) if return_enc else out
 
     return fn
 

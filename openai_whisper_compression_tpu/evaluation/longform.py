@@ -293,6 +293,25 @@ def apply_hallucination_rules(segments: list[dict], words: list[dict],
     return segments, words, None
 
 
+def _align_window_words(params, arch: WhisperArch, enc_row, win_toks,
+                        tokenizer, alignment_heads, piece_len: int,
+                        t0: float, token_logprobs=None) -> list[dict]:
+    """Word timestamps for one decoded window (shared by transcribe_seek
+    and transcribe_seek_batch): cross-attention DTW alignment + word
+    grouping, times offset to absolute `t0` seconds."""
+    from ..models import alignment as align_mod
+
+    n_frames = max(1, min(arch.max_source_positions, piece_len // 320))
+    times = align_mod.find_alignment(params, arch, enc_row, win_toks,
+                                     alignment_heads=alignment_heads,
+                                     n_frames=n_frames)
+    ts_begin = arch.no_timestamps_token_id + 1
+    special = min(arch.eos_token_id, arch.decoder_start_token_id, ts_begin)
+    return align_mod.word_timestamps(
+        tokenizer, np.asarray(win_toks).tolist(), times,
+        special_threshold=special, offset=t0, token_logprobs=token_logprobs)
+
+
 def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     cfg: DecodeConfig | None = None,
                     transcribe_fn=None,
@@ -334,15 +353,20 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
         raise ValueError("hallucination_silence_threshold requires "
                          "word_timestamps=True (OpenAI semantics)")
     n_samples = samples_for_arch(arch)
-    if transcribe_fn is None:
+    want_lp = hst is not None
+    own_fn = transcribe_fn is None
+    if own_fn:
+        # our own fn can also hand back the encoder output, saving the
+        # alignment path a second full encoder pass per window
         transcribe_fn = make_transcribe_fn(arch, cfg,
-                                           token_logprobs=hst is not None)
+                                           token_logprobs=want_lp,
+                                           return_enc=word_timestamps)
+    fn_returns_enc = own_fn and word_timestamps
     first_gen = len(forced_prefix(arch, cfg))
 
     enc_fn = None
-    if word_timestamps:
+    if word_timestamps and not fn_returns_enc:
         from ..audio import features
-        from ..models import alignment as align_mod
         from ..models.whisper import encode
 
         @jax.jit
@@ -366,7 +390,15 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             buf[0, : len(piece)] = piece
             outs = transcribe_fn(params, jnp.asarray(buf))
             tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])
-            token_lps = np.asarray(outs[2]) if len(outs) > 2 else None
+            # output layout: (tokens, lengths[, lp_trace][, enc]) — the
+            # flags are known for our own fn; an injected fn may append a
+            # logprob trace only
+            idx = 2
+            token_lps = None
+            if (want_lp or (not own_fn and len(outs) > idx)):
+                if len(outs) > idx:
+                    token_lps = np.asarray(outs[idx])
+                    idx += 1
             gen = tokens[0, first_gen: lengths[0]]
             segments, seek_s = segments_from_tokens(arch, gen)
             t0 = pos / 16000.0
@@ -377,19 +409,11 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             } for s in segments]
             win_words: list[dict] = []
             if word_timestamps:
-                enc = enc_fn(params, jnp.asarray(buf))
-                win_toks = tokens[0, : lengths[0]]
-                n_frames = max(1, min(arch.max_source_positions,
-                                      len(piece) // 320))
-                times = align_mod.find_alignment(
-                    params, arch, enc, win_toks,
-                    alignment_heads=alignment_heads, n_frames=n_frames)
-                ts_begin = arch.no_timestamps_token_id + 1
-                special = min(arch.eos_token_id, arch.decoder_start_token_id,
-                              ts_begin)
-                win_words = align_mod.word_timestamps(
-                    tokenizer, win_toks.tolist(), times,
-                    special_threshold=special, offset=t0,
+                enc = (outs[idx] if fn_returns_enc
+                       else enc_fn(params, jnp.asarray(buf)))
+                win_words = _align_window_words(
+                    params, arch, enc, tokens[0, : lengths[0]], tokenizer,
+                    alignment_heads, len(piece), t0,
                     token_logprobs=(None if token_lps is None
                                     else token_lps[0, : lengths[0]]))
             windows += 1
@@ -455,14 +479,16 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
                          "(notimestamps=False and a vocab with timestamp "
                          "tokens)")
     n_samples = samples_for_arch(arch)
-    if transcribe_fn is None:
-        transcribe_fn = make_transcribe_fn(arch, cfg)
+    own_fn = transcribe_fn is None
+    if own_fn:
+        transcribe_fn = make_transcribe_fn(arch, cfg,
+                                           return_enc=word_timestamps)
+    fn_returns_enc = own_fn and word_timestamps
     first_gen = len(forced_prefix(arch, cfg))
 
     enc_fn = None
-    if word_timestamps:
+    if word_timestamps and not fn_returns_enc:
         from ..audio import features
-        from ..models import alignment as align_mod
         from ..models.whisper import encode
 
         @jax.jit
@@ -488,9 +514,12 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
             pieces[s] = piece
             buf[r, : len(piece)] = piece
         jbuf = jnp.asarray(buf)
-        tokens, lengths = transcribe_fn(params, jbuf)
-        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
-        enc = enc_fn(params, jbuf) if word_timestamps else None
+        outs = transcribe_fn(params, jbuf)   # (tokens, lengths[, ...][, enc])
+        tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])
+        if fn_returns_enc:
+            enc = outs[-1]                   # encoder output reused for DTW
+        else:
+            enc = enc_fn(params, jbuf) if word_timestamps else None
         for r, s in enumerate(rows):
             gen = tokens[r, first_gen: lengths[r]]
             window_segs, seek_s = segments_from_tokens(arch, gen)
@@ -502,18 +531,9 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
                     "text": tokenizer.decode(seg["tokens"]),
                 })
             if word_timestamps:
-                win_toks = tokens[r, : lengths[r]]
-                n_frames = max(1, min(arch.max_source_positions,
-                                      len(pieces[s]) // 320))
-                times = align_mod.find_alignment(
-                    params, arch, enc[r: r + 1], win_toks,
-                    alignment_heads=alignment_heads, n_frames=n_frames)
-                ts_begin = arch.no_timestamps_token_id + 1
-                special = min(arch.eos_token_id,
-                              arch.decoder_start_token_id, ts_begin)
-                words[s].extend(align_mod.word_timestamps(
-                    tokenizer, win_toks.tolist(), times,
-                    special_threshold=special, offset=t0))
+                words[s].extend(_align_window_words(
+                    params, arch, enc[r: r + 1], tokens[r, : lengths[r]],
+                    tokenizer, alignment_heads, len(pieces[s]), t0))
             win_count[s] += 1
             advance = (int(seek_s * 16000) if seek_s else n_samples)
             pos[s] += max(advance, 1)

@@ -32,7 +32,8 @@ from .config import DecodeConfig, WhisperArch
 
 @dataclass
 class ServiceStats:
-    requests: int = 0
+    requests: int = 0        # batch items processed (chunk windows count)
+    user_requests: int = 0   # user-facing submissions (chunked = 1)
     batches: int = 0
     occupancy_sum: float = 0.0
     audio_seconds: float = 0.0
@@ -61,6 +62,7 @@ class ServiceStats:
                        "latency_max_ms": float(arr.max()) * 1e3}
             return {
                 "requests": self.requests,
+                "user_requests": self.user_requests,
                 "batches": self.batches,
                 "mean_batch_occupancy": mean_occ,
                 "audio_seconds": self.audio_seconds,
@@ -136,7 +138,7 @@ class TranscriptionService:
         from .evaluation.longform import chunk_waveform
 
         t_submit = time.perf_counter()
-        futs = [self._submit_window(c, sample_rate)
+        futs = [self._submit_window(c, sample_rate, internal=True)
                 for c in chunk_waveform(wav, src_win)]
         agg: Future = Future()
         remaining = [len(futs)]
@@ -149,13 +151,23 @@ class TranscriptionService:
                     return
             try:
                 parts = [f.result() for f in futs]  # all done; no blocking
-                agg.set_result({
-                    "text": " ".join(p["text"] for p in parts if p["text"]),
-                    "tokens": [t for p in parts for t in p["tokens"]],
-                    "audio_seconds": sum(p["audio_seconds"] for p in parts),
-                    "latency_s": time.perf_counter() - t_submit,
-                    "num_chunks": len(parts),
-                })
+                latency = time.perf_counter() - t_submit
+                if not agg.done():
+                    agg.set_result({
+                        "text": " ".join(p["text"] for p in parts
+                                         if p["text"]),
+                        "tokens": [t for p in parts for t in p["tokens"]],
+                        "audio_seconds": sum(p["audio_seconds"]
+                                             for p in parts),
+                        "latency_s": latency,
+                        "num_chunks": len(parts),
+                    })
+                # the user-facing request latency (per-window latencies are
+                # internal and excluded from stats for chunked requests)
+                with self.stats._lock:
+                    self.stats.user_requests += 1
+                    if len(self.stats.latencies) < ServiceStats.MAX_LATENCIES:
+                        self.stats.latencies.append(latency)
             except Exception as e:
                 if not agg.done():
                     agg.set_exception(e)
@@ -164,19 +176,26 @@ class TranscriptionService:
             f.add_done_callback(_one_done)
         return agg
 
-    def _submit_window(self, wav: np.ndarray, sample_rate: int) -> Future:
+    def _submit_window(self, wav: np.ndarray, sample_rate: int,
+                       internal: bool = False) -> Future:
         if self._stop.is_set():
             raise RuntimeError("service is shut down")
         fut: Future = Future()
         self._queue.put((np.asarray(wav, np.float32), sample_rate, fut,
-                         time.perf_counter()))
+                         time.perf_counter(), internal))
         with self.stats._lock:
             self.stats.queue_peak = max(self.stats.queue_peak,
                                         self._queue.qsize())
         return fut
 
     def transcribe(self, wav: np.ndarray, sample_rate: int = 16000,
-                   timeout: float | None = 120.0) -> dict:
+                   timeout: float | None = None) -> dict:
+        """Blocking submit+result. timeout=None auto-scales with the audio
+        length (long inputs decode many windows through the shared
+        batcher; a fixed 120 s would time out healthy hour-long requests):
+        max(120 s, 4x audio duration)."""
+        if timeout is None:
+            timeout = max(120.0, 4.0 * len(wav) / float(sample_rate))
         return self.submit(wav, sample_rate).result(timeout=timeout)
 
     def close(self, timeout: float = 30.0) -> None:
@@ -214,7 +233,7 @@ class TranscriptionService:
             try:
                 for slot in range(self.batch_size):
                     self._loader.clear(slot)
-                for slot, (wav, sr, _, _) in enumerate(items):
+                for slot, (wav, sr, _, _, _) in enumerate(items):
                     self._loader.submit(slot, wav, sample_rate=sr)
                 buf = self._loader.flush()
                 if self.transfer_int16:
@@ -227,30 +246,37 @@ class TranscriptionService:
                 lengths = np.asarray(lengths)
                 busy = time.perf_counter() - t0
             except Exception as e:  # fail the batch, keep serving
-                for _, _, fut, _ in items:
+                for _, _, fut, _, _ in items:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
 
             now = time.perf_counter()
             audio_s = 0.0
-            for slot, (wav, sr, fut, t_submit) in enumerate(items):
+            for slot, (wav, sr, fut, t_submit, _) in enumerate(items):
                 ids = tokens[slot, self._first_gen: lengths[slot]]
                 ids = ids[ids != self.arch.eos_token_id]
                 dur = len(wav) / float(sr)
                 audio_s += dur
-                fut.set_result({
-                    "text": self.tokenizer.decode(ids.tolist()),
-                    "tokens": ids.tolist(),
-                    "audio_seconds": dur,
-                    "latency_s": now - t_submit,
-                })
+                if not fut.done():   # user may have cancelled while queued
+                    fut.set_result({
+                        "text": self.tokenizer.decode(ids.tolist()),
+                        "tokens": ids.tolist(),
+                        "audio_seconds": dur,
+                        "latency_s": now - t_submit,
+                    })
             with self.stats._lock:
                 self.stats.requests += len(items)
                 self.stats.batches += 1
                 self.stats.occupancy_sum += len(items) / self.batch_size
                 self.stats.audio_seconds += audio_s
                 self.stats.busy_seconds += busy
+                # latency percentiles are USER-facing: direct (non-chunk)
+                # windows only; chunked requests report their aggregate
+                # latency from submit()'s completion callback
+                self.stats.user_requests += sum(
+                    1 for it in items if not it[4])
                 if len(self.stats.latencies) < ServiceStats.MAX_LATENCIES:
                     self.stats.latencies.extend(
-                        now - t for (_, _, _, t) in items)
+                        now - t for (_, _, _, t, internal) in items
+                        if not internal)

@@ -404,3 +404,68 @@ def test_transcribe_seek_batch_word_timestamps():
         assert "words" in res
         for w in res["words"]:
             assert w["end"] >= w["start"] >= 0
+
+
+def test_seek_batch_accepts_logprob_fn():
+    """A token_logprobs-enabled transcribe fn (3 outputs) is drop-in for
+    transcribe_seek_batch, matching transcribe_seek's tolerance."""
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.evaluation.harness import (
+        make_transcribe_fn)
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek_batch)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(30))
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=5, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       max_initial_timestamp_index=20)
+    fn = make_transcribe_fn(arch, cfg, token_logprobs=True)
+    g = np.random.default_rng(6)
+    n = samples_for_arch(arch)
+    wavs = [(g.standard_normal(int(1.2 * n)) * 0.1).astype(np.float32),
+            (g.standard_normal(n // 2) * 0.1).astype(np.float32)]
+    res = transcribe_seek_batch(params, arch, wavs, tok, cfg, batch_size=2,
+                                transcribe_fn=fn)
+    assert len(res) == 2
+    assert all(isinstance(r["text"], str) for r in res)
+
+
+def test_seek_word_timestamps_single_encoder_pass(monkeypatch):
+    """With its own transcribe fn, transcribe_seek reuses the fn's encoder
+    output for DTW alignment — find_alignment receives an enc without any
+    second encode call (pinned by counting encode invocations)."""
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.evaluation import longform
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.models import params as P, whisper
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(31))
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=5, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       max_initial_timestamp_index=20)
+    calls = {"n": 0}
+    real_encode = whisper.encode
+
+    def counting_encode(*a, **kw):
+        calls["n"] += 1
+        return real_encode(*a, **kw)
+    monkeypatch.setattr(whisper, "encode", counting_encode)
+    g = np.random.default_rng(7)
+    n = samples_for_arch(arch)
+    wav = (g.standard_normal(n // 2) * 0.1).astype(np.float32)
+    res = longform.transcribe_seek(params, arch, wav, tok, cfg,
+                                   word_timestamps=True)
+    assert "words" in res
+    # harness.make_transcribe_fn bound `encode` at module import (before
+    # the patch), so its single combined pass is uncounted; the eliminated
+    # alignment-side enc_fn binds whisper.encode at call time and WOULD
+    # count. Zero patched calls == no second encoder pass.
+    assert calls["n"] == 0

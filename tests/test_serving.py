@@ -168,3 +168,51 @@ def test_long_audio_interleaves_with_short_requests(svc_setup):
         assert "num_chunks" not in r and isinstance(r["text"], str)
     # 4 long windows + 3 shorts = 7 queue items
     assert stats["requests"] == 7
+
+
+def test_cancelled_future_does_not_kill_worker(svc_setup):
+    """cancel() on a queued request must not crash the worker thread:
+    later submissions still complete (the result loop guards fut.done())."""
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                               max_wait_ms=10)
+    n = samples_for_arch(arch)
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(n // 2).astype(np.float32) * 0.1
+    f1 = svc.submit(wav)
+    f1.cancel()                       # may or may not win the race
+    f2 = svc.submit(wav)
+    res = f2.result(timeout=300)
+    assert res["tokens"] is not None
+    svc.close()
+
+
+def test_chunked_request_stats_user_facing(svc_setup):
+    """A chunked (long) submit counts as ONE user request with its
+    aggregate latency; internal windows inflate only `requests`."""
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                               max_wait_ms=10)
+    n = samples_for_arch(arch)
+    rng = np.random.default_rng(4)
+    long_wav = rng.standard_normal(int(2.5 * n)).astype(np.float32) * 0.1
+    res = svc.submit(long_wav).result(timeout=600)
+    assert res["num_chunks"] == 3
+    stats = svc.stats.snapshot()
+    assert stats["requests"] == 3             # 3 windows through the batcher
+    assert stats["user_requests"] == 1        # one user-facing request
+    assert stats["latency_p50_ms"] == pytest.approx(
+        res["latency_s"] * 1e3, rel=0.25)     # aggregate latency recorded
+    svc.close()
+
+
+def test_transcribe_auto_timeout_scales(svc_setup):
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                               max_wait_ms=10)
+    n = samples_for_arch(arch)
+    wav = (np.random.default_rng(5).standard_normal(n // 2) * 0.1
+           ).astype(np.float32)
+    res = svc.transcribe(wav)                 # timeout=None -> auto
+    assert res["audio_seconds"] > 0
+    svc.close()
