@@ -40,7 +40,6 @@ class _HessianTap:
     def __init__(self, targets: dict[int, str]):
         self.targets = targets          # id(weight) -> dotted name
         self.hessians: dict[str, np.ndarray] = {}
-        self.counts: dict[str, int] = {}
 
     def observe(self, w, x) -> None:
         if isinstance(x, jax.core.Tracer):
@@ -52,10 +51,8 @@ class _HessianTap:
         h = x2.T @ x2
         if name in self.hessians:
             self.hessians[name] += h
-            self.counts[name] += x2.shape[0]
         else:
             self.hessians[name] = h
-            self.counts[name] = x2.shape[0]
 
 
 def collect_hessians(params: Any, run_calibration: Callable[[Any], Any],
@@ -87,7 +84,8 @@ def gptq_solve(w: jax.Array, hessian: jax.Array, bits: int = 4,
                damp: float = 0.01) -> tuple[jax.Array, jax.Array]:
     """GPTQ solve for one (K, N) weight against its (K, K) Hessian.
 
-    Returns (q (K, N) int8 values in [-qmax, qmax], scale (1, N) f32):
+    Returns (q (K, N) int8 values in [-qmax, qmax], scale (1, N) f32,
+    ok scalar bool — False when the Cholesky went non-finite):
     per-output-channel symmetric scales fixed from W upfront (standard
     GPTQ), input dims quantized in natural order, rounding error propagated
     via the upper-Cholesky factor of H^{-1}.
@@ -111,6 +109,10 @@ def gptq_solve(w: jax.Array, hessian: jax.Array, bits: int = 4,
     hinv = (hinv + hinv.T) * 0.5  # symmetrize before Cholesky
     # Hinv = L L^T  ->  U = L^T (upper) with Hinv = U^T U
     u = jnp.linalg.cholesky(hinv).T                 # (K, K) upper
+    # ill-conditioned H can make the inverse numerically non-PD, in which
+    # case JAX's cholesky returns NaN SILENTLY (it never raises) — callers
+    # must check `ok` and re-damp or fall back to RTN
+    ok = jnp.isfinite(u).all()
 
     def body(i, carry):
         wc, q = carry
@@ -123,15 +125,30 @@ def gptq_solve(w: jax.Array, hessian: jax.Array, bits: int = 4,
         return wc, q
 
     _, q = jax.lax.fori_loop(0, k, body, (w, jnp.zeros_like(w)))
-    return q.astype(jnp.int8), scale
+    return q.astype(jnp.int8), scale, ok
 
 
 def quantize_gptq(w: jax.Array, hessian, bits: int = 4,
                   damp: float = 0.01) -> QTensor:
     """GPTQ-quantize one weight into the standard per-channel QTensor kinds
     (int8_pc for 8-bit, packed int4/int2 otherwise) — served by the same
-    Pallas kernels as RTN weights."""
-    q, scale = gptq_solve(w, jnp.asarray(hessian), bits=bits, damp=damp)
+    Pallas kernels as RTN weights.
+
+    Numerical guard: if the inverse-Hessian Cholesky went non-finite
+    (ill-conditioned calibration), retry with 10x/100x damping; if still
+    bad, fall back to plain RTN at the same per-channel scales — never
+    emit NaN-derived weights silently."""
+    h = jnp.asarray(hessian)
+    for d in (damp, damp * 10, damp * 100):
+        q, scale, ok = gptq_solve(w, h, bits=bits, damp=d)
+        if bool(ok):
+            break
+    else:
+        qmax = 2 ** (bits - 1) - 1
+        wf = jnp.asarray(w, jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True)
+                            / qmax, 1e-12)
+        q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
     if bits == 8:
         return QTensor(data=q, scale=scale, kind="int8_pc", bits=8,
                        shape=tuple(w.shape))

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from ..config import WhisperArch
 from ..ops.qtensor import QTensor, dequantize
 from ..utils import capture
+from .api import _copy_tree
 
 MAX_ROWS = 256  # activation rows kept per site for AWQ's MSE search
 
@@ -132,14 +133,6 @@ def _apply_scale(ln: dict, consumers: list[dict], s: np.ndarray) -> None:
         c["w"] = (jnp.asarray(w, jnp.float32) * sj[:, None]).astype(w.dtype)
 
 
-def _copy_tree(t: Any) -> Any:
-    if isinstance(t, dict):
-        return {k: _copy_tree(v) for k, v in t.items()}
-    if isinstance(t, list):
-        return [_copy_tree(v) for v in t]
-    return t
-
-
 def _safe_scale(s: np.ndarray) -> np.ndarray:
     s = np.where(np.isfinite(s) & (s > 0), s, 1.0)
     return np.clip(s, 1e-4, 1e4).astype(np.float32)
@@ -168,18 +161,36 @@ def smoothquant_params(params: Any, arch: WhisperArch,
     return out
 
 
-def _site_quant_error(rows: np.ndarray, ws: list[np.ndarray],
-                      s: np.ndarray, quantizer) -> float:
+def _resolve_quantizer(method: str, **kw):
+    """method → weight-quantizer callable. Accepts raw QUANTIZERS names and
+    REGISTRY config names (resolved to their base method + kwargs), and
+    fails BEFORE any expensive calibration with the valid namespaces."""
+    from .api import QUANTIZERS, REGISTRY
+
+    if method in QUANTIZERS:
+        return lambda w: QUANTIZERS[method](w, **kw)
+    cfg = REGISTRY.get(method)
+    if cfg is not None and cfg.method in QUANTIZERS:
+        merged = {**dict(cfg.kwargs), **kw}
+        return lambda w: QUANTIZERS[cfg.method](w, **merged)
+    raise KeyError(f"unknown quant method {method!r}; quantizers: "
+                   f"{sorted(QUANTIZERS)}; named configs: {sorted(REGISTRY)}")
+
+
+def _site_quant_error(xs_exact: tuple, ws: list, s: np.ndarray,
+                      quantizer) -> float:
     """MSE of the smoothed-then-quantized matmuls vs exact, summed over
-    the site's consumers, on captured activation rows."""
+    the site's consumers, on captured activation rows. `xs_exact` =
+    (x, [x @ w for w in ws]) precomputed once per site — the exact
+    products are alpha-invariant."""
+    x, exacts = xs_exact
+    sj = jnp.asarray(s)
+    xs = x / sj[None, :]
     err = 0.0
-    x = jnp.asarray(rows, jnp.float32)
-    xs = x / jnp.asarray(s)[None, :]
-    for w in ws:
-        wj = jnp.asarray(w, jnp.float32)
-        q = quantizer(wj * jnp.asarray(s)[:, None])
+    for wj, exact in zip(ws, exacts):
+        q = quantizer(wj * sj[:, None])
         wq = dequantize(q, jnp.float32)
-        err += float(jnp.mean((xs @ wq - x @ wj) ** 2))
+        err += float(jnp.mean((xs @ wq - exact) ** 2))
     return err
 
 
@@ -194,9 +205,7 @@ def awq_search(params: Any, arch: WhisperArch,
     returns (smoothed float params, {site: alpha}). alpha=0 ≡ no smoothing,
     so AWQ never does worse than plain quantization on the calibration set.
     """
-    from .api import QUANTIZERS
-
-    quantizer = lambda w: QUANTIZERS[method](w, **quant_kw)  # noqa: E731
+    quantizer = _resolve_quantizer(method, **quant_kw)   # fail fast
     if stats is None:
         if run_calibration is None:
             raise ValueError("need run_calibration or precollected stats")
@@ -206,13 +215,14 @@ def awq_search(params: Any, arch: WhisperArch,
     for key, ln, consumers in _sites(out):
         _check_float(consumers, key)
         ax = np.maximum(stats[key]["amax"], 1e-8)
-        rows = stats[key]["rows"]
-        ws = [np.asarray(c["w"], np.float32) for c in consumers]
+        x = jnp.asarray(stats[key]["rows"], jnp.float32)
+        ws = [jnp.asarray(c["w"], jnp.float32) for c in consumers]
+        xs_exact = (x, [x @ w for w in ws])   # alpha-invariant, once/site
         best_alpha, best_s, best_err = 0.0, np.ones_like(ax), np.inf
         for alpha in np.linspace(0.0, 1.0, grid):
             s = ax ** alpha
             s = _safe_scale(s / np.exp(np.mean(np.log(np.maximum(s, 1e-8)))))
-            err = _site_quant_error(rows, ws, s, quantizer)
+            err = _site_quant_error(xs_exact, ws, s, quantizer)
             if err < best_err:
                 best_alpha, best_s, best_err = float(alpha), s, err
         _apply_scale(ln, consumers, best_s)

@@ -35,9 +35,17 @@ def record(tag: str, value) -> None:
         # per-channel absmax (last axis) — SmoothQuant/AWQ smoothing scales
         "per_unit_max_abs": jnp.max(jnp.abs(v), axis=tuple(range(v.ndim - 1))),
         # a small row subsample of the flattened (tokens, channels) view —
-        # AWQ's scale search evaluates quantized-matmul MSE on real rows
-        "rows": v.reshape(-1, v.shape[-1])[:64],
+        # AWQ's scale search evaluates quantized-matmul MSE on real rows.
+        # Strided (not first-N): the first frames of an utterance are often
+        # near-silence, and a single-pass calibration would otherwise hand
+        # AWQ only that unrepresentative sliver
+        "rows": _subsample_rows(v.reshape(-1, v.shape[-1]), 64),
     })
+
+
+def _subsample_rows(x2, cap: int):
+    stride = max(1, x2.shape[0] // cap)
+    return x2[::stride][:cap]
 
 
 def active() -> bool:

@@ -84,3 +84,21 @@ def test_gptq_quantize_params_end_to_end():
     # quantized model still runs
     lg = forward(qparams, arch, mel, toks)
     assert np.isfinite(np.asarray(lg)).all()
+
+
+def test_gptq_nan_hessian_falls_back_to_rtn():
+    """A non-finite / ill-conditioned Hessian must never emit NaN-derived
+    weights: the solve re-damps and finally falls back to plain RTN."""
+    import jax.numpy as jnp
+
+    from openai_whisper_compression_tpu.ops.qtensor import dequantize
+    from openai_whisper_compression_tpu.quant.gptq import quantize_gptq
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((16, 8)).astype(np.float32)
+    bad_h = np.full((16, 16), np.nan, np.float32)
+    q = quantize_gptq(jnp.asarray(w), bad_h, bits=8)
+    deq = np.asarray(dequantize(q, jnp.float32))
+    assert np.isfinite(deq).all()
+    # RTN fallback quantizes to the per-channel grid
+    assert np.abs(deq - w).max() <= np.abs(w).max() / 127 + 1e-5

@@ -122,3 +122,41 @@ def test_collect_rejects_partial_stream(setup):
     arch, params, *_ = setup
     with pytest.raises(ValueError, match="multiple"):
         smooth.collect_ln_stats(params, arch, lambda p: None)  # no records
+
+
+def test_resolve_quantizer_accepts_registry_names(setup):
+    """REGISTRY config names (the CLI --quant namespace) resolve to their
+    base quantizer BEFORE calibration; unknown names fail fast listing
+    both namespaces."""
+    from openai_whisper_compression_tpu.ops.qtensor import QTensor
+    from openai_whisper_compression_tpu.quant.smooth import (
+        _resolve_quantizer)
+
+    arch, params, _, _, run_cal = setup
+    w = np.asarray(np.random.default_rng(0).standard_normal((8, 8)),
+                   np.float32)
+    q = _resolve_quantizer("quanto_int4")(w)
+    assert isinstance(q, QTensor) and q.bits == 4
+    with pytest.raises(KeyError, match="named configs"):
+        _resolve_quantizer("nope")
+    # full search runs with a REGISTRY name
+    from openai_whisper_compression_tpu.quant.smooth import awq_search
+
+    smoothed, alphas = awq_search(params, arch, run_cal,
+                                  method="quanto_int4", grid=3)
+    assert len(alphas) == 2 * arch.encoder_layers + 3 * arch.decoder_layers
+
+
+def test_capture_rows_strided_not_first_n():
+    """AWQ's captured rows subsample the whole utterance (strided), not
+    just the first 64 frames (often near-silence)."""
+    import jax.numpy as jnp
+
+    from openai_whisper_compression_tpu.utils import capture
+
+    v = jnp.zeros((1, 400, 4)).at[0, 200:, :].set(1.0)  # speech later only
+    with capture.capturing() as store:
+        capture.record("attn_ln_out", v)
+    rows = np.asarray(store[0]["rows"])
+    assert rows.shape[0] <= 64
+    assert float(np.abs(rows).max()) > 0     # late frames represented
