@@ -494,6 +494,45 @@ def cmd_analyze(args):
     return a
 
 
+def cmd_distill(args):
+    """Recovery fine-tuning: prune and/or quantize, then KL-distill the
+    compressed student against its own uncompressed teacher (no labels
+    needed). --qat runs true STE quantization-aware training
+    (`quant/qat.py`); --quant without --qat runs the PTQ->recover->requant
+    ladder (`distill.fake_quant_recovery`)."""
+    from .distill import distill as run_distill
+    from .prune.magnitude import prune_global_l1, sparsity_report
+    from .quant.api import quantize_params
+
+    params, arch = _load_model(args)
+    teacher = params
+    student = prune_global_l1(teacher, args.prune) if args.prune else teacher
+    kw = dict(steps=args.steps, lr=args.lr, batch=args.distill_batch,
+              seq_len=args.seq_len, seed=args.seed)
+    if args.qat:
+        if not args.quant:
+            raise SystemExit("--qat needs --quant <QUANTIZERS method>")
+        from .quant.qat import qat_distill
+
+        out, history = qat_distill(student, teacher, arch,
+                                   method=args.quant, **kw)
+    else:
+        recovered, history = run_distill(student, teacher, arch, **kw)
+        out = (quantize_params(recovered, args.quant)
+               if args.quant else recovered)
+    print(f"distill loss {history[0]:.4f} -> {history[-1]:.4f} "
+          f"({args.steps} steps, {'QAT' if args.qat else 'recovery'})")
+    if args.prune:
+        rep = sparsity_report(out)
+        print(f"sparsity preserved: {rep['overall_sparsity']:.3f}")
+    if args.save_path:
+        from .storage import formats
+
+        save, _ = formats.FORMATS[args.format]
+        stats = save(out, args.save_path)
+        print(f"saved {args.save_path} ({stats['file_mb']:.1f} MB)")
+
+
 def cmd_compress(args):
     from .prune import magnitude, recipe as recipe_mod
     from .storage import formats
@@ -664,6 +703,25 @@ def main(argv=None):
     p = sub.add_parser("analyze", help="architecture introspection")
     common(p)
     p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("distill",
+                       help="recovery distillation / QAT fine-tuning")
+    common(p)
+    p.add_argument("--quant", default=None,
+                   help="quantizer method (QUANTIZERS name, e.g. int2)")
+    p.add_argument("--qat", action="store_true",
+                   help="STE quantization-aware training (needs --quant)")
+    p.add_argument("--prune", type=float, default=None,
+                   help="global L1 prune amount before distilling")
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--distill-batch", type=int, default=2)
+    p.add_argument("--seq-len", type=int, default=8)
+    p.add_argument("--format", default="npz",
+                   choices=list(__import__(
+                       "openai_whisper_compression_tpu.storage.formats",
+                       fromlist=["FORMATS"]).FORMATS))
+    p.set_defaults(fn=cmd_distill)
 
     p = sub.add_parser("compress", help="thesis recipe + store compressed")
     common(p)

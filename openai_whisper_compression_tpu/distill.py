@@ -70,12 +70,19 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
             steps: int = 50, lr: float = 3e-5, batch: int = 2,
             seq_len: int = 8, temperature: float = 2.0, seed: int = 0,
             preserve_sparsity: bool = True,
-            batch_fn: Callable[[np.random.Generator], tuple] | None = None
+            batch_fn: Callable[[np.random.Generator], tuple] | None = None,
+            param_transform: Callable[[Params], Params] | None = None
             ) -> tuple[Params, list[float]]:
     """KL-distill `student` toward `teacher` (same arch) on synthetic audio.
 
     batch_fn: optional (rng) -> (mel (B, M, F), tokens (B, L)) supplier to
     distill on real data instead of noise.
+
+    param_transform: optional pure fn applied to the student INSIDE the loss
+    (the forward runs on `param_transform(student)`, gradients flow back
+    through it to the latent `student`). This is the QAT hook: pass an STE
+    fake-quant transform (`quant.qat.make_ste_transform`) so the optimizer
+    sees quantization error every step.
 
     Returns (recovered student, per-step loss history). Quantized leaves
     (QTensor) are frozen — dequantize first for fake-quant fine-tuning.
@@ -94,8 +101,12 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
         t_logits = jax.lax.stop_gradient(
             decode_logits(teacher, arch, tokens,
                           encode(teacher, arch, mel)))
-        loss, grads = jax.value_and_grad(kl_loss)(
-            student, t_logits, arch, mel, tokens, temperature)
+        def loss_fn(s):
+            if param_transform is not None:
+                s = param_transform(s)
+            return kl_loss(s, t_logits, arch, mel, tokens, temperature)
+
+        loss, grads = jax.value_and_grad(loss_fn)(student)
         if masks is not None:
             grads = _apply_masks(grads, masks)
         updates, opt_state = opt.update(grads, opt_state, student)
@@ -134,7 +145,9 @@ def fake_quant_recovery(params_q: Params, teacher: Params,
     dense weights), KL-distill it toward the dense teacher, then requantize
     with the same method. One round of this recovers part of the rounding
     loss without straight-through estimators (quantize -> recover -> requant,
-    a post-training analog of quantization-aware training).
+    a post-training analog of quantization-aware training). For true QAT —
+    fake-quant forwards with STE gradients every step — use
+    `quant.qat.qat_distill`, which strictly dominates this at low bit widths.
 
     Returns the re-quantized recovered model.
     """

@@ -1,0 +1,148 @@
+"""QAT (quant/qat.py): STE gradient identity, fake-quant forward parity,
+QAT beating PTQ at aggressive bit widths, pruning composition."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openai_whisper_compression_tpu.audio import features
+from openai_whisper_compression_tpu.config import ARCHS
+from openai_whisper_compression_tpu.distill import kl_loss
+from openai_whisper_compression_tpu.evaluation.harness import samples_for_arch
+from openai_whisper_compression_tpu.models import params as P
+from openai_whisper_compression_tpu.models.whisper import (decode_logits,
+                                                           encode)
+from openai_whisper_compression_tpu.ops.qtensor import dequantize
+from openai_whisper_compression_tpu.prune.magnitude import prune_global_l1
+from openai_whisper_compression_tpu.quant.api import (dequantize_params,
+                                                      quantize_params)
+from openai_whisper_compression_tpu.quant.core import QUANTIZERS
+from openai_whisper_compression_tpu.quant.qat import (make_ste_transform,
+                                                      qat_distill,
+                                                      quantized_leaf_names,
+                                                      ste_fake_quant)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    arch = ARCHS["test2l"]
+    teacher = P.init_params(arch, jax.random.PRNGKey(0))
+    return arch, teacher
+
+
+def _fixed_batch(arch, batch=2, seq_len=6, seed=3):
+    rng = np.random.default_rng(seed)
+    n = samples_for_arch(arch)
+    wav = jnp.asarray(rng.standard_normal((batch, n)) * 0.1, jnp.float32)
+    mel = features.preprocess(wav, n_mels=arch.num_mel_bins, length=n)
+    tokens = jnp.asarray(np.concatenate(
+        [np.full((batch, 1), arch.decoder_start_token_id),
+         rng.integers(0, arch.vocab_size, (batch, seq_len - 1))],
+        axis=1), jnp.int32)
+    return mel, tokens
+
+
+def test_ste_gradient_is_identity():
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((16, 8)),
+                    jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(ste_fake_quant(x, "int4") * 2.0))(w)
+    np.testing.assert_allclose(np.asarray(g), 2.0, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("method", ["int8", "int2", "nf4", "hqq_int4"])
+def test_ste_forward_matches_ptq(method):
+    w = jnp.asarray(np.random.default_rng(1).standard_normal((128, 16)),
+                    jnp.float32)
+    fq = ste_fake_quant(w, method)
+    ref = dequantize(QUANTIZERS[method](w), jnp.float32)
+    np.testing.assert_allclose(np.asarray(fq), np.asarray(ref),
+                               rtol=0, atol=0)
+
+
+def test_ste_transform_selects_linear_leaves(setup):
+    arch, teacher = setup
+    names = quantized_leaf_names(teacher)
+    assert names and all(n.endswith(".w") for n in names)
+    transform = make_ste_transform(teacher, "int8")
+    out = transform(teacher)
+    ref = dequantize_params(quantize_params(teacher, "int8"))
+    for name in names:
+        np.testing.assert_allclose(np.asarray(P.get_leaf(out, name)),
+                                   np.asarray(P.get_leaf(ref, name)),
+                                   rtol=0, atol=1e-6)
+    # non-selected leaves untouched
+    np.testing.assert_array_equal(
+        np.asarray(P.get_leaf(out, "decoder.embed")),
+        np.asarray(P.get_leaf(teacher, "decoder.embed")))
+
+
+def test_qat_beats_ptq_at_int2(setup):
+    """The headline property: at int2 (where PTQ collapses) QAT training on
+    the deployment objective produces a strictly better quantized model."""
+    arch, teacher = setup
+    mel, tokens = _fixed_batch(arch)
+    t_logits = decode_logits(teacher, arch, tokens, encode(teacher, arch, mel))
+
+    def quantized_kl(params_q):
+        dense = dequantize_params(params_q)
+        return float(kl_loss(dense, t_logits, arch, mel, tokens,
+                             temperature=1.0))
+
+    ptq = quantize_params(teacher, "int2")
+    batch_fn = lambda rng: (mel, tokens)  # noqa: E731 — fixed-batch QAT
+    qat, history = qat_distill(teacher, teacher, arch, method="int2",
+                               steps=25, lr=1e-3, batch_fn=batch_fn,
+                               preserve_sparsity=False, temperature=1.0)
+    assert history[-1] < history[0]          # optimizes its own objective
+    assert quantized_kl(qat) < quantized_kl(ptq)  # and beats one-shot PTQ
+
+
+def test_qat_preserves_pruned_support(setup):
+    """prune -> QAT -> quantize keeps the sparse support: mask projection in
+    distill plus symmetric quantizers mapping 0 -> 0."""
+    arch, teacher = setup
+    student = prune_global_l1(teacher, 0.5)
+    qat, _ = qat_distill(student, teacher, arch, method="int4",
+                         steps=4, lr=1e-3, batch=1, seq_len=4)
+    dense = dequantize_params(qat)
+    for (name, leaf) in P.named_leaves(student):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 2 and name.endswith(".w"):
+            rec = np.asarray(P.get_leaf(dense, name))
+            assert np.all(rec[np.asarray(leaf) == 0] == 0)
+
+
+def test_qat_rejects_quantized_student(setup):
+    arch, teacher = setup
+    with pytest.raises(ValueError):
+        qat_distill(quantize_params(teacher, "int8"), teacher, arch,
+                    steps=1)
+
+
+def test_cli_distill_qat(tmp_path, capsys):
+    from openai_whisper_compression_tpu import cli
+    from openai_whisper_compression_tpu.ops.qtensor import QTensor
+    from openai_whisper_compression_tpu.storage.formats import load_npz
+
+    out = tmp_path / "qat.npz"
+    cli.main(["distill", "--model", "test2l", "--quant", "int4", "--qat",
+              "--steps", "3", "--lr", "1e-3", "--distill-batch", "1",
+              "--seq-len", "4", "--save-path", str(out)])
+    text = capsys.readouterr().out
+    assert "QAT" in text and "saved" in text
+    params = load_npz(str(out))
+    kinds = {l.kind for l in jax.tree.leaves(
+        params, is_leaf=lambda x: isinstance(x, QTensor))
+        if isinstance(l, QTensor)}
+    assert kinds == {"int4_pack"}
+
+
+def test_cli_distill_recovery_with_prune(capsys):
+    from openai_whisper_compression_tpu import cli
+
+    cli.main(["distill", "--model", "test2l", "--prune", "0.5",
+              "--steps", "3", "--lr", "1e-3", "--distill-batch", "1",
+              "--seq-len", "4"])
+    text = capsys.readouterr().out
+    assert "recovery" in text and "sparsity preserved: 0.3" in text
