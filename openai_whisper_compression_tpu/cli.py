@@ -602,7 +602,8 @@ def main(argv=None):
     data_opts(p)
     p.add_argument("--sweep", default="quant",
                    choices=["quant", "l1", "random", "experimental",
-                            "prune_quant", "data_aware", "mixed"])
+                            "prune_quant", "data_aware", "mixed",
+                            "recovery"])
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--no-resume", action="store_true",
                    help="rerun configs already present in all_results.json")

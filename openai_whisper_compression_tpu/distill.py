@@ -71,12 +71,19 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
             seq_len: int = 8, temperature: float = 2.0, seed: int = 0,
             preserve_sparsity: bool = True,
             batch_fn: Callable[[np.random.Generator], tuple] | None = None,
-            param_transform: Callable[[Params], Params] | None = None
-            ) -> tuple[Params, list[float]]:
+            param_transform: Callable[[Params], Params] | None = None,
+            mesh=None) -> tuple[Params, list[float]]:
     """KL-distill `student` toward `teacher` (same arch) on synthetic audio.
 
     batch_fn: optional (rng) -> (mel (B, M, F), tokens (B, L)) supplier to
     distill on real data instead of noise.
+
+    mesh: optional `jax.sharding.Mesh` (('dp','tp') axes from
+    `parallel.mesh.make_mesh`): params/optimizer state are placed per
+    `parallel.mesh.param_specs` and each batch is split over 'dp' —
+    GSPMD inserts the gradient psums, so recovery/QAT fine-tuning scales
+    to a slice with zero changes to the step. `batch` must divide by the
+    dp axis.
 
     param_transform: optional pure fn applied to the student INSIDE the loss
     (the forward runs on `param_transform(student)`, gradients flow back
@@ -93,6 +100,13 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
                          "(or dequantized fake-quant) model, then requantize")
     n_samples = samples_for_arch(arch)
     masks = sparsity_masks(student) if preserve_sparsity else None
+    batch_sharding = None
+    if mesh is not None:
+        from .parallel import mesh as mesh_lib
+
+        student = mesh_lib.shard_params(student, mesh)
+        teacher = mesh_lib.shard_params(teacher, mesh)
+        batch_sharding = mesh_lib.batch_sharding(mesh)
     opt = optax.adamw(lr)
     opt_state = opt.init(student)
 
@@ -132,6 +146,9 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
                     [np.full((batch, 1), arch.decoder_start_token_id),
                      rng.integers(0, arch.vocab_size,
                                   (batch, seq_len - 1))], axis=1), jnp.int32)
+        if batch_sharding is not None:
+            mel = jax.device_put(mel, batch_sharding)
+            tokens = jax.device_put(tokens, batch_sharding)
         student, opt_state, loss = step(student, opt_state, mel, tokens)
         history.append(float(loss))
     return student, history

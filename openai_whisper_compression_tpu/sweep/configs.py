@@ -245,6 +245,40 @@ def mixed_precision_sweep(
             + [mk(b) for b in budgets])
 
 
+def recovery_sweep(methods: tuple[str, ...] = ("int2", "int4"),
+                   steps: int = 30, lr: float = 1e-3) -> list[dict]:
+    """PTQ vs recovery-distilled vs QAT at aggressive bit widths — the
+    compression-recovery ladder (beyond-reference: the reference is
+    one-shot PTQ only, SURVEY §0). Each config treats the incoming dense
+    params as their own teacher (`distill.py` — no labels needed), so the
+    sweep composes with --hf real weights exactly like every other sweep."""
+    def ptq(m):
+        return {"name": f"ptq_{m}",
+                "apply": lambda p, a, m=m: quant_api.quantize_params(p, m)}
+
+    def recover(m):
+        def f(p, arch, m=m):
+            from ..distill import fake_quant_recovery
+
+            q = quant_api.quantize_params(p, m)
+            return fake_quant_recovery(q, p, arch, method=m,
+                                       steps=steps, lr=lr)
+        return {"name": f"recover_{m}", "apply": f}
+
+    def qat(m):
+        def f(p, arch, m=m):
+            from ..quant.qat import qat_distill
+
+            return qat_distill(p, p, arch, method=m, steps=steps, lr=lr,
+                               preserve_sparsity=False)[0]
+        return {"name": f"qat_{m}", "apply": f}
+
+    cfgs = [{"name": "baseline_fp32", "apply": _q("baseline_fp32")}]
+    for m in methods:
+        cfgs += [ptq(m), recover(m), qat(m)]
+    return cfgs
+
+
 SWEEPS: dict[str, Callable[..., list[dict]]] = {
     "quant": lambda arch: quant_sweep(),
     "l1": lambda arch: unstructured_l1_sweep(),
@@ -253,4 +287,5 @@ SWEEPS: dict[str, Callable[..., list[dict]]] = {
     "prune_quant": lambda arch: prune_quant_sweep(),
     "data_aware": lambda arch: data_aware_sweep(),
     "mixed": lambda arch: mixed_precision_sweep(),
+    "recovery": lambda arch: recovery_sweep(),
 }

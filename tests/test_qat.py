@@ -120,6 +120,64 @@ def test_qat_rejects_quantized_student(setup):
                     steps=1)
 
 
+def test_mesh_distill_matches_single_device(setup):
+    """distill(mesh=) over a dp×tp mesh: GSPMD-sharded QAT/recovery steps
+    produce the same loss trajectory as the single-device step."""
+    from openai_whisper_compression_tpu.parallel import mesh as mesh_lib
+    from openai_whisper_compression_tpu.quant.qat import make_ste_transform
+
+    arch, teacher = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = mesh_lib.make_mesh(dp=2, tp=4)
+    transform = make_ste_transform(teacher, "int4")
+
+    def run(mesh_arg):
+        from openai_whisper_compression_tpu.distill import distill
+
+        _, hist = distill(teacher, teacher, arch, steps=3, lr=1e-3,
+                          batch=2, seq_len=4, seed=7,
+                          param_transform=transform,
+                          preserve_sparsity=False, mesh=mesh_arg)
+        return hist
+
+    ref = run(None)
+    sharded = run(mesh)
+    np.testing.assert_allclose(sharded, ref, rtol=2e-3, atol=1e-5)
+
+
+def test_recovery_sweep_through_driver(tmp_path):
+    """The recovery sweep (ptq vs recover vs qat) runs end-to-end through
+    the sweep driver and reports fidelity-vs-baseline for every rung."""
+    from openai_whisper_compression_tpu.config import (DecodeConfig,
+                                                       EvalConfig)
+    from openai_whisper_compression_tpu.evaluation.data import (
+        prepare_datasets)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.sweep.configs import recovery_sweep
+    from openai_whisper_compression_tpu.sweep.driver import run_sweep
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    datasets = prepare_datasets(num_cal=2, num_test=2, seed=0)
+    tok = WordTokenizer(arch.vocab_size, special_start=997)
+    configs = recovery_sweep(methods=("int2",), steps=2, lr=1e-3)
+    assert [c["name"] for c in configs] == [
+        "baseline_fp32", "ptq_int2", "recover_int2", "qat_int2"]
+    results = run_sweep(
+        params, arch, configs, datasets, tok,
+        eval_cfg=EvalConfig(batch_size=2, warmup_batches=0),
+        decode_cfg=DecodeConfig(max_new_tokens=4, language_token_id=None,
+                                task_token_id=None, notimestamps=False),
+        save_path=str(tmp_path))
+    for name in ("ptq_int2", "recover_int2", "qat_int2"):
+        assert "error" not in results[name], results[name]
+        assert results[name]["splits"]["test_clean"]["wer"] is not None
+        assert results[name]["model_size_mb"] < \
+            results["baseline_fp32"]["model_size_mb"]
+
+
 def test_cli_distill_qat(tmp_path, capsys):
     from openai_whisper_compression_tpu import cli
     from openai_whisper_compression_tpu.ops.qtensor import QTensor
