@@ -47,7 +47,8 @@ def load_model(name_or_arch: str = "tiny", dtype: Any = None, seed: int = 0,
 def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
                batch_size: int = 8, timestamps: bool = False,
                word_timestamps: bool = False,
-               temperatures=None, initial_prompt: str | None = None,
+               temperatures=None, best_of: int = 1,
+               initial_prompt: str | None = None,
                task: str = "transcribe", language: str | int | None = None,
                clip_timestamps=None,
                hallucination_silence_threshold: float | None = None
@@ -61,7 +62,10 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
     additionally aligns words via cross-attention DTW ("words" key).
     temperatures (e.g. ``(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)``) enables the
     OpenAI temperature-fallback ladder with compression-ratio/logprob
-    quality gates (models.fallback). task="translate" and language
+    quality gates (models.fallback); best_of > 1 samples that many
+    candidates per sequence at each t > 0 rung and keeps the highest
+    mean-logprob one (OpenAI DecodingOptions.best_of).
+    task="translate" and language
     ("de" / a raw token id) set the decoder prefix tokens per-arch
     (initial_prompt applies to the non-timestamps path)."""
     import dataclasses as _dc
@@ -98,6 +102,8 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
     return transcribe_long(params, arch, audio, tokenizer,
                            cfg=decode_cfg, batch_size=batch_size,
                            temperatures=temperatures,
+                           fallback_kw=({"best_of": best_of}
+                                        if best_of > 1 else None),
                            initial_prompt=initial_prompt)
 
 

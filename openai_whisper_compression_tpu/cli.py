@@ -405,6 +405,7 @@ def cmd_transcribe(args):
                          decode_cfg=_decode_cfg(args, arch),
                          batch_size=args.batch_size,
                          temperatures=temps,
+                         best_of=getattr(args, "best_of", 1),
                          initial_prompt=getattr(args, "initial_prompt", None))
         print(res["text"])
     if getattr(args, "output_format", None):
@@ -654,6 +655,10 @@ def main(argv=None):
                    help="comma list, e.g. '0,0.2,0.4,0.6,0.8,1.0': OpenAI "
                         "temperature-fallback ladder with compression-ratio"
                         "/logprob quality gates (models.fallback)")
+    p.add_argument("--best-of", type=int, default=1,
+                   help="candidates sampled per sequence at each t>0 "
+                        "fallback rung; best mean-logprob wins (OpenAI "
+                        "DecodingOptions.best_of)")
     p.add_argument("--initial-prompt", default=None,
                    help="text fed as the first window's decoder prompt "
                         "(OpenAI initial_prompt)")

@@ -73,7 +73,7 @@ def decode_with_fallback(params: Params, arch: WhisperArch,
                          compression_ratio_threshold: float | None = 2.4,
                          logprob_threshold: float | None = -1.0,
                          no_speech_threshold: float | None = None,
-                         seed: int = 0) -> FallbackResult:
+                         seed: int = 0, best_of: int = 1) -> FallbackResult:
     """Decode `enc_out` through the temperature ladder until every sequence
     passes both quality gates (or temperatures run out — then the last
     attempt is kept, like OpenAI).
@@ -83,6 +83,12 @@ def decode_with_fallback(params: Params, arch: WhisperArch,
     no_speech_threshold: if set, sequences with
     P(<|nospeech|>) > threshold AND avg_logprob < logprob_threshold are
     flagged silent in `is_silent` (their tokens are still returned).
+    best_of: at temperature > 0, sample this many independent candidates
+    per sequence (OpenAI DecodingOptions.best_of) and keep the highest
+    mean-logprob one. Rides batch expansion — the (B*best_of) rows decode
+    in ONE call (categorical sampling inside the while_loop folds the key
+    per step and draws per row, so replicas diverge); t=0 stays a single
+    deterministic decode. Two compiled programs total (B and B*best_of).
     """
     cfg = cfg or DecodeConfig()
     b = enc_out.shape[0]
@@ -93,17 +99,29 @@ def decode_with_fallback(params: Params, arch: WhisperArch,
         p, arch, e, cfg, sample_key=key, temperature=t,
         return_logprobs=True))
 
+    def attempt(key, temp):
+        """One ladder rung -> (tokens, lengths, logprobs) host arrays,
+        best-of-reduced per original sequence when sampling."""
+        n_cand = best_of if (temp > 0 and best_of > 1) else 1
+        enc = (jnp.repeat(enc_out, n_cand, axis=0) if n_cand > 1
+               else enc_out)
+        toks, lens, lps = fn(params, enc, key,
+                             jnp.asarray(temp, jnp.float32))
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        lps = np.asarray(lps, np.float32)
+        if n_cand > 1:
+            sel = lps.reshape(b, n_cand).argmax(axis=1)
+            idx = np.arange(b) * n_cand + sel
+            toks, lens, lps = toks[idx], lens[idx], lps[idx]
+        return toks, lens, lps
+
     best: dict[str, np.ndarray | None] = {
         "tokens": None, "lengths": None, "lp": None, "temp": None,
         "ratio": None}
     pending = np.ones((b,), bool)
     for ti, temp in enumerate(temperatures):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), ti)
-        toks, lens, lps = fn(params, enc_out, key,
-                             jnp.asarray(temp, jnp.float32))
-        toks = np.asarray(toks)
-        lens = np.asarray(lens)
-        lps = np.asarray(lps, np.float32)
+        toks, lens, lps = attempt(key, temp)
         ratios = np.zeros((b,), np.float32)
         fails = np.zeros((b,), bool)
         for i in range(b):

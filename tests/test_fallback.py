@@ -121,6 +121,46 @@ def test_no_speech_gate(setup):
     assert p.shape == (3,) and np.all((p >= 0) & (p <= 1))
 
 
+def test_best_of_picks_highest_logprob(setup):
+    """best_of>1 at t>0 keeps, per sequence, exactly the max-mean-logprob
+    candidate of the expanded (B*best_of) decode; t=0 rungs are unaffected
+    (deterministic, no expansion)."""
+    params, enc = setup
+    best_of, seed = 4, 11
+    r4 = decode_with_fallback(
+        params, ARCH, enc, decode_text=lambda ids: "x", cfg=CFG,
+        temperatures=(1.0,), compression_ratio_threshold=None,
+        logprob_threshold=0.0, seed=seed, best_of=best_of)
+    assert r4.tokens.shape[0] == enc.shape[0]            # reduced to B rows
+    # recompute the candidate set with the rung's exact key and check the
+    # selection IS the per-group argmax
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+    enc_rep = jnp.repeat(enc, best_of, axis=0)
+    _, _, lps = decode.greedy_decode(
+        params, ARCH, enc_rep, CFG, sample_key=key,
+        temperature=jnp.asarray(1.0, jnp.float32), return_logprobs=True)
+    expected = np.asarray(lps, np.float32).reshape(-1, best_of).max(axis=1)
+    np.testing.assert_allclose(r4.avg_logprobs, expected, rtol=1e-5)
+    # t=0 stays deterministic regardless of best_of
+    g0 = decode_with_fallback(
+        params, ARCH, enc, decode_text=lambda ids: "ok " * len(ids),
+        cfg=CFG, compression_ratio_threshold=None, logprob_threshold=None,
+        best_of=4)
+    np.testing.assert_array_equal(g0.temperatures, 0.0)
+
+
+def test_transcribe_best_of_kwarg(setup):
+    """Top-level transcribe(best_of=) threads through fallback_kw."""
+    import openai_whisper_compression_tpu as owc
+
+    params, _ = setup
+    wav = (np.random.default_rng(2).standard_normal(
+        ARCH.max_source_positions * 160) * 0.05).astype(np.float32)
+    out = owc.transcribe(params, ARCH, wav, decode_cfg=CFG, batch_size=2,
+                         temperatures=(0.0, 1.0), best_of=3)
+    assert set(out) >= {"text", "chunks", "audio_seconds"}
+
+
 def test_transcribe_with_temperatures(setup):
     """Top-level transcribe() routes the fallback ladder through longform."""
     import openai_whisper_compression_tpu as owc
