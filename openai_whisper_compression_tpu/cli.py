@@ -534,6 +534,50 @@ def cmd_distill(args):
         print(f"saved {args.save_path} ({stats['file_mb']:.1f} MB)")
 
 
+def cmd_export(args):
+    """Export a (optionally compressed) model as an HF-named state dict:
+    .npz (numpy) or .pt (torch.save) — the counterpart of the reference's
+    `save_pretrained` flow (`openai_whisper_compression/utils.py:258-268`)
+    so compressed models round-trip into HF-based tooling. Quantized
+    leaves are dequantized (fake-quant values, error baked in)."""
+    from .models.convert import to_hf_state_dict
+    from .quant.api import dequantize_params
+    from .storage import formats
+
+    if args.load:
+        params = None
+        for kind in ("npz", "sparse_zip", "gzip"):
+            try:
+                params = formats.FORMATS[kind][1](args.load)
+                break
+            except Exception:
+                continue
+        if params is None:
+            raise SystemExit(f"could not load {args.load} with any of "
+                             f"{sorted(formats.FORMATS)}")
+        from .config import ARCHS
+
+        arch = ARCHS[args.model]
+    else:
+        params, arch = _load_model(args)
+        if args.quant:
+            params = _apply_quant_arg(params, arch, args.quant, args)
+    sd = to_hf_state_dict(dequantize_params(params))
+    import numpy as np
+
+    if args.out.endswith(".pt"):
+        import torch
+
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in sd.items()}, args.out)
+    else:
+        np.savez(args.out if args.out.endswith(".npz")
+                 else args.out + ".npz", **sd)
+    n = sum(v.size for v in sd.values())
+    print(f"exported {len(sd)} tensors / {n:,} params "
+          f"({arch.name}) -> {args.out}")
+
+
 def cmd_compress(args):
     from .prune import magnitude, recipe as recipe_mod
     from .storage import formats
@@ -728,6 +772,18 @@ def main(argv=None):
                        "openai_whisper_compression_tpu.storage.formats",
                        fromlist=["FORMATS"]).FORMATS))
     p.set_defaults(fn=cmd_distill)
+
+    p = sub.add_parser("export",
+                       help="export HF-named state dict (.npz/.pt)")
+    common(p)
+    p.add_argument("--quant", default=None,
+                   help="quantize before export (dequantized values land "
+                        "in the state dict)")
+    p.add_argument("--load", default=None,
+                   help="load a stored compressed model (any storage "
+                        "format) instead of --model/--hf weights")
+    p.add_argument("--out", required=True, help=".npz or .pt path")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("compress", help="thesis recipe + store compressed")
     common(p)

@@ -145,3 +145,49 @@ def test_cli_run_data_aware_and_mixed(tmp_path):
     path2.write_text(json.dumps(cfg))
     scores = cli.main(["run", "--config", str(path2)])
     assert scores["num_samples"] == 2
+
+
+def test_cli_export_hf_state_dict(tmp_path, capsys):
+    """export: HF-named npz/pt state dicts from fresh, quantized, and
+    stored-compressed models; keys/values round-trip through the HF
+    converter."""
+    from openai_whisper_compression_tpu import cli
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.models import params as P
+    from openai_whisper_compression_tpu.models.convert import (
+        from_hf_state_dict)
+    from openai_whisper_compression_tpu.storage.formats import save_sparse_zip
+
+    out = tmp_path / "m.npz"
+    cli.main(["export", "--model", "test2l", "--out", str(out)])
+    assert "exported" in capsys.readouterr().out
+    sd = dict(np.load(out))
+    assert any(k.endswith("encoder.conv1.weight") for k in sd)
+    # round-trip: converter rebuilds the same pytree values
+    rebuilt = from_hf_state_dict(sd)
+    params = P.init_params(ARCHS["test2l"], jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(rebuilt["encoder"]["layers"][0]["fc1"]["w"]),
+        np.asarray(params["encoder"]["layers"][0]["fc1"]["w"]), atol=1e-6)
+
+    # quantized export: dequantized (fake-quant) values, still HF-shaped
+    outq = tmp_path / "q.pt"
+    cli.main(["export", "--model", "test2l", "--quant", "quanto_int8",
+              "--out", str(outq)])
+    import torch
+
+    sdq = torch.load(outq, weights_only=True)
+    w = sdq["model.encoder.layers.0.fc1.weight"]
+    assert w.shape[0] != w.shape[1] or True  # loaded tensor exists
+    assert not torch.equal(
+        w, torch.from_numpy(np.asarray(
+            params["encoder"]["layers"][0]["fc1"]["w"]).T))
+
+    # stored-compressed model -> export (loader sniffing)
+    zpath = tmp_path / "c.zip"
+    save_sparse_zip(params, str(zpath))
+    out2 = tmp_path / "c.npz"
+    cli.main(["export", "--model", "test2l", "--load", str(zpath),
+              "--out", str(out2)])
+    sd2 = dict(np.load(out2))
+    assert set(sd2) == set(sd)
