@@ -74,6 +74,73 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     }))
 
 
+def _stream_bench(params, arch, args) -> None:
+    """Live-streaming throughput: N concurrent sessions through the
+    StreamingPool's ONE batched decode per tick (streaming.py). Feeds
+    each stream `--stream-seconds` of synthetic audio in 0.5 s chunks,
+    round-robin, ticking after every feed round — the real-time serving
+    pattern. Reports stream RTFx (audio ingested / wall) and the pool's
+    occupancy/decode stats."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401 (backend init before pool build)
+
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+    from openai_whisper_compression_tpu.streaming import StreamingPool
+
+    n_streams = args.streams
+    cfg = DecodeConfig(max_new_tokens=args.tokens, notimestamps=False,
+                       kv_int8=args.kv_int8,
+                       cross_kv_int8=args.cross_kv_int8,
+                       cross_kv_int4=args.cross_kv_int4)
+    tok = WordTokenizer(arch.vocab_size,
+                        special_start=min(arch.eos_token_id,
+                                          arch.decoder_start_token_id))
+    pool = StreamingPool(params, arch, tok, cfg, max_streams=n_streams,
+                        agreement=2, min_step_s=1.0)
+    rng = np.random.default_rng(0)
+    chunk = int(0.5 * 16000)
+    total_chunks = int(args.stream_seconds / 0.5)
+    audio = [rng.standard_normal(
+        (total_chunks, chunk)).astype(np.float32) * 0.1
+        for _ in range(n_streams)]
+    # warmup on a throwaway session: feed past min_step so the tick
+    # actually decodes and compiles the shared batched program
+    # (remote-TPU compiles take minutes)
+    t0 = time.perf_counter()
+    pool.open("warm")
+    pool.feed("warm", rng.standard_normal((2 * chunk,)
+                                          ).astype(np.float32) * 0.1)
+    pool.tick()
+    pool.close("warm")
+    pool.reset_stats()                       # exclude warmup/compile
+    print(f"# compile+warmup {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    for i in range(n_streams):
+        pool.open(i)
+    t0 = time.perf_counter()
+    for c in range(total_chunks):
+        for i in range(n_streams):
+            pool.feed(i, audio[i][c])
+        pool.tick()
+    for i in range(n_streams):
+        pool.close(i)
+    wall = time.perf_counter() - t0
+    stats = pool.stats()
+    audio_s = n_streams * args.stream_seconds
+    rtfx = audio_s / wall
+    print(f"# stream stats: {stats}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"whisper-{args.model}-{args.quant} streaming RTFx "
+                  f"({n_streams} live streams, LocalAgreement-2, "
+                  f"{args.stream_seconds:.0f}s/stream, 0.5s chunks)",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+    }))
+
+
 def _kernel_smoke() -> None:
     """Edge-shape parity for every Pallas quant kernel on the attached
     backend: K/N off the 128/256 grid exercise Mosaic padding paths that the
@@ -186,6 +253,13 @@ def main() -> None:
     ap.add_argument("--serve", action="store_true",
                     help="steady-state throughput through the "
                          "dynamic-batching TranscriptionService")
+    ap.add_argument("--stream", action="store_true",
+                    help="live-streaming throughput: N sessions through "
+                         "the StreamingPool's batched per-tick decode")
+    ap.add_argument("--streams", type=int, default=8,
+                    help="concurrent live sessions for --stream")
+    ap.add_argument("--stream-seconds", type=float, default=20.0,
+                    help="audio seconds fed per stream for --stream")
     ap.add_argument("--tune-threshold", action="store_true",
                     help="measure the Pallas-vs-XLA dispatch crossover on "
                          "the attached chip and print it (feeds "
@@ -237,8 +311,16 @@ def main() -> None:
                          "already runs at (490->445 ms/batch)")
     args = ap.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # honor JAX_PLATFORMS even when a site hook force-registered another
+    # backend (same guard as cli.py — lets `JAX_PLATFORMS=cpu python
+    # bench.py --model test2l-ts --stream` smoke off-chip)
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     # Fail fast on a TPU-tunnel outage: backend init otherwise blocks
     # ~15-20 min before erroring UNAVAILABLE (observed 2026-08-17). The
@@ -303,6 +385,10 @@ def main() -> None:
     print(f"# model={args.model} quant={args.quant} "
           f"params_mb={P.size_in_mb(params):.1f} backend={jax.default_backend()}",
           file=sys.stderr)
+
+    if args.stream:
+        _stream_bench(params, arch, args)
+        return
 
     # fixed-25 regression metric suppresses EOT so every run does identical
     # work; --real-decode lets EOT through and exercises the early-exit path

@@ -410,6 +410,11 @@ class StreamingPool:
                        "occupancy_sum": 0.0, "busy_seconds": 0.0,
                        "audio_seconds": 0.0}
 
+    def reset_stats(self) -> None:
+        """Zero the counters (e.g. to exclude a warmup/compile tick)."""
+        self._stats = {k: (0 if isinstance(v, int) else 0.0)
+                       for k, v in self._stats.items()}
+
     def stats(self) -> dict:
         """Occupancy/throughput snapshot: mean decode-batch occupancy,
         decodes per tick, TPU-busy seconds, stream-audio RTFx."""

@@ -282,6 +282,11 @@ def test_pool_stats(setup):
     assert 0 < s["mean_batch_occupancy"] <= 1.0
     assert s["busy_seconds"] > 0 and s["rtfx"] > 0
     assert s["audio_seconds"] == pytest.approx(2 * (n // 2) / 16000.0)
+    # reset (bench warmup exclusion) zeroes counters but keeps sessions
+    pool.reset_stats()
+    s2 = pool.stats()
+    assert s2["ticks"] == 0 and s2["busy_seconds"] == 0.0
+    assert s2["open_streams"] == 2
 
 
 def test_streaming_with_quantized_model(setup):
