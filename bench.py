@@ -34,12 +34,10 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     prep with TPU compute); counts end-to-end wall including batching."""
     import sys
 
-    from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+    from openai_whisper_compression_tpu.evaluation.tokenizer import default_tokenizer
     from openai_whisper_compression_tpu.serving import TranscriptionService
 
-    tok = WordTokenizer(arch.vocab_size,
-                        special_start=min(arch.eos_token_id,
-                                          arch.decoder_start_token_id))
+    tok = default_tokenizer(arch)
     # int16 PCM transfer halves the host->device audio stream. NB on
     # tunnelled backends (axon) the upload still dominates this metric —
     # it is an environment artifact, not TPU throughput (the greedy
@@ -85,7 +83,7 @@ def _stream_bench(params, arch, args) -> None:
     import jax.numpy as jnp  # noqa: F401 (backend init before pool build)
 
     from openai_whisper_compression_tpu.config import DecodeConfig
-    from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+    from openai_whisper_compression_tpu.evaluation.tokenizer import default_tokenizer
     from openai_whisper_compression_tpu.streaming import StreamingPool
 
     n_streams = args.streams
@@ -93,11 +91,9 @@ def _stream_bench(params, arch, args) -> None:
                        kv_int8=args.kv_int8,
                        cross_kv_int8=args.cross_kv_int8,
                        cross_kv_int4=args.cross_kv_int4)
-    tok = WordTokenizer(arch.vocab_size,
-                        special_start=min(arch.eos_token_id,
-                                          arch.decoder_start_token_id))
+    tok = default_tokenizer(arch)
     pool = StreamingPool(params, arch, tok, cfg, max_streams=n_streams,
-                        agreement=2, min_step_s=1.0)
+                         agreement=2, min_step_s=1.0)
     rng = np.random.default_rng(0)
     chunk = int(0.5 * 16000)
     total_chunks = int(args.stream_seconds / 0.5)
@@ -128,13 +124,14 @@ def _stream_bench(params, arch, args) -> None:
         pool.close(i)
     wall = time.perf_counter() - t0
     stats = pool.stats()
-    audio_s = n_streams * args.stream_seconds
+    fed_s = total_chunks * 0.5        # audio actually fed, not the arg
+    audio_s = n_streams * fed_s
     rtfx = audio_s / wall
     print(f"# stream stats: {stats}", file=sys.stderr)
     print(json.dumps({
         "metric": f"whisper-{args.model}-{args.quant} streaming RTFx "
                   f"({n_streams} live streams, LocalAgreement-2, "
-                  f"{args.stream_seconds:.0f}s/stream, 0.5s chunks)",
+                  f"{fed_s:.1f}s/stream, 0.5s chunks)",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),

@@ -41,16 +41,14 @@ def main() -> None:
     from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
     from openai_whisper_compression_tpu.evaluation.harness import (
         make_speculative_transcribe_fn, make_transcribe_fn, samples_for_arch)
-    from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+    from openai_whisper_compression_tpu.evaluation.tokenizer import default_tokenizer
     from openai_whisper_compression_tpu.models import alignment
     from openai_whisper_compression_tpu.models import params as P
     from openai_whisper_compression_tpu.models.whisper import encode
     from openai_whisper_compression_tpu.serving import TranscriptionService
 
     params, arch = load_model(args.model)
-    tok = WordTokenizer(arch.vocab_size,
-                        special_start=min(arch.eos_token_id,
-                                          arch.decoder_start_token_id))
+    tok = default_tokenizer(arch)
     cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
                        task_token_id=None)
     rng = np.random.default_rng(0)

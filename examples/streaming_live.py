@@ -31,7 +31,7 @@ import numpy as np
 from openai_whisper_compression_tpu import load_model
 from openai_whisper_compression_tpu.config import DecodeConfig
 from openai_whisper_compression_tpu.evaluation.harness import samples_for_arch
-from openai_whisper_compression_tpu.evaluation.tokenizer import WordTokenizer
+from openai_whisper_compression_tpu.evaluation.tokenizer import default_tokenizer
 from openai_whisper_compression_tpu.streaming import (StreamingPool,
                                                       StreamingTranscriber)
 
@@ -44,9 +44,7 @@ def main() -> None:
     args = ap.parse_args()
 
     params, arch = load_model(args.model)
-    tok = WordTokenizer(arch.vocab_size,
-                        special_start=min(arch.eos_token_id,
-                                          arch.decoder_start_token_id))
+    tok = default_tokenizer(arch)
     cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
                        task_token_id=None, notimestamps=False,
                        max_initial_timestamp_index=20)

@@ -72,10 +72,20 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
 
     from .config import language_token_id
     from .evaluation.longform import transcribe_long, transcribe_seek
-    from .evaluation.tokenizer import WordTokenizer
+    from .evaluation.tokenizer import default_tokenizer
 
     if task not in ("transcribe", "translate"):
         raise ValueError(f"task must be transcribe|translate, got {task!r}")
+    if best_of > 1:
+        # mirror OpenAI: best_of is incompatible with deterministic
+        # decoding — failing loudly beats silently returning single-
+        # candidate greedy output the caller believes was sampled
+        if timestamps or word_timestamps:
+            raise ValueError("best_of applies to the non-timestamps "
+                             "fallback path only")
+        if not temperatures or not any(t > 0 for t in temperatures):
+            raise ValueError("best_of needs a temperatures ladder with "
+                             "t>0 rungs (greedy t=0 is deterministic)")
     if task == "translate" or language is not None:
         cfg0 = decode_cfg or DecodeConfig()
         repl = {}
@@ -86,9 +96,7 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
         decode_cfg = _dc.replace(cfg0, **repl)
 
     if tokenizer is None:
-        tokenizer = WordTokenizer(
-            arch.vocab_size,
-            special_start=min(arch.eos_token_id, arch.decoder_start_token_id))
+        tokenizer = default_tokenizer(arch)
     if timestamps or word_timestamps:
         import dataclasses
 

@@ -46,7 +46,7 @@ def _load_model(args):
 
 def _load_data(args, arch):
     from .evaluation.data import prepare_datasets
-    from .evaluation.tokenizer import WordTokenizer, load_tokenizer
+    from .evaluation.tokenizer import default_tokenizer, load_tokenizer
 
     datasets = prepare_datasets(num_cal=args.calibration_samples,
                                 num_test=args.samples, seed=args.seed,
@@ -58,9 +58,7 @@ def _load_data(args, arch):
     if args.librispeech or getattr(args, "audio_dir", None):
         tok = load_tokenizer(f"openai/whisper-{arch.name}")
     if tok is None:
-        tok = WordTokenizer(arch.vocab_size,
-                            special_start=min(arch.eos_token_id,
-                                              arch.decoder_start_token_id))
+        tok = default_tokenizer(arch)
     return datasets, tok
 
 
@@ -199,12 +197,10 @@ def cmd_sensitivity(args):
     params, arch = _load_model(args)
     if args.use_dataset:
         from .evaluation.data import synthetic_dataset
-        from .evaluation.tokenizer import WordTokenizer
+        from .evaluation.tokenizer import default_tokenizer
 
         data = synthetic_dataset(args.batches * args.batch_size, seed=args.seed)
-        tok = WordTokenizer(arch.vocab_size,
-                            special_start=min(arch.eos_token_id,
-                                              arch.decoder_start_token_id))
+        tok = default_tokenizer(arch)
         batches = gradient.batches_from_dataset(arch, data, tok,
                                                 batch=args.batch_size)
     else:
@@ -318,13 +314,11 @@ def cmd_transcribe(args):
         # print committed/pending partials as they stabilize
         import dataclasses
 
-        from .evaluation.tokenizer import WordTokenizer, load_tokenizer
+        from .evaluation.tokenizer import default_tokenizer, load_tokenizer
         from .streaming import StreamingTranscriber
 
         tok = (load_tokenizer(f"openai/whisper-{arch.name}")
-               or WordTokenizer(arch.vocab_size,
-                                special_start=min(arch.eos_token_id,
-                                                  arch.decoder_start_token_id)))
+               or default_tokenizer(arch))
         cfg = dataclasses.replace(_decode_cfg(args, arch), notimestamps=False)
         st = StreamingTranscriber(params, arch, tok, cfg,
                                   min_step_s=args.stream_chunk_s)
@@ -340,12 +334,10 @@ def cmd_transcribe(args):
         import dataclasses
 
         from .evaluation.longform import transcribe_seek
-        from .evaluation.tokenizer import WordTokenizer, load_tokenizer
+        from .evaluation.tokenizer import default_tokenizer, load_tokenizer
 
         tok = (load_tokenizer(f"openai/whisper-{arch.name}")
-               or WordTokenizer(arch.vocab_size,
-                                special_start=min(arch.eos_token_id,
-                                                  arch.decoder_start_token_id)))
+               or default_tokenizer(arch))
         cfg = dataclasses.replace(_decode_cfg(args, arch), notimestamps=False)
         hst = getattr(args, "hallucination_silence_threshold", None)
         res = transcribe_seek(params, arch, wav, tok, cfg,
@@ -366,7 +358,7 @@ def cmd_transcribe(args):
         from .config import ARCHS
         from .evaluation.harness import (make_speculative_transcribe_fn,
                                          samples_for_arch)
-        from .evaluation.tokenizer import WordTokenizer, load_tokenizer
+        from .evaluation.tokenizer import default_tokenizer, load_tokenizer
         from .models import params as P
         from .models.decode import forced_prefix
 
@@ -392,9 +384,7 @@ def cmd_transcribe(args):
         ids = tokens[0, len(forced_prefix(arch, cfg)): lengths[0]]
         ids = ids[ids != arch.eos_token_id]
         tok = (load_tokenizer(f"openai/whisper-{arch.name}")
-               or WordTokenizer(arch.vocab_size,
-                                special_start=min(arch.eos_token_id,
-                                                  arch.decoder_start_token_id)))
+               or default_tokenizer(arch))
         res = {"text": tok.decode(ids.tolist()), "tokens": ids.tolist()}
         print(res["text"])
     else:
@@ -500,10 +490,10 @@ def cmd_distill(args):
     compressed student against its own uncompressed teacher (no labels
     needed). --qat runs true STE quantization-aware training
     (`quant/qat.py`); --quant without --qat runs the PTQ->recover->requant
-    ladder (`distill.fake_quant_recovery`)."""
+    ladder (`distill.fake_quant_recovery` semantics, history surfaced)."""
     from .distill import distill as run_distill
     from .prune.magnitude import prune_global_l1, sparsity_report
-    from .quant.api import quantize_params
+    from .quant.api import dequantize_params, quantize_params
 
     params, arch = _load_model(args)
     teacher = params
@@ -517,14 +507,23 @@ def cmd_distill(args):
 
         out, history = qat_distill(student, teacher, arch,
                                    method=args.quant, **kw)
+    elif args.quant:
+        # PTQ -> recover -> requant (fake_quant_recovery semantics, with
+        # the loss history surfaced): bake the quantization error into
+        # dense weights so the distillation has a real gap to close even
+        # when the student wasn't pruned
+        dense = dequantize_params(quantize_params(student, args.quant))
+        recovered, history = run_distill(dense, teacher, arch, **kw)
+        out = quantize_params(recovered, args.quant)
     else:
         recovered, history = run_distill(student, teacher, arch, **kw)
-        out = (quantize_params(recovered, args.quant)
-               if args.quant else recovered)
+        out = recovered
     print(f"distill loss {history[0]:.4f} -> {history[-1]:.4f} "
           f"({args.steps} steps, {'QAT' if args.qat else 'recovery'})")
     if args.prune:
-        rep = sparsity_report(out)
+        # QTensor leaves are opaque to the sparsity walk — report on the
+        # dequantized values, where the pruned zeros actually live
+        rep = sparsity_report(dequantize_params(out))
         print(f"sparsity preserved: {rep['overall_sparsity']:.3f}")
     if args.save_path:
         from .storage import formats
@@ -560,22 +559,27 @@ def cmd_export(args):
         arch = ARCHS[args.model]
     else:
         params, arch = _load_model(args)
-        if args.quant:
-            params = _apply_quant_arg(params, arch, args.quant, args)
+    if args.quant:
+        # applies to --load models too (quantize_params skips leaves that
+        # are already QTensors, so re-export of a stored quantized model
+        # composes instead of silently dropping the flag)
+        params = _apply_quant_arg(params, arch, args.quant, args)
     sd = to_hf_state_dict(dequantize_params(params))
     import numpy as np
 
-    if args.out.endswith(".pt"):
+    out_path = args.out
+    if out_path.endswith(".pt"):
         import torch
 
         torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
-                    for k, v in sd.items()}, args.out)
+                    for k, v in sd.items()}, out_path)
     else:
-        np.savez(args.out if args.out.endswith(".npz")
-                 else args.out + ".npz", **sd)
+        if not out_path.endswith(".npz"):
+            out_path += ".npz"
+        np.savez(out_path, **sd)
     n = sum(v.size for v in sd.values())
     print(f"exported {len(sd)} tensors / {n:,} params "
-          f"({arch.name}) -> {args.out}")
+          f"({arch.name}) -> {out_path}")
 
 
 def cmd_compress(args):

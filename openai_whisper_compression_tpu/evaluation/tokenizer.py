@@ -43,6 +43,16 @@ class WordTokenizer:
         return out
 
 
+def default_tokenizer(arch) -> WordTokenizer:
+    """The offline placeholder tokenizer for `arch`: ids below the first
+    special token decode as words (min(eot, sot) — on real vocabs text ids
+    sit below both; the test archs put sot below eot). The single source
+    for a construction previously copy-pasted across bench/cli/examples."""
+    return WordTokenizer(arch.vocab_size,
+                         special_start=min(arch.eos_token_id,
+                                           arch.decoder_start_token_id))
+
+
 class HFTokenizerAdapter:
     """Wraps an HF WhisperTokenizer; decodes with normalization like the
     reference (`data_utils.py:170`)."""

@@ -41,6 +41,29 @@ from .core import QUANTIZERS
 Params = dict[str, Any]
 
 
+def resolve_method(method: str, kw: dict[str, Any]
+                   ) -> tuple[str, dict[str, Any]]:
+    """method -> (QUANTIZERS name, merged kwargs). Accepts raw QUANTIZERS
+    names and REGISTRY config names (e.g. "quanto_int8" -> "int8"), the
+    same namespaces every other --quant surface takes — resolved and
+    validated EAGERLY so an unknown name fails with a clear message
+    instead of a KeyError inside the first jitted training step. QAT is
+    weight-only: a REGISTRY config's dtype/act fields are ignored (the
+    STE models the weight rounding; activation quant stays a deploy-time
+    choice)."""
+    if method in QUANTIZERS:
+        return method, dict(kw)
+    from .api import REGISTRY
+
+    cfg = REGISTRY.get(method)
+    if cfg is not None and cfg.method in QUANTIZERS:
+        return cfg.method, {**dict(cfg.kwargs), **kw}
+    raise KeyError(
+        f"unknown or non-weight-quant method {method!r} for QAT; "
+        f"quantizers: {sorted(QUANTIZERS)}; resolvable configs: "
+        f"{sorted(n for n, c in REGISTRY.items() if c.method in QUANTIZERS)}")
+
+
 def ste_fake_quant(w: jax.Array, method: str = "int8", **kw: Any) -> jax.Array:
     """Quantize-dequantize `w` with QUANTIZERS[method]; identity gradient.
 
@@ -52,6 +75,7 @@ def ste_fake_quant(w: jax.Array, method: str = "int8", **kw: Any) -> jax.Array:
     float rounding — so the training forward is BIT-IDENTICAL to the
     deployed dequantized weight. No custom_vjp needed.
     """
+    method, kw = resolve_method(method, kw)
     fq = dequantize(QUANTIZERS[method](w, **kw), jnp.float32).astype(w.dtype)
     return jax.lax.stop_gradient(fq) + (w - jax.lax.stop_gradient(w))
 
@@ -83,6 +107,7 @@ def make_ste_transform(params: Params, method: str = "int8",
     Selection is fixed at build time from `params`' structure (same rules as
     `quantize_params`); the returned fn is jit-safe and differentiable.
     """
+    method, kw = resolve_method(method, kw)   # fail fast, outside the jit
     names = quantized_leaf_names(params, include_embed, name_filter)
 
     def transform(p: Params) -> Params:
@@ -107,12 +132,13 @@ def qat_distill(student: Params, teacher: Params, arch: Any,
 
     `student` must be dense (start from the teacher itself, or a pruned
     copy — sparsity is preserved via distill's mask projection).
-    `method`/`quant_kwargs` name a QUANTIZERS entry exactly as
-    `quantize_params` takes them.
+    `method` is a QUANTIZERS entry or a weight-quant REGISTRY config name
+    (resolved by `resolve_method`; dtype/act fields are ignored — QAT is
+    weight-only).
     """
     from ..distill import distill
 
-    qkw = dict(quant_kwargs or {})
+    method, qkw = resolve_method(method, dict(quant_kwargs or {}))
     transform = make_ste_transform(student, method, include_embed,
                                    name_filter, **qkw)
     latent, history = distill(student, teacher, arch, steps=steps, lr=lr,

@@ -196,6 +196,41 @@ def test_cli_distill_qat(tmp_path, capsys):
     assert kinds == {"int4_pack"}
 
 
+def test_resolve_method_accepts_registry_names():
+    """QAT takes the same --quant namespaces as every other surface:
+    REGISTRY config names resolve to their base quantizer eagerly (clear
+    error, not a KeyError inside the first jitted step)."""
+    from openai_whisper_compression_tpu.quant.qat import resolve_method
+
+    assert resolve_method("int8", {}) == ("int8", {})
+    assert resolve_method("quanto_int8", {}) == ("int8", {})
+    m, kw = resolve_method("bnb_nf4_double_quant", {"block_size": 32})
+    assert m == "nf4_dq" and kw["block_size"] == 32
+    with pytest.raises(KeyError):
+        resolve_method("baseline_fp32", {})  # dtype-only: no weight quant
+    with pytest.raises(KeyError):
+        resolve_method("nope", {})
+    # end-to-end: fake-quant under a registry name == under the base name
+    w = jnp.asarray(np.random.default_rng(5).standard_normal((16, 8)),
+                    jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ste_fake_quant(w, "quanto_int8")),
+                                  np.asarray(ste_fake_quant(w, "int8")))
+
+
+def test_cli_distill_quant_recovery_not_noop(capsys):
+    """--quant without --qat must run the PTQ->recover->requant ladder:
+    the distilled loss starts from the PTQ gap (> 0), not from the
+    dense-teacher self-distillation (~0)."""
+    from openai_whisper_compression_tpu import cli
+
+    cli.main(["distill", "--model", "test2l", "--quant", "int2",
+              "--steps", "3", "--lr", "1e-3", "--distill-batch", "1",
+              "--seq-len", "4"])
+    text = capsys.readouterr().out
+    first_loss = float(text.split("distill loss ")[1].split(" ->")[0])
+    assert first_loss > 1e-3, text  # int2 rounding gap, not a no-op
+
+
 def test_cli_distill_recovery_with_prune(capsys):
     from openai_whisper_compression_tpu import cli
 
