@@ -253,6 +253,7 @@ def cmd_run(args):
     rc = RunConfig.from_json(open(args.config).read())
     args.model, args.dtype = rc.model, rc.dtype
     params, arch = _load_model(args)
+    teacher = params            # uncompressed: the recovery target
 
     if rc.pruning:
         if "recipe" in rc.pruning:
@@ -268,7 +269,44 @@ def cmd_run(args):
     args.librispeech = getattr(args, "librispeech", False)
     datasets, tok = _load_data(args, arch)
 
-    if rc.quantization:
+    if rc.recovery:
+        r = dict(rc.recovery)
+        qat, steps = r.pop("qat", False), r.pop("steps", 50)
+        lr = r.pop("lr", 3e-5)
+        if r:
+            raise SystemExit(f"unknown recovery keys {sorted(r)}; "
+                             "schema: {qat, steps, lr}")
+        method = (rc.quantization or {}).get("name") \
+            or (rc.quantization or {}).get("method")
+        if rc.quantization and not method:
+            raise SystemExit("recovery needs quantization.name/method "
+                             "(a QUANTIZERS or weight-quant REGISTRY "
+                             "entry), or no quantization for prune-only "
+                             "recovery")
+        if method:
+            from .quant.qat import qat_distill, resolve_method
+
+            resolve_method(method, {})          # fail fast on DATA_AWARE etc.
+            if qat:
+                params, hist = qat_distill(params, teacher, arch,
+                                           method=method, steps=steps, lr=lr)
+            else:
+                from .distill import distill as run_distill
+                from .quant.api import dequantize_params, quantize_params
+
+                dense = dequantize_params(quantize_params(params, method))
+                params, hist = run_distill(dense, teacher, arch,
+                                           steps=steps, lr=lr)
+                params = quantize_params(params, method)
+        else:
+            from .distill import distill as run_distill
+
+            params, hist = run_distill(params, teacher, arch,
+                                       steps=steps, lr=lr)
+        print(f"recovery loss {hist[0]:.4f} -> {hist[-1]:.4f} "
+              f"({steps} steps, {'QAT' if qat else 'distill'})")
+
+    if rc.quantization and not rc.recovery:
         from .quant import api as quant_api
 
         if "mixed_config" in rc.quantization:

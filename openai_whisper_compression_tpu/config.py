@@ -266,6 +266,11 @@ class RunConfig:
     dtype: str = "float32"
     quantization: dict[str, Any] | None = None
     pruning: dict[str, Any] | None = None
+    # compression-recovery fine-tuning (distill.py / quant/qat.py):
+    # {"qat": bool, "steps": int, "lr": float}. With `quantization`, the
+    # named method trains via STE QAT (qat=true) or the PTQ->recover->
+    # requant ladder; with pruning only, plain recovery distillation.
+    recovery: dict[str, Any] | None = None
     decode: DecodeConfig = field(default_factory=DecodeConfig)
     eval: EvalConfig = field(default_factory=EvalConfig)
 

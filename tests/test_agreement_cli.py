@@ -194,3 +194,38 @@ def test_cli_export_hf_state_dict(tmp_path, capsys):
               "--out", str(out2)])
     sd2 = dict(np.load(out2))
     assert set(sd2) == set(sd)
+
+
+def test_cli_run_with_recovery(tmp_path):
+    """RunConfig.recovery: declarative QAT / recovery ladder in the
+    experiment schema."""
+    from openai_whisper_compression_tpu import cli
+
+    base = {
+        "model": "test2l",
+        "decode": {"max_new_tokens": 4, "language_token_id": None,
+                   "task_token_id": None, "notimestamps": False},
+        "eval": {"num_samples": 2, "batch_size": 2, "warmup_batches": 0},
+    }
+    cfg = dict(base, quantization={"name": "quanto_int2"},
+               recovery={"qat": True, "steps": 2, "lr": 1e-3})
+    p = tmp_path / "qat.json"
+    p.write_text(json.dumps(cfg))
+    scores = cli.main(["run", "--config", str(p)])
+    assert scores["num_samples"] == 2
+
+    # prune-only recovery (no quantization)
+    cfg2 = dict(base, pruning={"global_l1": 0.5},
+                recovery={"steps": 2, "lr": 1e-3})
+    p2 = tmp_path / "rec.json"
+    p2.write_text(json.dumps(cfg2))
+    scores = cli.main(["run", "--config", str(p2)])
+    assert scores["num_samples"] == 2
+
+    # recovery with a non-weight-quant method must fail fast
+    cfg3 = dict(base, quantization={"name": "gptq_int4"},
+                recovery={"qat": True, "steps": 1})
+    p3 = tmp_path / "bad.json"
+    p3.write_text(json.dumps(cfg3))
+    with pytest.raises((KeyError, SystemExit)):
+        cli.main(["run", "--config", str(p3)])
