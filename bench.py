@@ -44,7 +44,7 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     # headline keeps audio device-resident).
     svc = TranscriptionService(params, arch, tok, cfg,
                                batch_size=args.batch, max_wait_ms=5,
-                               transcribe_fn=fn, transfer_int16=True)
+                               transcribe_fn=fn, transfer=args.transfer)
     rng = np.random.default_rng(0)
     n_req = args.batch * 4
     wavs = [rng.standard_normal(int(AVG_UTT_SECONDS * 16000)
@@ -250,6 +250,10 @@ def main() -> None:
     ap.add_argument("--serve", action="store_true",
                     help="steady-state throughput through the "
                          "dynamic-batching TranscriptionService")
+    ap.add_argument("--transfer", default="int16",
+                    choices=["float32", "int16", "mulaw"],
+                    help="--serve wire codec for host->device audio "
+                         "(mulaw = 1 B/sample, ~38 dB SNR)")
     ap.add_argument("--stream", action="store_true",
                     help="live-streaming throughput: N sessions through "
                          "the StreamingPool's batched per-tick decode")

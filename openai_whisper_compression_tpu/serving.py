@@ -29,6 +29,38 @@ import numpy as np
 
 from .config import DecodeConfig, WhisperArch
 
+_MU = 255.0  # G.711 u-law companding constant
+_MULAW_LUT: np.ndarray | None = None  # int16 -> uint8 code table
+
+
+def _mulaw_lut() -> np.ndarray:
+    global _MULAW_LUT
+    if _MULAW_LUT is None:
+        x = np.arange(-32768, 32768, dtype=np.float32) / 32768.0
+        y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+        _MULAW_LUT = np.round((y + 1.0) * 127.5).astype(np.uint8)
+    return _MULAW_LUT
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] -> uint8 u-law code (1 B/sample wire format).
+
+    The classic G.711 shape: quantize to int16 PCM, then one table
+    gather — ~5x the throughput of computing the log per sample, and the
+    int16 intermediate loses nothing (u-law codes are far coarser)."""
+    x16 = np.clip(np.round(np.asarray(x) * 32768.0), -32768,
+                  32767).astype(np.int16)
+    return _mulaw_lut()[x16.astype(np.int32) + 32768]
+
+
+def mulaw_decode(u):
+    """uint8 u-law code -> float32 [-1, 1] (jnp; runs inside the jitted
+    serving program so only 1 B/sample crosses the host-device link)."""
+    import jax.numpy as jnp
+
+    y = u.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+    return jnp.sign(y) * (jnp.power(1.0 + _MU, jnp.abs(y)) - 1.0) / _MU
+
 
 @dataclass
 class ServiceStats:
@@ -84,7 +116,8 @@ class TranscriptionService:
     def __init__(self, params, arch: WhisperArch, tokenizer,
                  cfg: DecodeConfig | None = None, batch_size: int = 8,
                  max_wait_ms: float = 50.0, transcribe_fn=None,
-                 transfer_int16: bool = False):
+                 transfer_int16: bool = False,
+                 transfer: str | None = None):
         import jax
         import jax.numpy as jnp
 
@@ -100,18 +133,29 @@ class TranscriptionService:
         self.max_wait_s = max_wait_ms / 1e3
         self.n_samples = samples_for_arch(arch)
         self._fn = transcribe_fn or make_transcribe_fn(arch, self.cfg)
-        # int16 PCM transfer: halve the host->device audio stream (lossless
-        # for 16-bit-PCM-sourced audio; the on-device cast undoes the scale)
-        self.transfer_int16 = transfer_int16
-        if transfer_int16:
+        # wire-transfer codec for the host->device audio stream:
+        #   float32 — as-is (4 B/sample)
+        #   int16   — PCM (2 B/sample; lossless for 16-bit-PCM-sourced
+        #             audio; the on-device cast undoes the scale)
+        #   mulaw   — G.711-style u-law uint8 (1 B/sample; ~38 dB SNR on
+        #             speech, the telephony standard — accuracy-changing,
+        #             opt-in; companding host-side, expansion in-jit)
+        self.transfer = transfer or ("int16" if transfer_int16
+                                     else "float32")
+        if self.transfer not in ("float32", "int16", "mulaw"):
+            raise ValueError(f"transfer must be float32|int16|mulaw, "
+                             f"got {self.transfer!r}")
+        self.transfer_int16 = self.transfer == "int16"
+        if self.transfer != "float32":
             base_fn = self._fn
+            decode = (mulaw_decode if self.transfer == "mulaw"
+                      else lambda w: w.astype(jnp.float32) * (1.0 / 32768.0))
 
             @jax.jit
-            def _fn16(params, w16):
-                return base_fn(params,
-                               w16.astype(jnp.float32) * (1.0 / 32768.0))
+            def _fn_wire(params, wire):
+                return base_fn(params, decode(wire))
 
-            self._fn = _fn16
+            self._fn = _fn_wire
         self._first_gen = len(forced_prefix(arch, self.cfg))
         self._loader = BatchLoader(batch_size, self.n_samples)
         self._queue: queue.Queue = queue.Queue()
@@ -236,9 +280,11 @@ class TranscriptionService:
                 for slot, (wav, sr, _, _, _) in enumerate(items):
                     self._loader.submit(slot, wav, sample_rate=sr)
                 buf = self._loader.flush()
-                if self.transfer_int16:
+                if self.transfer == "int16":
                     buf = np.clip(np.round(buf * 32768.0), -32768,
                                   32767).astype(np.int16)
+                elif self.transfer == "mulaw":
+                    buf = mulaw_encode(buf)
 
                 t0 = time.perf_counter()
                 tokens, lengths = self._fn(self.params, jnp.asarray(buf))

@@ -112,6 +112,43 @@ def test_transfer_int16_pcm_exact(svc_setup):
     assert r_f["tokens"] == r_i["tokens"]
 
 
+def test_mulaw_codec_roundtrip_snr():
+    """u-law companding: ~38 dB SNR on speech-scale signals; +-1 exact,
+    0 within half a code step."""
+    from openai_whisper_compression_tpu.serving import (mulaw_decode,
+                                                        mulaw_encode)
+
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal(16000) * 0.1).clip(-1, 1).astype(np.float32)
+    u = mulaw_encode(x)
+    assert u.dtype == np.uint8
+    y = np.asarray(mulaw_decode(jnp.asarray(u)))
+    snr = 10 * np.log10(np.mean(x ** 2) / np.mean((x - y) ** 2))
+    assert snr > 30.0, snr
+    np.testing.assert_allclose(
+        np.asarray(mulaw_decode(jnp.asarray(mulaw_encode(
+            np.asarray([0.0, 1.0, -1.0], np.float32))))),
+        [0.0, 1.0, -1.0], atol=1e-4)
+
+
+def test_transfer_mulaw_end_to_end(svc_setup):
+    """mulaw transfer serves transcriptions (1 B/sample wire format);
+    invalid codec names fail fast."""
+    arch, params, tok, cfg = svc_setup
+    rng = np.random.default_rng(6)
+    n = samples_for_arch(arch)
+    wav = (rng.standard_normal(n // 2) * 0.1).astype(np.float32)
+
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                               transfer="mulaw")
+    r = svc.transcribe(wav)
+    svc.close()
+    assert isinstance(r["tokens"], list) and r["audio_seconds"] > 0
+    with pytest.raises(ValueError):
+        TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                             transfer="opus")
+
+
 def test_long_audio_transparent_chunking(svc_setup):
     """Audio longer than one window is split, batched, and reassembled in
     order; text equals the direct per-window decode concatenation."""
