@@ -109,6 +109,8 @@ def _decode_cfg(args, arch):
         from .config import language_token_id
 
         kw["language_token_id"] = language_token_id(arch, args.language)
+    if getattr(args, "length_penalty", None) is not None:
+        kw["length_penalty"] = args.length_penalty
     return DecodeConfig(max_new_tokens=args.max_new_tokens,
                         beam_size=args.beam,
                         notimestamps=arch.no_timestamps_token_id < arch.vocab_size,
@@ -672,6 +674,9 @@ def main(argv=None):
                        help="uid<TAB>text table for --audio-dir")
         p.add_argument("--max-new-tokens", type=int, default=32)
         p.add_argument("--beam", type=int, default=1)
+        p.add_argument("--length-penalty", type=float, default=None,
+                       help="beam-score length exponent (len^alpha; "
+                            "HF/OpenAI length_penalty semantics)")
         p.add_argument("--kv-int8", action="store_true")
 
     p = sub.add_parser("evaluate", help="single-config evaluation")
