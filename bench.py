@@ -323,6 +323,14 @@ def main() -> None:
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    # persistent compile cache: first bench process pays the 2-4 min
+    # compile, every later one seconds (measured 35.4 -> 4.1 s on the
+    # batch-8 encoder through the tunnel)
+    from openai_whisper_compression_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    enable_persistent_compilation_cache()
+
     # Fail fast on a TPU-tunnel outage: backend init otherwise blocks
     # ~15-20 min before erroring UNAVAILABLE (observed 2026-08-17). The
     # probe shares the process's backend, so a success costs nothing.

@@ -29,6 +29,13 @@ import jax.numpy as jnp
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent XLA compilation cache: whisper-small programs compile in
+# 2-4 min through the tunnelled backend, seconds on every later process
+# (utils/compile_cache.py; opt out with OWC_NO_COMPILE_CACHE=1).
+from .utils.compile_cache import enable_persistent_compilation_cache  # noqa: E402
+
+enable_persistent_compilation_cache()
+
 
 def _load_model(args):
     from .config import ARCHS

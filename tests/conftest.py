@@ -15,6 +15,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compile cache: most of the 30-minute suite wall is XLA
+# compiles repeated identically every run; cached executables key on the
+# HLO hash so correctness is unaffected. OWC_NO_COMPILE_CACHE=1 opts out.
+from openai_whisper_compression_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compilation_cache)
+
+enable_persistent_compilation_cache(
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_tests"),
+    min_secs=0.1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

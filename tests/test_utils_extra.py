@@ -216,3 +216,13 @@ def test_language_code_roundtrip():
         assert language_code(small, language_token_id(small, c)) == c
     with pytest.raises(ValueError):
         language_code(small, 50258)  # sot is not a language token
+
+
+def test_compile_cache_wiring(tmp_path, monkeypatch):
+    from openai_whisper_compression_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    d = enable_persistent_compilation_cache(str(tmp_path / "cc"))
+    assert d and os.path.isdir(d)
+    monkeypatch.setenv("OWC_NO_COMPILE_CACHE", "1")
+    assert enable_persistent_compilation_cache() is None
