@@ -285,35 +285,11 @@ def cmd_run(args):
         if r:
             raise SystemExit(f"unknown recovery keys {sorted(r)}; "
                              "schema: {qat, steps, lr}")
-        method = (rc.quantization or {}).get("name") \
-            or (rc.quantization or {}).get("method")
-        if rc.quantization and not method:
-            raise SystemExit("recovery needs quantization.name/method "
-                             "(a QUANTIZERS or weight-quant REGISTRY "
-                             "entry), or no quantization for prune-only "
-                             "recovery")
-        if method:
-            from .quant.qat import qat_distill, resolve_method
-
-            resolve_method(method, {})          # fail fast on DATA_AWARE etc.
-            if qat:
-                params, hist = qat_distill(params, teacher, arch,
-                                           method=method, steps=steps, lr=lr)
-            else:
-                from .distill import distill as run_distill
-                from .quant.api import dequantize_params, quantize_params
-
-                dense = dequantize_params(quantize_params(params, method))
-                params, hist = run_distill(dense, teacher, arch,
-                                           steps=steps, lr=lr)
-                params = quantize_params(params, method)
-        else:
-            from .distill import distill as run_distill
-
-            params, hist = run_distill(params, teacher, arch,
-                                       steps=steps, lr=lr)
+        params, hist, label = _run_recovery_ladder(
+            params, teacher, arch, qat=qat, steps=steps, lr=lr,
+            quant=rc.quantization)
         print(f"recovery loss {hist[0]:.4f} -> {hist[-1]:.4f} "
-              f"({steps} steps, {'QAT' if qat else 'distill'})")
+              f"({steps} steps, {label})")
 
     if rc.quantization and not rc.recovery:
         from .quant import api as quant_api
@@ -532,41 +508,80 @@ def cmd_analyze(args):
     return a
 
 
+def _run_recovery_ladder(student, teacher, arch, *, qat: bool, steps: int,
+                         lr: float, quant: dict | None, **distill_kw):
+    """The one compression-recovery ladder (shared by `distill` and
+    `run` so the two CLI surfaces cannot drift):
+
+      quant + qat   -> STE QAT (fake-quant forwards, requant latent)
+      quant, no qat -> PTQ -> recover -> requant (error baked into dense
+                       weights so distillation has a real gap to close)
+      no quant      -> plain recovery distillation (pruned students)
+
+    `quant` is the full quantization spec dict ({"name"|"method", "act",
+    "include_embed", + quantizer kwargs}) — every key is honoured on the
+    final requant, not just the method name.
+
+    Returns (params, loss_history, label)."""
+    from .distill import distill as run_distill
+
+    if steps < 1:
+        raise SystemExit(f"recovery steps must be >= 1, got {steps}")
+    if qat and not quant:
+        raise SystemExit("QAT needs a quantization method "
+                         "(--quant / quantization.name)")
+    if quant is None:
+        out, hist = run_distill(student, teacher, arch, steps=steps, lr=lr,
+                                **distill_kw)
+        return out, hist, "recovery"
+    from .quant.api import dequantize_params, quantize_params
+    from .quant.qat import make_ste_transform, resolve_method
+
+    spec = dict(quant)
+    if "mixed_config" in spec:
+        raise SystemExit("recovery does not compose with mixed_config")
+    method = spec.pop("name", None) or spec.pop("method", None)
+    spec.pop("method", None)
+    if not method:
+        raise SystemExit("recovery needs quantization name/method (a "
+                         "QUANTIZERS or weight-quant REGISTRY entry)")
+    act = spec.pop("act", None)
+    include_embed = bool(spec.pop("include_embed", False))
+    base_method, qkw = resolve_method(method, spec)   # fail fast
+    if qat:
+        transform = make_ste_transform(student, base_method,
+                                       include_embed, **qkw)
+        latent, hist = run_distill(student, teacher, arch, steps=steps,
+                                   lr=lr, param_transform=transform,
+                                   **distill_kw)
+    else:
+        dense = dequantize_params(quantize_params(
+            student, base_method, include_embed=include_embed, **qkw))
+        latent, hist = run_distill(dense, teacher, arch, steps=steps,
+                                   lr=lr, **distill_kw)
+    out = quantize_params(latent, base_method, act=act,
+                          include_embed=include_embed, **qkw)
+    return out, hist, ("QAT" if qat else "recovery")
+
+
 def cmd_distill(args):
     """Recovery fine-tuning: prune and/or quantize, then KL-distill the
     compressed student against its own uncompressed teacher (no labels
     needed). --qat runs true STE quantization-aware training
     (`quant/qat.py`); --quant without --qat runs the PTQ->recover->requant
     ladder (`distill.fake_quant_recovery` semantics, history surfaced)."""
-    from .distill import distill as run_distill
     from .prune.magnitude import prune_global_l1, sparsity_report
-    from .quant.api import dequantize_params, quantize_params
+    from .quant.api import dequantize_params
 
     params, arch = _load_model(args)
     teacher = params
     student = prune_global_l1(teacher, args.prune) if args.prune else teacher
-    kw = dict(steps=args.steps, lr=args.lr, batch=args.distill_batch,
-              seq_len=args.seq_len, seed=args.seed)
-    if args.qat:
-        if not args.quant:
-            raise SystemExit("--qat needs --quant <QUANTIZERS method>")
-        from .quant.qat import qat_distill
-
-        out, history = qat_distill(student, teacher, arch,
-                                   method=args.quant, **kw)
-    elif args.quant:
-        # PTQ -> recover -> requant (fake_quant_recovery semantics, with
-        # the loss history surfaced): bake the quantization error into
-        # dense weights so the distillation has a real gap to close even
-        # when the student wasn't pruned
-        dense = dequantize_params(quantize_params(student, args.quant))
-        recovered, history = run_distill(dense, teacher, arch, **kw)
-        out = quantize_params(recovered, args.quant)
-    else:
-        recovered, history = run_distill(student, teacher, arch, **kw)
-        out = recovered
+    out, history, label = _run_recovery_ladder(
+        student, teacher, arch, qat=args.qat, steps=args.steps, lr=args.lr,
+        quant={"name": args.quant} if args.quant else None,
+        batch=args.distill_batch, seq_len=args.seq_len, seed=args.seed)
     print(f"distill loss {history[0]:.4f} -> {history[-1]:.4f} "
-          f"({args.steps} steps, {'QAT' if args.qat else 'recovery'})")
+          f"({args.steps} steps, {label})")
     if args.prune:
         # QTensor leaves are opaque to the sparsity walk — report on the
         # dequantized values, where the pruned zeros actually live

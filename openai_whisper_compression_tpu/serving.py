@@ -42,15 +42,20 @@ def _mulaw_lut() -> np.ndarray:
     return _MULAW_LUT
 
 
+def _pcm16(x: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] -> int16 PCM (the one quantization convention both
+    wire codecs share — int16 sends these samples, u-law LUTs them)."""
+    return np.clip(np.round(np.asarray(x) * 32768.0), -32768,
+                   32767).astype(np.int16)
+
+
 def mulaw_encode(x: np.ndarray) -> np.ndarray:
     """float32 [-1, 1] -> uint8 u-law code (1 B/sample wire format).
 
     The classic G.711 shape: quantize to int16 PCM, then one table
     gather — ~5x the throughput of computing the log per sample, and the
     int16 intermediate loses nothing (u-law codes are far coarser)."""
-    x16 = np.clip(np.round(np.asarray(x) * 32768.0), -32768,
-                  32767).astype(np.int16)
-    return _mulaw_lut()[x16.astype(np.int32) + 32768]
+    return _mulaw_lut()[_pcm16(x).astype(np.int32) + 32768]
 
 
 def mulaw_decode(u):
@@ -281,8 +286,7 @@ class TranscriptionService:
                     self._loader.submit(slot, wav, sample_rate=sr)
                 buf = self._loader.flush()
                 if self.transfer == "int16":
-                    buf = np.clip(np.round(buf * 32768.0), -32768,
-                                  32767).astype(np.int16)
+                    buf = _pcm16(buf)
                 elif self.transfer == "mulaw":
                     buf = mulaw_encode(buf)
 

@@ -28,16 +28,23 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None,
         return None
     import jax
 
+    # first-configurer wins: a bare enable() (e.g. `import ...cli` from a
+    # test or a library user who set their own dir) must NOT re-point a
+    # cache someone already configured — only an EXPLICIT dir overrides
+    current = getattr(jax.config, "jax_compilation_cache_dir", None)
+    if cache_dir is None and current:
+        return current
     cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or DEFAULT_DIR)
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # default threshold skips small programs; 1 s catches everything
-        # that hurts interactively while keeping trivial jits out (tests
-        # pass a lower min_secs: their cost is many sub-second compiles)
+        # threshold first: if the dir update below fails the cache stays
+        # inactive (no dir), never half-configured. Default 1 s catches
+        # everything that hurts interactively while keeping trivial jits
+        # out; tests pass a lower min_secs (many sub-second compiles).
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           min_secs)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
     except Exception:
         return None                     # unwritable dir / old jax: run uncached
     return cache_dir

@@ -217,6 +217,35 @@ def test_resolve_method_accepts_registry_names():
                                   np.asarray(ste_fake_quant(w, "int8")))
 
 
+def test_recovery_ladder_honours_quant_kwargs(setup):
+    """The shared CLI ladder keeps act/include_embed/quantizer kwargs on
+    the final requant (they were silently dropped before), and fails fast
+    on qat-without-method / steps<1."""
+    from openai_whisper_compression_tpu.cli import _run_recovery_ladder
+    from openai_whisper_compression_tpu.ops.qtensor import QTensor
+
+    arch, teacher = setup
+    out, hist, label = _run_recovery_ladder(
+        teacher, teacher, arch, qat=True, steps=2, lr=1e-3,
+        quant={"name": "int8", "act": "dynamic_int8"},
+        batch=1, seq_len=4, preserve_sparsity=False)
+    assert label == "QAT" and len(hist) == 2
+    leaves = [l for l in jax.tree.leaves(
+        out, is_leaf=lambda x: isinstance(x, QTensor))
+        if isinstance(l, QTensor)]
+    assert leaves and all(l.act == "dynamic_int8" for l in leaves)
+
+    with pytest.raises(SystemExit):
+        _run_recovery_ladder(teacher, teacher, arch, qat=True, steps=1,
+                             lr=1e-3, quant=None)
+    with pytest.raises(SystemExit):
+        _run_recovery_ladder(teacher, teacher, arch, qat=False, steps=0,
+                             lr=1e-3, quant=None)
+    with pytest.raises(SystemExit):
+        _run_recovery_ladder(teacher, teacher, arch, qat=False, steps=1,
+                             lr=1e-3, quant={"mixed_config": "x.json"})
+
+
 def test_cli_distill_quant_recovery_not_noop(capsys):
     """--quant without --qat must run the PTQ->recover->requant ladder:
     the distilled loss starts from the PTQ gap (> 0), not from the

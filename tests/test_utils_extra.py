@@ -222,7 +222,16 @@ def test_compile_cache_wiring(tmp_path, monkeypatch):
     from openai_whisper_compression_tpu.utils.compile_cache import (
         enable_persistent_compilation_cache)
 
-    d = enable_persistent_compilation_cache(str(tmp_path / "cc"))
-    assert d and os.path.isdir(d)
-    monkeypatch.setenv("OWC_NO_COMPILE_CACHE", "1")
-    assert enable_persistent_compilation_cache() is None
+    prev = getattr(jax.config, "jax_compilation_cache_dir", None)
+    try:
+        d = enable_persistent_compilation_cache(str(tmp_path / "cc"))
+        assert d and os.path.isdir(d)
+        # first-configurer wins: a bare enable() (what `import ...cli`
+        # does) must keep the already-configured dir, not re-point it
+        assert enable_persistent_compilation_cache() == d
+        monkeypatch.setenv("OWC_NO_COMPILE_CACHE", "1")
+        assert enable_persistent_compilation_cache() is None
+    finally:
+        if prev:   # restore the suite's conftest cache configuration
+            monkeypatch.delenv("OWC_NO_COMPILE_CACHE", raising=False)
+            enable_persistent_compilation_cache(prev, min_secs=0.1)
