@@ -458,8 +458,12 @@ def main() -> None:
               f"wall_total={wall_total:.2f}s "
               f"({wall_total / n * 1e3:.1f}ms/batch effective)",
               file=sys.stderr)
+        mode = "greedy" if args.beam <= 1 else f"beam{args.beam}"
+        if args.merge_at is not None:
+            mode += f"+merge@{args.merge_at}"
         print(json.dumps({
-            "metric": f"whisper-{args.model}-{args.quant} pipelined RTFx "
+            "metric": f"whisper-{args.model}-{args.quant} {mode} "
+                      f"pipelined RTFx "
                       f"(batch {args.batch}, depth {depth}, {n} batches, "
                       f"25 tok, audio={AVG_UTT_SECONDS}s/utt)",
             "value": round(rtfx, 2),
