@@ -64,7 +64,7 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     print(f"# serve stats: {stats}", file=sys.stderr)
     print(json.dumps({
         "metric": f"whisper-{args.model}-{args.quant} serving RTFx "
-                  f"({n_req} reqs, batch {args.batch}, 25 tok, "
+                  f"({n_req} reqs, batch {args.batch}, {args.tokens} tok, "
                   f"audio={AVG_UTT_SECONDS}s/utt)",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
@@ -465,7 +465,7 @@ def main() -> None:
             "metric": f"whisper-{args.model}-{args.quant} {mode} "
                       f"pipelined RTFx "
                       f"(batch {args.batch}, depth {depth}, {n} batches, "
-                      f"25 tok, audio={AVG_UTT_SECONDS}s/utt)",
+                      f"{args.tokens} tok, audio={AVG_UTT_SECONDS}s/utt)",
             "value": round(rtfx, 2),
             "unit": "x_realtime",
             "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
@@ -513,7 +513,8 @@ def main() -> None:
     print(json.dumps({
         "metric": f"whisper-{args.model}-{args.quant} "
                   f"{'greedy' if args.beam <= 1 else f'beam{args.beam}'} RTFx "
-                  f"(batch {args.batch}, 25 tok, audio=7.42s/utt)",
+                  f"(batch {args.batch}, {args.tokens} tok, "
+                  f"audio={AVG_UTT_SECONDS}s/utt)",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
