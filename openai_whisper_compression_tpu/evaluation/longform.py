@@ -132,8 +132,10 @@ def transcribe_long(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
 def segments_from_tokens(arch: WhisperArch,
                          gen: np.ndarray) -> tuple[list[dict], float | None]:
     """Parse a generated token stream (timestamp rules active) into
-    segments: [{"start", "end", "tokens"}] with times in seconds relative to
-    the window. Returns (segments, seek_seconds) where seek_seconds is the
+    segments: [{"start", "end", "tokens", "tok_idx"}] with times in seconds
+    relative to the window ("tok_idx" = each text token's position in
+    `gen`, for aligning logprob traces).
+    Returns (segments, seek_seconds) where seek_seconds is the
     end of the last COMPLETE segment (None when the stream has no closing
     timestamp — caller then advances a full window). Mirrors OpenAI
     whisper's transcribe() seek logic."""
@@ -143,8 +145,9 @@ def segments_from_tokens(arch: WhisperArch,
     segments: list[dict] = []
     start_tok: int | None = None
     text: list[int] = []
+    idxs: list[int] = []     # gen-relative positions of the text tokens
     last_end: float | None = None
-    for t in np.asarray(gen).tolist():
+    for i, t in enumerate(np.asarray(gen).tolist()):
         if t == arch.eos_token_id:
             break
         if t >= ts_begin:
@@ -155,19 +158,22 @@ def segments_from_tokens(arch: WhisperArch,
                     "start": timestamp_token_to_seconds(arch, start_tok),
                     "end": timestamp_token_to_seconds(arch, t),
                     "tokens": text,
+                    "tok_idx": idxs,
                 })
                 last_end = segments[-1]["end"]
                 start_tok = None
                 text = []
+                idxs = []
             else:  # consecutive timestamps: pause; restart the segment
                 start_tok = t
         elif start_tok is not None:
             text.append(t)
+            idxs.append(i)
     if text and start_tok is not None:
         # trailing unterminated segment: keep the text, no seek anchor
         segments.append({
             "start": timestamp_token_to_seconds(arch, start_tok),
-            "end": None, "tokens": text,
+            "end": None, "tokens": text, "tok_idx": idxs,
         })
     return segments, last_end
 
@@ -312,6 +318,46 @@ def _align_window_words(params, arch: WhisperArch, enc_row, win_toks,
         special_threshold=special, offset=t0, token_logprobs=token_logprobs)
 
 
+_NSP_FNS: dict = {}
+
+
+def _nsp_fn(arch: WhisperArch):
+    """Cached jitted P(<|nospeech|>) evaluator (one tiny decoder step on a
+    cached encoder output — negligible next to the window decode)."""
+    fn = _NSP_FNS.get(arch.name)
+    if fn is None:
+        from ..models.decode import no_speech_prob
+
+        fn = jax.jit(lambda p, e: no_speech_prob(p, arch, e))
+        _NSP_FNS[arch.name] = fn
+    return fn
+
+
+def _segment_with_meta(seg: dict, t0: float, text: str,
+                       token_lps_row, first_gen: int,
+                       no_speech: float | None) -> dict:
+    """One output segment with OpenAI's per-segment metadata: avg_logprob
+    (mean greedy token logprob over the segment's text tokens; None for
+    beam/injected-fn decodes with no trace), compression_ratio (zlib on
+    the text — the repetition-loop signal), no_speech_prob (the window's
+    P(<|nospeech|>); None when the encoder output wasn't at hand).
+    Mirrors OpenAI whisper transcribe()'s segment dicts."""
+    from ..models.fallback import compression_ratio
+
+    avg_lp = None
+    if token_lps_row is not None and seg.get("tok_idx"):
+        avg_lp = float(np.mean(
+            [token_lps_row[first_gen + j] for j in seg["tok_idx"]]))
+    return {
+        "start": t0 + seg["start"],
+        "end": None if seg["end"] is None else t0 + seg["end"],
+        "text": text,
+        "avg_logprob": avg_lp,
+        "compression_ratio": compression_ratio(text),
+        "no_speech_prob": no_speech,
+    }
+
+
 def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     cfg: DecodeConfig | None = None,
                     transcribe_fn=None,
@@ -353,7 +399,9 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
         raise ValueError("hallucination_silence_threshold requires "
                          "word_timestamps=True (OpenAI semantics)")
     n_samples = samples_for_arch(arch)
-    want_lp = hst is not None
+    # greedy decodes always carry the logprob trace now: it feeds the
+    # per-segment avg_logprob metadata, not just hallucination scoring
+    want_lp = (hst is not None) or cfg.beam_size <= 1
     own_fn = transcribe_fn is None
     if own_fn:
         # our own fn can also hand back the encoder output, saving the
@@ -402,15 +450,18 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             gen = tokens[0, first_gen: lengths[0]]
             segments, seek_s = segments_from_tokens(arch, gen)
             t0 = pos / 16000.0
-            win_segments = [{
-                "start": t0 + s["start"],
-                "end": None if s["end"] is None else t0 + s["end"],
-                "text": tokenizer.decode(s["tokens"]),
-            } for s in segments]
-            win_words: list[dict] = []
+            enc = nsp = None
             if word_timestamps:
                 enc = (outs[idx] if fn_returns_enc
                        else enc_fn(params, jnp.asarray(buf)))
+                nsp = float(np.asarray(_nsp_fn(arch)(params, enc))[0])
+            lp_row = None if token_lps is None else token_lps[0]
+            win_segments = [
+                _segment_with_meta(s, t0, tokenizer.decode(s["tokens"]),
+                                   lp_row, first_gen, nsp)
+                for s in segments]
+            win_words: list[dict] = []
+            if word_timestamps:
                 win_words = _align_window_words(
                     params, arch, enc, tokens[0, : lengths[0]], tokenizer,
                     alignment_heads, len(piece), t0,
@@ -480,8 +531,10 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
                          "tokens)")
     n_samples = samples_for_arch(arch)
     own_fn = transcribe_fn is None
+    own_lp = own_fn and cfg.beam_size <= 1   # greedy trace -> avg_logprob
     if own_fn:
         transcribe_fn = make_transcribe_fn(arch, cfg,
+                                           token_logprobs=own_lp,
                                            return_enc=word_timestamps)
     fn_returns_enc = own_fn and word_timestamps
     first_gen = len(forced_prefix(arch, cfg))
@@ -514,22 +567,25 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
             pieces[s] = piece
             buf[r, : len(piece)] = piece
         jbuf = jnp.asarray(buf)
-        outs = transcribe_fn(params, jbuf)   # (tokens, lengths[, ...][, enc])
+        outs = transcribe_fn(params, jbuf)   # (tokens, lengths[, lp][, enc])
         tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])
+        token_lps = np.asarray(outs[2]) if own_lp else None
         if fn_returns_enc:
             enc = outs[-1]                   # encoder output reused for DTW
         else:
             enc = enc_fn(params, jbuf) if word_timestamps else None
+        nsp_rows = (np.asarray(_nsp_fn(arch)(params, enc))
+                    if word_timestamps else None)
         for r, s in enumerate(rows):
             gen = tokens[r, first_gen: lengths[r]]
             window_segs, seek_s = segments_from_tokens(arch, gen)
             t0 = pos[s] / 16000.0
+            nsp = None if nsp_rows is None else float(nsp_rows[r])
+            lp_row = None if token_lps is None else token_lps[r]
             for seg in window_segs:
-                segs[s].append({
-                    "start": t0 + seg["start"],
-                    "end": None if seg["end"] is None else t0 + seg["end"],
-                    "text": tokenizer.decode(seg["tokens"]),
-                })
+                segs[s].append(_segment_with_meta(
+                    seg, t0, tokenizer.decode(seg["tokens"]),
+                    lp_row, first_gen, nsp))
             if word_timestamps:
                 words[s].extend(_align_window_words(
                     params, arch, enc[r: r + 1], tokens[r, : lengths[r]],

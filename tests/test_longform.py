@@ -146,6 +146,20 @@ def test_top_level_transcribe_timestamps():
     assert "segments" in res and "words" in res
     for w in res["words"]:
         assert w["end"] >= w["start"] >= 0
+    # OpenAI per-segment metadata (word_timestamps path has the encoder
+    # at hand, so no_speech_prob is populated)
+    for s in res["segments"]:
+        assert s["avg_logprob"] is None or s["avg_logprob"] <= 0.0
+        assert s["compression_ratio"] >= 0.0
+        assert 0.0 <= s["no_speech_prob"] <= 1.0
+
+    # plain timestamps path: greedy trace still feeds avg_logprob;
+    # no_speech_prob is None (no encoder output retained), documented
+    res2 = transcribe(params, arch, wav, decode_cfg=cfg, timestamps=True)
+    texty = [s for s in res2["segments"] if s["text"]]
+    assert all(s["no_speech_prob"] is None for s in res2["segments"])
+    assert all(s["avg_logprob"] is not None and s["avg_logprob"] <= 0.0
+               for s in texty)
 
 
 def test_seed_prompt_window():

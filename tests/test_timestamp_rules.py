@@ -137,7 +137,8 @@ def test_segments_parser():
     segs, seek = segments_from_tokens(arch, np.asarray(gen))
     assert len(segs) == 2
     assert segs[0] == {"start": 0.0, "end": pytest.approx(0.4),
-                       "tokens": [5, 6]}
+                       "tokens": [5, 6], "tok_idx": [1, 2]}
+    assert segs[1]["tok_idx"] == [5]
     assert segs[1]["start"] == pytest.approx(0.4)
     assert segs[1]["end"] == pytest.approx(0.8)
     assert seek == pytest.approx(0.8)
