@@ -352,6 +352,7 @@ def _segment_with_meta(seg: dict, t0: float, text: str,
         "start": t0 + seg["start"],
         "end": None if seg["end"] is None else t0 + seg["end"],
         "text": text,
+        "tokens": [int(t) for t in seg["tokens"]],
         "avg_logprob": avg_lp,
         "compression_ratio": compression_ratio(text),
         "no_speech_prob": no_speech,
@@ -489,7 +490,7 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                 break  # final (padded) window consumed the clip
     out = {
         "text": " ".join(s["text"] for s in all_segments if s["text"]),
-        "segments": all_segments,
+        "segments": [dict(s, id=i) for i, s in enumerate(all_segments)],
         "num_windows": windows,
         "audio_seconds": len(wav) / 16000.0,
     }
@@ -600,7 +601,7 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
     for s in range(n):
         res = {
             "text": " ".join(x["text"] for x in segs[s] if x["text"]),
-            "segments": segs[s],
+            "segments": [dict(x, id=i) for i, x in enumerate(segs[s])],
             "num_windows": win_count[s],
             "audio_seconds": len(wavs[s]) / 16000.0,
         }
