@@ -80,9 +80,6 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
         # mirror OpenAI: best_of is incompatible with deterministic
         # decoding — failing loudly beats silently returning single-
         # candidate greedy output the caller believes was sampled
-        if timestamps or word_timestamps:
-            raise ValueError("best_of applies to the non-timestamps "
-                             "fallback path only")
         if not temperatures or not any(t > 0 for t in temperatures):
             raise ValueError("best_of needs a temperatures ladder with "
                              "t>0 rungs (greedy t=0 is deterministic)")
@@ -106,7 +103,9 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
             params, arch, audio, tokenizer, cfg,
             word_timestamps=word_timestamps,
             clip_timestamps=clip_timestamps,
-            hallucination_silence_threshold=hallucination_silence_threshold)
+            hallucination_silence_threshold=hallucination_silence_threshold,
+            temperatures=temperatures,
+            fallback_kw=({"best_of": best_of} if best_of > 1 else None))
     return transcribe_long(params, arch, audio, tokenizer,
                            cfg=decode_cfg, batch_size=batch_size,
                            temperatures=temperatures,

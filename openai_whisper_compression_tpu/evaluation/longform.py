@@ -356,6 +356,7 @@ def _segment_with_meta(seg: dict, t0: float, text: str,
         "avg_logprob": avg_lp,
         "compression_ratio": compression_ratio(text),
         "no_speech_prob": no_speech,
+        "temperature": 0.0,   # overridden by the seek fallback ladder
     }
 
 
@@ -365,8 +366,9 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     word_timestamps: bool = False,
                     alignment_heads=None,
                     clip_timestamps=None,
-                    hallucination_silence_threshold: float | None = None
-                    ) -> dict:
+                    hallucination_silence_threshold: float | None = None,
+                    temperatures: tuple[float, ...] | None = None,
+                    fallback_kw: dict | None = None) -> dict:
     """Timestamp-seeking long-form transcription (OpenAI transcribe()
     semantics): decode a 30 s window with timestamp rules, advance to the
     end of the last complete segment, repeat. Falls back to full-window
@@ -387,6 +389,16 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     (`apply_hallucination_rules`). Word "probability" comes from the greedy
     per-token logprob trace (models.decode return_token_logprobs).
 
+    temperatures (OpenAI parity — whisper's transcribe() runs its
+    temperature-fallback ladder per WINDOW inside the seek loop): windows
+    failing the compression-ratio/logprob gates retry at the next rung;
+    each segment carries the window's accepted "temperature" and the
+    window-level avg_logprob (OpenAI stamps the decode-result average
+    onto every segment of the window). Incompatible with
+    hallucination_silence_threshold (which needs the greedy per-token
+    trace that sampling retries don't produce) and with an injected
+    transcribe_fn. fallback_kw forwards gate thresholds / best_of.
+
     Returns {"text", "segments" (absolute times), "num_windows"[, "words"]}."""
     from ..models.decode import _timestamps_enabled, forced_prefix
 
@@ -399,19 +411,39 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     if hst is not None and not word_timestamps:
         raise ValueError("hallucination_silence_threshold requires "
                          "word_timestamps=True (OpenAI semantics)")
+    if temperatures is not None:
+        if hst is not None:
+            raise ValueError("temperatures + hallucination_silence_"
+                             "threshold: the fallback ladder has no "
+                             "greedy per-token trace to score words")
+        if transcribe_fn is not None:
+            raise ValueError("temperatures needs its own decode path; "
+                             "do not inject transcribe_fn")
     n_samples = samples_for_arch(arch)
     # greedy decodes always carry the logprob trace now: it feeds the
     # per-segment avg_logprob metadata, not just hallucination scoring
     want_lp = (hst is not None) or cfg.beam_size <= 1
     own_fn = transcribe_fn is None
-    if own_fn:
+    use_fallback = temperatures is not None
+    if own_fn and not use_fallback:
         # our own fn can also hand back the encoder output, saving the
         # alignment path a second full encoder pass per window
         transcribe_fn = make_transcribe_fn(arch, cfg,
                                            token_logprobs=want_lp,
                                            return_enc=word_timestamps)
-    fn_returns_enc = own_fn and word_timestamps
+    fn_returns_enc = own_fn and word_timestamps and not use_fallback
     first_gen = len(forced_prefix(arch, cfg))
+
+    fb_enc_fn = None
+    if use_fallback:
+        from ..audio import features as _feats
+        from ..models.whisper import encode as _encode
+
+        @jax.jit
+        def fb_enc_fn(p, w):
+            mel = _feats.preprocess(w, arch.num_mel_bins,
+                                    length=n_samples)
+            return _encode(p, arch, mel.astype(jnp.float32))
 
     enc_fn = None
     if word_timestamps and not fn_returns_enc:
@@ -437,30 +469,52 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             buf = np.zeros((1, n_samples), np.float32)
             piece = wav[pos: min(pos + n_samples, clip_end_sample)]
             buf[0, : len(piece)] = piece
-            outs = transcribe_fn(params, jnp.asarray(buf))
-            tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])
-            # output layout: (tokens, lengths[, lp_trace][, enc]) — the
-            # flags are known for our own fn; an injected fn may append a
-            # logprob trace only
-            idx = 2
+            jb = jnp.asarray(buf)
             token_lps = None
-            if (want_lp or (not own_fn and len(outs) > idx)):
-                if len(outs) > idx:
-                    token_lps = np.asarray(outs[idx])
-                    idx += 1
+            enc = nsp = win_avg_lp = None
+            win_temp = 0.0
+            if use_fallback:
+                from ..models.fallback import decode_with_fallback
+
+                enc = fb_enc_fn(params, jb)
+                fres = decode_with_fallback(
+                    params, arch, enc, decode_text=tokenizer.decode,
+                    cfg=cfg, temperatures=temperatures,
+                    **(fallback_kw or {}))
+                tokens, lengths = fres.tokens, fres.lengths
+                win_temp = float(fres.temperatures[0])
+                win_avg_lp = float(fres.avg_logprobs[0])
+            else:
+                outs = transcribe_fn(params, jb)
+                tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])
+                # output layout: (tokens, lengths[, lp_trace][, enc]) — the
+                # flags are known for our own fn; an injected fn may append
+                # a logprob trace only
+                idx = 2
+                if (want_lp or (not own_fn and len(outs) > idx)):
+                    if len(outs) > idx:
+                        token_lps = np.asarray(outs[idx])
+                        idx += 1
             gen = tokens[0, first_gen: lengths[0]]
             segments, seek_s = segments_from_tokens(arch, gen)
             t0 = pos / 16000.0
-            enc = nsp = None
             if word_timestamps:
-                enc = (outs[idx] if fn_returns_enc
-                       else enc_fn(params, jnp.asarray(buf)))
+                if enc is None:
+                    enc = (outs[idx] if fn_returns_enc
+                           else enc_fn(params, jb))
                 nsp = float(np.asarray(_nsp_fn(arch)(params, enc))[0])
             lp_row = None if token_lps is None else token_lps[0]
             win_segments = [
                 _segment_with_meta(s, t0, tokenizer.decode(s["tokens"]),
                                    lp_row, first_gen, nsp)
                 for s in segments]
+            for seg in win_segments:
+                # OpenAI stamps the window decode-result's accepted
+                # temperature (and, under fallback, its whole-window
+                # avg_logprob) onto every segment of the window
+                seg["temperature"] = win_temp
+                if win_avg_lp is not None:
+                    seg["avg_logprob"] = win_avg_lp
             win_words: list[dict] = []
             if word_timestamps:
                 win_words = _align_window_words(

@@ -483,3 +483,72 @@ def test_seek_word_timestamps_single_encoder_pass(monkeypatch):
     # alignment-side enc_fn binds whisper.encode at call time and WOULD
     # count. Zero patched calls == no second encoder pass.
     assert calls["n"] == 0
+
+
+def test_transcribe_seek_temperature_fallback():
+    """OpenAI parity: the temperature ladder runs per WINDOW inside the
+    seek loop; segments carry the accepted temperature and the window
+    avg_logprob."""
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(21))
+    g = np.random.default_rng(3)
+    wav = (g.standard_normal(arch.max_source_positions * 2 * 160) *
+           0.1).astype(np.float32)
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       max_initial_timestamp_index=20)
+
+    # unpassable logprob gate -> every window exhausts the ladder and
+    # keeps the LAST rung
+    res = transcribe_seek(
+        params, arch, wav, tok, cfg, temperatures=(0.0, 0.7),
+        fallback_kw={"compression_ratio_threshold": None,
+                     "logprob_threshold": 0.0})
+    assert res["num_windows"] >= 1
+    for s in res["segments"]:
+        assert s["temperature"] == pytest.approx(0.7)
+        assert s["avg_logprob"] is not None and s["avg_logprob"] <= 0.0
+
+    # passable gates -> t=0 accepted; greedy seek results unchanged
+    res0 = transcribe_seek(
+        params, arch, wav, tok, cfg, temperatures=(0.0, 0.7),
+        fallback_kw={"compression_ratio_threshold": None,
+                     "logprob_threshold": None})
+    ref = transcribe_seek(params, arch, wav, tok, cfg)
+    assert res0["text"] == ref["text"]
+    assert all(s["temperature"] == 0.0 for s in res0["segments"])
+
+    # incompatible combos fail loudly
+    with pytest.raises(ValueError):
+        transcribe_seek(params, arch, wav, tok, cfg,
+                        temperatures=(0.0, 0.5), word_timestamps=True,
+                        hallucination_silence_threshold=1.0)
+
+
+def test_top_level_transcribe_timestamps_with_temperatures():
+    """transcribe(timestamps=True, temperatures=...) reaches the seek
+    fallback (was silently dropped), and composes with best_of."""
+    from openai_whisper_compression_tpu import transcribe
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(21))
+    g = np.random.default_rng(4)
+    wav = (g.standard_normal(arch.max_source_positions * 2 * 160) *
+           0.1).astype(np.float32)
+    cfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                       task_token_id=None, max_initial_timestamp_index=20)
+    res = transcribe(params, arch, wav, decode_cfg=cfg, timestamps=True,
+                     temperatures=(0.0, 1.0), best_of=2)
+    assert "segments" in res
+    for s in res["segments"]:
+        assert "temperature" in s
