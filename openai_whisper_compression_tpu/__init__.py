@@ -49,6 +49,7 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
                word_timestamps: bool = False,
                temperatures=None, best_of: int = 1,
                initial_prompt: str | None = None,
+               condition_on_previous: bool = False,
                task: str = "transcribe", language: str | int | None = None,
                clip_timestamps=None,
                hallucination_silence_threshold: float | None = None
@@ -66,8 +67,11 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
     candidates per sequence at each t > 0 rung and keeps the highest
     mean-logprob one (OpenAI DecodingOptions.best_of).
     task="translate" and language
-    ("de" / a raw token id) set the decoder prefix tokens per-arch
-    (initial_prompt applies to the non-timestamps path)."""
+    ("de" / a raw token id) set the decoder prefix tokens per-arch.
+    condition_on_previous (OpenAI condition_on_previous_text) and
+    initial_prompt work on both the chunked and the timestamps/seek
+    paths (seek: a rolling `<|startofprev|>` prompt window; incompatible
+    with temperatures/word_timestamps there)."""
     import dataclasses as _dc
 
     from .config import language_token_id
@@ -105,9 +109,13 @@ def transcribe(params, arch, audio, tokenizer=None, decode_cfg=None,
             clip_timestamps=clip_timestamps,
             hallucination_silence_threshold=hallucination_silence_threshold,
             temperatures=temperatures,
-            fallback_kw=({"best_of": best_of} if best_of > 1 else None))
+            fallback_kw=({"best_of": best_of} if best_of > 1 else None),
+            condition_on_previous=condition_on_previous,
+            initial_prompt_ids=(list(tokenizer.encode(initial_prompt))
+                                if initial_prompt else None))
     return transcribe_long(params, arch, audio, tokenizer,
                            cfg=decode_cfg, batch_size=batch_size,
+                           condition_on_previous=condition_on_previous,
                            temperatures=temperatures,
                            fallback_kw=({"best_of": best_of}
                                         if best_of > 1 else None),

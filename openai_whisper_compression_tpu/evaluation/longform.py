@@ -61,6 +61,10 @@ def transcribe_long(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     behavior when conditioning is off).
     """
     cfg = cfg or DecodeConfig()
+    if condition_on_previous and temperatures is not None:
+        raise ValueError("condition_on_previous + temperatures is not "
+                         "supported (the prompt-conditioned path has no "
+                         "fallback ladder); pick one")
     n_samples = samples_for_arch(arch)
     chunks = chunk_waveform(np.asarray(wav, np.float32), n_samples)
 
@@ -368,7 +372,10 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     clip_timestamps=None,
                     hallucination_silence_threshold: float | None = None,
                     temperatures: tuple[float, ...] | None = None,
-                    fallback_kw: dict | None = None) -> dict:
+                    fallback_kw: dict | None = None,
+                    condition_on_previous: bool = False,
+                    prompt_window: int = 64,
+                    initial_prompt_ids: list | None = None) -> dict:
     """Timestamp-seeking long-form transcription (OpenAI transcribe()
     semantics): decode a 30 s window with timestamp rules, advance to the
     end of the last complete segment, repeat. Falls back to full-window
@@ -388,6 +395,14 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     of silence, it is dropped and decoding seeks past the silence
     (`apply_hallucination_rules`). Word "probability" comes from the greedy
     per-token logprob trace (models.decode return_token_logprobs).
+
+    condition_on_previous (OpenAI `condition_on_previous_text`, its
+    transcribe() default): each window's decoder is prompted with the
+    rolling tail of previously emitted tokens (`<|startofprev|>` window,
+    `prompt_window` wide), seeded by `initial_prompt_ids`. One fixed-shape
+    jitted step serves every window (same discipline as streaming.py).
+    Mutually exclusive with temperatures / word_timestamps / an injected
+    transcribe_fn (the prompt-capable step has no fallback or DTW path).
 
     temperatures (OpenAI parity — whisper's transcribe() runs its
     temperature-fallback ladder per WINDOW inside the seek loop): windows
@@ -419,6 +434,12 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
         if transcribe_fn is not None:
             raise ValueError("temperatures needs its own decode path; "
                              "do not inject transcribe_fn")
+    conditioned = condition_on_previous or bool(initial_prompt_ids)
+    if conditioned and (temperatures is not None or word_timestamps
+                        or transcribe_fn is not None):
+        raise ValueError("condition_on_previous/initial_prompt in seek "
+                         "mode is mutually exclusive with temperatures, "
+                         "word_timestamps and an injected transcribe_fn")
     n_samples = samples_for_arch(arch)
     # greedy decodes always carry the logprob trace now: it feeds the
     # per-segment avg_logprob metadata, not just hallucination scoring
@@ -444,6 +465,37 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             mel = _feats.preprocess(w, arch.num_mel_bins,
                                     length=n_samples)
             return _encode(p, arch, mel.astype(jnp.float32))
+
+    pw = 0
+    cond_step = None
+    history: list[int] = [int(t) for t in (initial_prompt_ids or [])]
+    if conditioned:
+        # prompt shares the decoder position budget with the forced
+        # prefix and generation (same clamp as streaming.py)
+        max_pw = (arch.max_target_positions - first_gen
+                  - cfg.max_new_tokens - 1)
+        pw = max(min(int(prompt_window), max_pw), 0)
+        if pw < 2:
+            pw, conditioned = 0, False
+    if conditioned:
+        from ..audio import features as _feats2
+        from ..models.decode import beam_decode, greedy_decode
+        from ..models.whisper import encode as _encode2
+
+        cond_lp = cfg.beam_size <= 1
+
+        @jax.jit
+        def cond_step(p, w, prompt, plen):
+            mel = _feats2.preprocess(w, arch.num_mel_bins,
+                                     length=n_samples)
+            e = _encode2(p, arch, mel.astype(jnp.float32))
+            if cond_lp:
+                return greedy_decode(p, arch, e, cfg,
+                                     prompt_tokens=prompt,
+                                     prompt_lens=plen,
+                                     return_token_logprobs=True)
+            return beam_decode(p, arch, e, cfg, prompt_tokens=prompt,
+                               prompt_lens=plen)
 
     enc_fn = None
     if word_timestamps and not fn_returns_enc:
@@ -473,7 +525,18 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             token_lps = None
             enc = nsp = win_avg_lp = None
             win_temp = 0.0
-            if use_fallback:
+            fg = first_gen
+            if conditioned:
+                prompt, plen = _seed_prompt(history, pw,
+                                            arch.eos_token_id,
+                                            arch.vocab_size)
+                outs = cond_step(params, jb, jnp.asarray(prompt),
+                                 jnp.asarray(plen))
+                tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])
+                if len(outs) > 2:
+                    token_lps = np.asarray(outs[2])
+                fg = pw + first_gen
+            elif use_fallback:
                 from ..models.fallback import decode_with_fallback
 
                 enc = fb_enc_fn(params, jb)
@@ -495,7 +558,7 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                     if len(outs) > idx:
                         token_lps = np.asarray(outs[idx])
                         idx += 1
-            gen = tokens[0, first_gen: lengths[0]]
+            gen = tokens[0, fg: lengths[0]]
             segments, seek_s = segments_from_tokens(arch, gen)
             t0 = pos / 16000.0
             if word_timestamps:
@@ -506,7 +569,7 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             lp_row = None if token_lps is None else token_lps[0]
             win_segments = [
                 _segment_with_meta(s, t0, tokenizer.decode(s["tokens"]),
-                                   lp_row, first_gen, nsp)
+                                   lp_row, fg, nsp)
                 for s in segments]
             for seg in win_segments:
                 # OpenAI stamps the window decode-result's accepted
@@ -515,6 +578,12 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                 seg["temperature"] = win_temp
                 if win_avg_lp is not None:
                     seg["avg_logprob"] = win_avg_lp
+            if conditioned:
+                # OpenAI appends all generated tokens to the rolling
+                # prompt context; keep a bounded tail
+                history.extend(int(t) for t in gen.tolist()
+                               if int(t) != arch.eos_token_id)
+                history = history[-4 * pw:]
             win_words: list[dict] = []
             if word_timestamps:
                 win_words = _align_window_words(
