@@ -363,12 +363,22 @@ def cmd_transcribe(args):
                or default_tokenizer(arch))
         cfg = dataclasses.replace(_decode_cfg(args, arch), notimestamps=False)
         hst = getattr(args, "hallucination_silence_threshold", None)
+        temps = None
+        if getattr(args, "temperatures", None):
+            temps = tuple(float(t) for t in args.temperatures.split(","))
+        cond = getattr(args, "condition_on_previous", False)
+        seed_ids = None
+        if cond and getattr(args, "initial_prompt", None):
+            seed_ids = list(tok.encode(args.initial_prompt))
         res = transcribe_seek(params, arch, wav, tok, cfg,
                               word_timestamps=(args.word_timestamps
                                                or hst is not None),
                               clip_timestamps=getattr(
                                   args, "clip_timestamps", None),
-                              hallucination_silence_threshold=hst)
+                              hallucination_silence_threshold=hst,
+                              temperatures=temps,
+                              condition_on_previous=cond,
+                              initial_prompt_ids=seed_ids)
         for s in res["segments"]:
             end = "?" if s["end"] is None else f"{s['end']:.2f}"
             print(f"[{s['start']:.2f} -> {end}] {s['text']}")
@@ -775,6 +785,10 @@ def main(argv=None):
     p.add_argument("--initial-prompt", default=None,
                    help="text fed as the first window's decoder prompt "
                         "(OpenAI initial_prompt)")
+    p.add_argument("--condition-on-previous", action="store_true",
+                   help="rolling previous-text decoder prompt (OpenAI "
+                        "condition_on_previous_text; chunked and "
+                        "timestamps/seek paths)")
     p.add_argument("--task", default="transcribe",
                    choices=["transcribe", "translate"])
     p.add_argument("--language", default=None,
