@@ -579,11 +579,16 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                 if win_avg_lp is not None:
                     seg["avg_logprob"] = win_avg_lp
             if conditioned:
-                # OpenAI appends all generated tokens to the rolling
-                # prompt context; keep a bounded tail
-                history.extend(int(t) for t in gen.tolist()
-                               if int(t) != arch.eos_token_id)
-                history = history[-4 * pw:]
+                if condition_on_previous:
+                    # OpenAI appends all generated tokens to the rolling
+                    # prompt context; keep a bounded tail
+                    history.extend(int(t) for t in gen.tolist()
+                                   if int(t) != arch.eos_token_id)
+                    history = history[-4 * pw:]
+                else:
+                    # initial_prompt alone prompts only the FIRST window
+                    # (OpenAI's prompt-reset when conditioning is off)
+                    history = []
             win_words: list[dict] = []
             if word_timestamps:
                 win_words = _align_window_words(

@@ -599,3 +599,34 @@ def test_transcribe_seek_conditioned():
     with pytest.raises(ValueError):
         transcribe_seek(params, arch, wav, tok, cfg,
                         condition_on_previous=True, word_timestamps=True)
+
+
+def test_seek_initial_prompt_without_conditioning_first_window_only():
+    """initial_prompt alone prompts only window 1 (OpenAI prompt reset):
+    later windows must match the fully unprompted run."""
+    from openai_whisper_compression_tpu.config import ARCHS, DecodeConfig
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    params = P.init_params(arch, jax.random.PRNGKey(21))
+    g = np.random.default_rng(11)
+    win = arch.max_source_positions * 2 * 160
+    wav = (g.standard_normal(int(2.2 * win)) * 0.1).astype(np.float32)
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                       task_token_id=None, notimestamps=False,
+                       max_initial_timestamp_index=20)
+    seeded = transcribe_seek(params, arch, wav, tok, cfg,
+                             initial_prompt_ids=[5, 6, 7],
+                             prompt_window=8)
+    plain = transcribe_seek(params, arch, wav, tok, cfg)
+    # seek advances may differ after window 1, so compare the LAST
+    # window's text only when the window boundaries agree
+    assert seeded["num_windows"] >= 2
+    if seeded["num_windows"] == plain["num_windows"] and \
+            len(seeded["segments"]) and len(plain["segments"]):
+        assert seeded["segments"][-1]["text"] == plain["segments"][-1]["text"]
