@@ -353,6 +353,10 @@ def cmd_transcribe(args):
         final = st.flush()
         print(final["committed"])
         return final
+    temps = None
+    if getattr(args, "temperatures", None):
+        temps = tuple(float(t) for t in args.temperatures.split(","))
+    cond = getattr(args, "condition_on_previous", False)
     if args.timestamps or args.word_timestamps:
         import dataclasses
 
@@ -363,12 +367,10 @@ def cmd_transcribe(args):
                or default_tokenizer(arch))
         cfg = dataclasses.replace(_decode_cfg(args, arch), notimestamps=False)
         hst = getattr(args, "hallucination_silence_threshold", None)
-        temps = None
-        if getattr(args, "temperatures", None):
-            temps = tuple(float(t) for t in args.temperatures.split(","))
-        cond = getattr(args, "condition_on_previous", False)
         seed_ids = None
-        if cond and getattr(args, "initial_prompt", None):
+        if getattr(args, "initial_prompt", None):
+            # with conditioning: seeds the rolling context; without: the
+            # first window only (OpenAI prompt reset) — never dropped
             seed_ids = list(tok.encode(args.initial_prompt))
         res = transcribe_seek(params, arch, wav, tok, cfg,
                               word_timestamps=(args.word_timestamps
@@ -421,14 +423,12 @@ def cmd_transcribe(args):
         res = {"text": tok.decode(ids.tolist()), "tokens": ids.tolist()}
         print(res["text"])
     else:
-        temps = None
-        if getattr(args, "temperatures", None):
-            temps = tuple(float(t) for t in args.temperatures.split(","))
         res = transcribe(params, arch, wav,
                          decode_cfg=_decode_cfg(args, arch),
                          batch_size=args.batch_size,
                          temperatures=temps,
                          best_of=getattr(args, "best_of", 1),
+                         condition_on_previous=cond,
                          initial_prompt=getattr(args, "initial_prompt", None))
         print(res["text"])
     if getattr(args, "output_format", None):

@@ -327,13 +327,15 @@ _NSP_FNS: dict = {}
 
 def _nsp_fn(arch: WhisperArch):
     """Cached jitted P(<|nospeech|>) evaluator (one tiny decoder step on a
-    cached encoder output — negligible next to the window decode)."""
-    fn = _NSP_FNS.get(arch.name)
+    cached encoder output — negligible next to the window decode). Keyed
+    by the arch VALUE, not its name: `.replace()` variants share a name
+    but bake different token ids into the closure."""
+    fn = _NSP_FNS.get(arch)
     if fn is None:
         from ..models.decode import no_speech_prob
 
         fn = jax.jit(lambda p, e: no_speech_prob(p, arch, e))
-        _NSP_FNS[arch.name] = fn
+        _NSP_FNS[arch] = fn
     return fn
 
 
@@ -434,6 +436,9 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
         if transcribe_fn is not None:
             raise ValueError("temperatures needs its own decode path; "
                              "do not inject transcribe_fn")
+        if cfg.beam_size > 1:
+            raise ValueError("temperatures + beam_size > 1: the fallback "
+                             "ladder decodes greedy/sampling only")
     conditioned = condition_on_previous or bool(initial_prompt_ids)
     if conditioned and (temperatures is not None or word_timestamps
                         or transcribe_fn is not None):
@@ -527,9 +532,16 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
             win_temp = 0.0
             fg = first_gen
             if conditioned:
-                prompt, plen = _seed_prompt(history, pw,
-                                            arch.eos_token_id,
-                                            arch.vocab_size)
+                if history:
+                    prompt, plen = _seed_prompt(history, pw,
+                                                arch.eos_token_id,
+                                                arch.vocab_size)
+                else:
+                    # no context yet (or after an initial_prompt-only
+                    # reset): plen=0, NOT a dangling lone <|startofprev|>
+                    # (same guard as streaming.py's _decode_inputs)
+                    prompt = np.full((1, pw), arch.eos_token_id, np.int32)
+                    plen = np.zeros((1,), np.int32)
                 outs = cond_step(params, jb, jnp.asarray(prompt),
                                  jnp.asarray(plen))
                 tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])

@@ -31,6 +31,27 @@ from .decode import forced_prefix, greedy_decode, no_speech_prob
 
 DEFAULT_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 
+# jitted ladder fns cached per (arch, cfg): decode_with_fallback is called
+# once per WINDOW by the seek loop — a fresh jax.jit lambda per call would
+# retrace/recompile the full decoder every 30 s window
+_FN_CACHE: dict = {}
+
+
+def _ladder_fns(arch: WhisperArch, cfg: DecodeConfig):
+    try:
+        key = (arch, dataclasses.astuple(cfg))
+    except TypeError:           # unhashable cfg field: skip caching
+        key = None
+    if key is not None and key in _FN_CACHE:
+        return _FN_CACHE[key]
+    fn = jax.jit(lambda p, e, k, t: greedy_decode(
+        p, arch, e, cfg, sample_key=k, temperature=t,
+        return_logprobs=True))
+    nsp = jax.jit(lambda p, e: no_speech_prob(p, arch, e))
+    if key is not None:
+        _FN_CACHE[key] = (fn, nsp)
+    return fn, nsp
+
 
 def compression_ratio(text: str) -> float:
     """len(utf8) / len(zlib(utf8)) — > ~2.4 flags looped/repeated output
@@ -91,13 +112,18 @@ def decode_with_fallback(params: Params, arch: WhisperArch,
     deterministic decode. Two compiled programs total (B and B*best_of).
     """
     cfg = cfg or DecodeConfig()
+    if cfg.beam_size > 1:
+        # fail loudly: the ladder decodes greedy (t=0) / sampling (t>0) —
+        # silently ignoring a requested beam search would return different
+        # transcripts than the caller's decode config specifies
+        raise ValueError("decode_with_fallback is greedy/sampling only; "
+                         "beam_size > 1 is not supported on the "
+                         "temperature ladder")
     b = enc_out.shape[0]
     eot = arch.eos_token_id
     p_len = len(forced_prefix(arch, cfg))  # gates run on generated text only
 
-    fn = jax.jit(lambda p, e, key, t: greedy_decode(
-        p, arch, e, cfg, sample_key=key, temperature=t,
-        return_logprobs=True))
+    fn, nsp_fn = _ladder_fns(arch, cfg)
 
     def attempt(key, temp):
         """One ladder rung -> (tokens, lengths, logprobs) host arrays,
@@ -151,9 +177,7 @@ def decode_with_fallback(params: Params, arch: WhisperArch,
     nsp = None
     silent = np.zeros((b,), bool)
     if no_speech_threshold is not None:
-        nsp = np.asarray(
-            jax.jit(lambda p, e: no_speech_prob(p, arch, e))(params, enc_out),
-            np.float32)
+        nsp = np.asarray(nsp_fn(params, enc_out), np.float32)
         silent = nsp > no_speech_threshold
         if logprob_threshold is not None:
             # OpenAI: low confidence confirms the silence verdict

@@ -172,3 +172,26 @@ def test_transcribe_with_temperatures(setup):
                          temperatures=(0.0, 1.0))
     assert set(out) >= {"text", "chunks", "audio_seconds"}
     assert out["num_chunks"] >= 1
+
+
+def test_fallback_rejects_beam(setup):
+    """Silently greedy-decoding a requested beam search would return
+    different transcripts than the decode config specifies — reject."""
+    params, enc = setup
+    import dataclasses
+
+    cfg5 = dataclasses.replace(CFG, beam_size=5)
+    with pytest.raises(ValueError):
+        decode_with_fallback(params, ARCH, enc,
+                             decode_text=lambda ids: "x", cfg=cfg5)
+
+
+def test_fallback_jit_cache_reused(setup):
+    """The jitted ladder fns are cached per (arch, cfg): two calls must
+    reuse one PjitFunction (a fresh jit per window would recompile the
+    decoder every 30 s of audio)."""
+    from openai_whisper_compression_tpu.models.fallback import _ladder_fns
+
+    f1, n1 = _ladder_fns(ARCH, CFG)
+    f2, n2 = _ladder_fns(ARCH, CFG)
+    assert f1 is f2 and n1 is n2
