@@ -322,7 +322,8 @@ def cmd_run(args):
 
 
 def cmd_transcribe(args):
-    """Transcribe an audio file (.wav 16-bit PCM or .npy float waveform)."""
+    """Transcribe an audio file (.flac, .wav 16-bit PCM, or .npy float
+    waveform)."""
     import numpy as np
 
     from . import transcribe
@@ -699,9 +700,10 @@ def main(argv=None):
         p.add_argument("--calibration-samples", type=int, default=4)
         p.add_argument("--librispeech", action="store_true")
         p.add_argument("--audio-dir", default=None,
-                       help="local dir of .wav/.npy (+ *.trans.txt / "
+                       help="local dir of .flac/.wav/.npy (+ *.trans.txt / "
                             "sidecar .txt transcripts): real-audio WER "
-                            "with zero egress")
+                            "with zero egress — an unpacked LibriSpeech "
+                            "split works verbatim")
         p.add_argument("--transcripts", default=None,
                        help="uid<TAB>text table for --audio-dir")
         p.add_argument("--max-new-tokens", type=int, default=32)
@@ -745,7 +747,8 @@ def main(argv=None):
     p.add_argument("--librispeech", action="store_true")
     p.set_defaults(fn=cmd_run)
 
-    p = sub.add_parser("transcribe", help="transcribe a .wav/.npy file")
+    p = sub.add_parser("transcribe",
+                       help="transcribe a .flac/.wav/.npy file")
     common(p)
     data_opts(p)
     p.add_argument("--audio", required=True)

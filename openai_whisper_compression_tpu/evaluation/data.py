@@ -55,14 +55,25 @@ def load_librispeech(num_samples: int | None = None,
 
 def read_audio_file(path: str, sample_rate: int = SAMPLE_RATE,
                     assume_rate: int | None = None) -> np.ndarray:
-    """Read a .wav (16-bit PCM, any rate/channels) or .npy (float waveform)
-    into a mono float32 array at `sample_rate`. Resampling rides the C++
+    """Read a .flac (native decoder — what LibriSpeech actually ships),
+    .wav (16-bit PCM, any rate/channels) or .npy (float waveform) into a
+    mono float32 array at `sample_rate`. Resampling rides the C++
     BatchLoader (runtime_native) — the same path the serving frontend uses.
     `assume_rate` sets the source rate for .npy files (default: already at
     `sample_rate`)."""
     if path.endswith(".npy"):
         wav = np.load(path).astype(np.float32).reshape(-1)
         sr = assume_rate or sample_rate
+    elif path.endswith(".flac"):
+        from ..runtime_native import flac_decode
+
+        with open(path, "rb") as f:
+            samples, sr, bits = flac_decode(f.read())
+        wav = samples.astype(np.float32) / float(1 << (bits - 1))
+        if wav.shape[1] > 1:
+            wav = wav.mean(axis=1)
+        else:
+            wav = wav[:, 0]
     else:
         import wave
 
@@ -111,8 +122,9 @@ def load_audio_dir(path: str, transcripts: str | None = None,
                    sample_rate: int = SAMPLE_RATE) -> list[Utterance]:
     """Local-directory dataset: real-audio WER with zero egress.
 
-    Recursively collects `.wav`/`.npy` under `path` (sorted for
-    determinism). Reference text per file, first match wins:
+    Recursively collects `.flac`/`.wav`/`.npy` under `path` (sorted for
+    determinism) — so an unpacked LibriSpeech split (FLAC + `*.trans.txt`)
+    works verbatim. Reference text per file, first match wins:
       1. `transcripts` — a TSV/two-column file of "uid<TAB or space>text"
          (uid = file stem);
       2. LibriSpeech layout — any `*.trans.txt` in the tree (so an unpacked
@@ -127,11 +139,11 @@ def load_audio_dir(path: str, transcripts: str | None = None,
     if not root.is_dir():
         raise FileNotFoundError(f"audio dir {path!r} does not exist")
     files = sorted(p for p in root.rglob("*")
-                   if p.suffix.lower() in (".wav", ".npy"))
+                   if p.suffix.lower() in (".flac", ".wav", ".npy"))
     if num_samples:
         files = files[:num_samples]
     if not files:
-        raise RuntimeError(f"no .wav/.npy files under {path!r}")
+        raise RuntimeError(f"no .flac/.wav/.npy files under {path!r}")
     table: dict[str, str] = {}
     if transcripts:
         for line in Path(transcripts).read_text().splitlines():

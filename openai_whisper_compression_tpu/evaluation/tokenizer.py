@@ -84,6 +84,13 @@ def load_tokenizer(model_name: str = "openai/whisper-small"):
 
     if os.environ.get("HF_HUB_OFFLINE"):
         return None
+    import socket
+
+    try:  # one-shot DNS probe: without it, an unreachable hub costs the
+        # CLI 5x8s of huggingface_hub HEAD retries before the fallback
+        socket.getaddrinfo("huggingface.co", 443)
+    except OSError:
+        return None
     try:
         return HFTokenizerAdapter(WhisperTokenizer.from_pretrained(model_name))
     except Exception:

@@ -56,6 +56,18 @@ def _lib() -> ctypes.CDLL | None:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_int]
+    if hasattr(lib, "owc_flac_open"):  # .so may predate the FLAC decoder
+        lib.owc_flac_open.restype = ctypes.c_void_p
+        lib.owc_flac_open.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                      ctypes.c_int64]
+        lib.owc_flac_info.restype = ctypes.c_int
+        lib.owc_flac_info.argtypes = [ctypes.c_void_p] + \
+            [ctypes.POINTER(ctypes.c_int32)] * 3
+        lib.owc_flac_samples.restype = ctypes.c_int64
+        lib.owc_flac_samples.argtypes = [ctypes.c_void_p]
+        lib.owc_flac_data.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.owc_flac_data.argtypes = [ctypes.c_void_p]
+        lib.owc_flac_close.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -130,6 +142,46 @@ class BatchLoader:
     def __del__(self):
         if getattr(self, "_h", None) is not None and self._lib is not None:
             self._lib.owc_loader_destroy(self._h)
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode
+# ---------------------------------------------------------------------------
+
+def flac_native_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "owc_flac_open")
+
+
+def flac_decode(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream → (int32 samples shaped (n, channels),
+    sample_rate, bits_per_sample). Native C++ decoder when built
+    (runtime/src/owc_flac.cpp), pure-Python `audio.flac` otherwise —
+    bit-identical outputs (pinned by tests/test_flac.py)."""
+    if flac_native_available():
+        lib = _lib()
+        buf = np.frombuffer(data, np.uint8)
+        h = lib.owc_flac_open(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size)
+        if h:
+            try:
+                sr = ctypes.c_int32()
+                ch = ctypes.c_int32()
+                bits = ctypes.c_int32()
+                lib.owc_flac_info(h, ctypes.byref(sr), ctypes.byref(ch),
+                                  ctypes.byref(bits))
+                n = lib.owc_flac_samples(h)
+                arr = np.ctypeslib.as_array(lib.owc_flac_data(h),
+                                            shape=(n, ch.value))
+                return np.array(arr), sr.value, bits.value  # copy before close
+            finally:
+                lib.owc_flac_close(h)
+        # fall through to Python on native parse failure (loud is wrong
+        # here: the Python decoder raises the informative error instead)
+    from .audio.flac import decode_flac
+
+    samples, info = decode_flac(data)
+    return samples, info.sample_rate, info.bits_per_sample
 
 
 # ---------------------------------------------------------------------------

@@ -271,7 +271,7 @@ def test_load_audio_dir(audio_dir):
         data.load_audio_dir(str(audio_dir / "nope"))
     empty = audio_dir / "empty"
     empty.mkdir()
-    with pytest.raises(RuntimeError, match="no .wav"):
+    with pytest.raises(RuntimeError, match="no .flac"):
         data.load_audio_dir(str(empty))
 
 
