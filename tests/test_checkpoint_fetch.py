@@ -328,3 +328,72 @@ def test_prepare_datasets_audio_dir_too_few(audio_dir):
     with pytest.raises(RuntimeError, match="test split would be empty"):
         data.prepare_datasets(num_cal=8, num_test=16,
                               audio_dir=str(audio_dir))
+
+
+# ---------------------------------------------------------------------------
+# fetch_librispeech: mocked OpenSLR tarball -> unpack -> load_audio_dir
+# (with native FLAC decode, the unpacked split feeds --audio-dir verbatim)
+# ---------------------------------------------------------------------------
+
+def _import_fetch_librispeech():
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import fetch_librispeech
+    finally:
+        sys.path.pop(0)
+    return fetch_librispeech
+
+
+def test_fetch_librispeech_mocked(tmp_path, monkeypatch, capsys):
+    import tarfile
+
+    sys.path.insert(0, "/root/repo/tests")
+    try:
+        from test_flac import encode_flac
+    finally:
+        sys.path.pop(0)
+    fl = _import_fetch_librispeech()
+
+    # build a fake OpenSLR test-clean tarball: LibriSpeech/<split>/spk/ch/
+    src = tmp_path / "src" / "LibriSpeech" / "test-clean" / "1" / "2"
+    src.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-3000, 3000, 1024, dtype=np.int64)
+    (src / "1-2-0000.flac").write_bytes(encode_flac(pcm))
+    (src / "1-2.trans.txt").write_text("1-2-0000 HELLO FLAC\n")
+    tar = tmp_path / "test-clean.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        tf.add(tmp_path / "src" / "LibriSpeech", arcname="LibriSpeech")
+
+    def fake_retrieve(url, dst):
+        assert url == "https://www.openslr.org/resources/12/test-clean.tar.gz"
+        import shutil
+        shutil.copy(tar, dst)
+
+    monkeypatch.setattr(fl.urllib.request, "urlretrieve", fake_retrieve)
+    root = str(tmp_path / "cache")
+    d = fl.fetch_split("test-clean", root)
+    assert fl.split_status("test-clean", root) == (1, 1)
+    # second call: cache hit, no download
+    monkeypatch.setattr(fl.urllib.request, "urlretrieve",
+                        lambda *a: (_ for _ in ()).throw(AssertionError))
+    assert fl.fetch_split("test-clean", root) == d
+
+    from openai_whisper_compression_tpu.evaluation.data import load_audio_dir
+    utts = load_audio_dir(d)
+    assert [u.text for u in utts] == ["HELLO FLAC"]
+    np.testing.assert_allclose(utts[0].audio,
+                               pcm.astype(np.float32) / 32768.0)
+
+    monkeypatch.setattr(sys, "argv", ["fetch_librispeech.py", "--status",
+                                      "--cache-dir", root])
+    assert fl.main() == 0
+    out = capsys.readouterr().out
+    assert "test-clean: 1 flac" in out
+
+
+def test_fetch_librispeech_unknown_split(tmp_path, monkeypatch):
+    fl = _import_fetch_librispeech()
+    monkeypatch.setattr(sys, "argv", ["fetch_librispeech.py", "nope",
+                                      "--cache-dir", str(tmp_path)])
+    assert fl.main() == 1
