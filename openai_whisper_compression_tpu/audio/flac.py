@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["FlacInfo", "decode_flac"]
+__all__ = ["FlacInfo", "decode_flac", "parse_stream_info"]
 
 
 @dataclass
@@ -213,16 +213,18 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     return s
 
 
-def decode_flac(data: bytes) -> tuple[np.ndarray, FlacInfo]:
-    """Decode a FLAC stream → (int32 samples shaped (n, channels), FlacInfo).
-
-    Lossless: output equals the encoder's input PCM exactly.
-    """
+def parse_stream_info(data: bytes) -> tuple[FlacInfo, int]:
+    """Parse the fLaC marker + metadata blocks only (no audio decode) →
+    (FlacInfo, byte offset of the first frame). Cheap duration/rate probe —
+    e.g. `serving.submit_flac` uses it to route short windows to the
+    threaded native decoder without touching the audio data host-side."""
     if data[:4] != b"fLaC":
         raise ValueError("flac: missing fLaC marker")
     pos = 4
     info: FlacInfo | None = None
     while True:  # metadata blocks
+        if pos + 4 > len(data):
+            raise EOFError("flac: truncated metadata")
         hdr = data[pos]
         last = bool(hdr & 0x80)
         btype = hdr & 0x7F
@@ -242,6 +244,15 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, FlacInfo]:
             break
     if info is None:
         raise ValueError("flac: no STREAMINFO block")
+    return info, pos
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, FlacInfo]:
+    """Decode a FLAC stream → (int32 samples shaped (n, channels), FlacInfo).
+
+    Lossless: output equals the encoder's input PCM exactly.
+    """
+    info, pos = parse_stream_info(data)
 
     chunks: list[np.ndarray] = []
     br = _BitReader(data, pos)

@@ -57,6 +57,11 @@ def _lib() -> ctypes.CDLL | None:
         ctypes.c_int64, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.c_int]
     if hasattr(lib, "owc_flac_open"):  # .so may predate the FLAC decoder
+        lib.owc_loader_submit_flac.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+        lib.owc_loader_take_errors.restype = ctypes.c_int
+        lib.owc_loader_take_errors.argtypes = [ctypes.c_void_p]
         lib.owc_flac_open.restype = ctypes.c_void_p
         lib.owc_flac_open.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                       ctypes.c_int64]
@@ -123,6 +128,22 @@ class BatchLoader:
             self._buf[slot, :n] = x[:n]
             self._buf[slot, n:] = 0
 
+    def submit_flac(self, slot: int, data: bytes):
+        """Submit a FLAC-encoded utterance: decode + downmix + resample run
+        inside the worker pool (a batch of files decodes in parallel).
+        Decode failures surface as RuntimeError at flush()."""
+        if self._h is not None and hasattr(self._lib, "owc_flac_open"):
+            buf = np.frombuffer(data, np.uint8)
+            self._keepalive.append(buf)  # alive until flush
+            self._lib.owc_loader_submit_flac(
+                self._h, slot,
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size)
+        else:
+            samples, sr, bits = flac_decode(data)
+            wav = samples.astype(np.float32) / float(1 << (bits - 1))
+            wav = wav.mean(axis=1) if wav.shape[1] > 1 else wav[:, 0]
+            self.submit(slot, wav, sample_rate=sr)
+
     def clear(self, slot: int):
         if self._h is not None:
             self._lib.owc_loader_clear(self._h, slot)
@@ -130,10 +151,17 @@ class BatchLoader:
             self._buf[slot] = 0
 
     def flush(self) -> np.ndarray:
-        """Wait for all jobs; return the assembled batch (copied out)."""
+        """Wait for all jobs; return the assembled batch (copied out).
+        Raises RuntimeError if any submit_flac decode failed."""
         if self._h is not None:
             ptr = self._lib.owc_loader_flush(self._h)
             self._keepalive.clear()
+            if hasattr(self._lib, "owc_loader_take_errors"):
+                n_err = self._lib.owc_loader_take_errors(self._h)
+                if n_err:
+                    raise RuntimeError(
+                        f"BatchLoader: {n_err} FLAC decode failure(s) in "
+                        f"this batch (slots zeroed)")
             arr = np.ctypeslib.as_array(
                 ptr, shape=(self.batch, self.n_samples))
             return np.array(arr)  # copy: front buffer is reused next flush

@@ -67,6 +67,22 @@ def mulaw_decode(u):
     return jnp.sign(y) * (jnp.power(1.0 + _MU, jnp.abs(y)) - 1.0) / _MU
 
 
+class _FlacRequest:
+    """A queued utterance still in FLAC form: the bytes travel to the
+    native BatchLoader, which decodes them in its worker pool. `__len__`
+    is the per-channel sample count so the worker's `len(wav)/sr`
+    duration accounting works unchanged."""
+
+    __slots__ = ("data", "samples")
+
+    def __init__(self, data: bytes, samples: int):
+        self.data = data
+        self.samples = samples
+
+    def __len__(self) -> int:
+        return self.samples
+
+
 @dataclass
 class ServiceStats:
     requests: int = 0        # batch items processed (chunk windows count)
@@ -225,12 +241,37 @@ class TranscriptionService:
             f.add_done_callback(_one_done)
         return agg
 
-    def _submit_window(self, wav: np.ndarray, sample_rate: int,
+    def submit_flac(self, data: bytes) -> Future:
+        """Enqueue one FLAC-encoded utterance (the LibriSpeech wire format).
+
+        Short requests (≤ one 30 s window) carry the compressed bytes all
+        the way to the native BatchLoader, which decodes/downmixes/resamples
+        inside its worker pool — a batch of FLAC requests decodes in
+        parallel with zero host-side Python work. Longer audio decodes
+        up-front (native) and rides the normal chunked `submit` path.
+        Raises ValueError immediately on a malformed stream."""
+        from .audio.flac import parse_stream_info
+
+        info, _ = parse_stream_info(data)
+        src_win = int(self.n_samples * info.sample_rate / 16000)
+        if 0 < info.total_samples <= src_win:
+            return self._submit_window(
+                _FlacRequest(data, info.total_samples), info.sample_rate)
+        from .runtime_native import flac_decode
+
+        samples, sr, bits = flac_decode(data)
+        wav = samples.astype(np.float32) / float(1 << (bits - 1))
+        wav = wav.mean(axis=1) if wav.shape[1] > 1 else wav[:, 0]
+        return self.submit(wav, sr)
+
+    def _submit_window(self, wav, sample_rate: int,
                        internal: bool = False) -> Future:
         if self._stop.is_set():
             raise RuntimeError("service is shut down")
         fut: Future = Future()
-        self._queue.put((np.asarray(wav, np.float32), sample_rate, fut,
+        if not isinstance(wav, _FlacRequest):
+            wav = np.asarray(wav, np.float32)
+        self._queue.put((wav, sample_rate, fut,
                          time.perf_counter(), internal))
         with self.stats._lock:
             self.stats.queue_peak = max(self.stats.queue_peak,
@@ -283,7 +324,10 @@ class TranscriptionService:
                 for slot in range(self.batch_size):
                     self._loader.clear(slot)
                 for slot, (wav, sr, _, _, _) in enumerate(items):
-                    self._loader.submit(slot, wav, sample_rate=sr)
+                    if isinstance(wav, _FlacRequest):
+                        self._loader.submit_flac(slot, wav.data)
+                    else:
+                        self._loader.submit(slot, wav, sample_rate=sr)
                 buf = self._loader.flush()
                 if self.transfer == "int16":
                     buf = _pcm16(buf)

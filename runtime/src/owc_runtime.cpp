@@ -26,6 +26,16 @@
 #include <thread>
 #include <vector>
 
+// FLAC decoder C ABI, implemented in owc_flac.cpp (same shared library);
+// used by owc_loader_submit_flac to decode inside the worker pool.
+extern "C" {
+void* owc_flac_open(const uint8_t* buf, int64_t n);
+int owc_flac_info(void* h, int32_t* sr, int32_t* ch, int32_t* bits);
+int64_t owc_flac_samples(void* h);
+const int32_t* owc_flac_data(void* h);
+void owc_flac_close(void* h);
+}
+
 namespace {
 
 class ThreadPool {
@@ -110,6 +120,7 @@ struct BatchLoader {
   int64_t n_samples;
   ThreadPool pool;
   std::vector<float> front, back;  // double buffer: (batch, n_samples) each
+  std::atomic<int> decode_errors{0};
 
   BatchLoader(int b, int64_t ns, int threads)
       : batch(b), n_samples(ns), pool(threads),
@@ -150,6 +161,57 @@ void owc_loader_submit(void* h, int slot, const float* wav, int64_t n,
     resample_linear(wav, n, sample_rate, 16000, dst, out_n);
     std::fill(dst + out_n, dst + n_samples, 0.0f);
   });
+}
+
+// Submit one FLAC-encoded utterance into `slot` of the BACK buffer: decode,
+// downmix to mono, normalize to [-1, 1] and resample to 16 kHz — all inside
+// the worker pool, so a batch of FLAC files decodes in parallel. On decode
+// failure the slot is zeroed and the loader's error counter bumps (readable
+// via owc_loader_take_errors). The caller keeps `data` alive until
+// owc_loader_flush returns.
+void owc_loader_submit_flac(void* h, int slot, const uint8_t* data,
+                            int64_t n) {
+  auto* L = static_cast<BatchLoader*>(h);
+  float* dst = L->back.data() + static_cast<size_t>(slot) * L->n_samples;
+  const int64_t n_samples = L->n_samples;
+  L->pool.submit([=] {
+    void* fh = owc_flac_open(data, n);
+    if (fh == nullptr) {
+      std::fill(dst, dst + n_samples, 0.0f);
+      ++L->decode_errors;
+      return;
+    }
+    int32_t sr = 0, ch = 0, bits = 0;
+    owc_flac_info(fh, &sr, &ch, &bits);
+    const int64_t ns = owc_flac_samples(fh);
+    const int32_t* s = owc_flac_data(fh);
+    std::vector<float> mono(ns);
+    const float scale = 1.0f / static_cast<float>(1u << (bits - 1));
+    if (ch == 1) {
+      for (int64_t i = 0; i < ns; ++i) mono[i] = s[i] * scale;
+    } else {
+      const float inv = scale / ch;
+      for (int64_t i = 0; i < ns; ++i) {
+        int64_t acc = 0;
+        for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+        mono[i] = acc * inv;
+      }
+    }
+    owc_flac_close(fh);
+    const int64_t out_n =
+        (sr == 16000)
+            ? std::min(ns, n_samples)
+            : std::min(static_cast<int64_t>(
+                           static_cast<double>(ns) * 16000.0 / sr),
+                       n_samples);
+    resample_linear(mono.data(), ns, sr, 16000, dst, out_n);
+    std::fill(dst + out_n, dst + n_samples, 0.0f);
+  });
+}
+
+// Fetch-and-reset the count of failed FLAC decodes since the last call.
+int owc_loader_take_errors(void* h) {
+  return static_cast<BatchLoader*>(h)->decode_errors.exchange(0);
 }
 
 // Zero a back-buffer slot (for padding batches short of utterances).

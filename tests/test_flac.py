@@ -367,3 +367,51 @@ def test_native_decoder_parity():
         out, sr, bits = rn.flac_decode(data)
         assert (sr, bits) == (info.sample_rate, info.bits_per_sample)
         np.testing.assert_array_equal(out, ref)
+
+
+def test_batchloader_submit_flac_parity():
+    """submit_flac (decode in the worker pool) must assemble the identical
+    batch as submit() of the pre-decoded waveform, incl. resampling."""
+    from openai_whisper_compression_tpu.runtime_native import BatchLoader
+
+    n_out = 3000
+    pcm16k = _pcm(2048, seed=50)
+    pcm8k = _pcm(1024, ch=2, seed=51)
+    wav16 = pcm16k.astype(np.float32) / 32768.0
+    wav8 = pcm8k.astype(np.float32).mean(axis=1) / 32768.0
+
+    ref = BatchLoader(2, n_out)
+    ref.submit(0, wav16, sample_rate=16000)
+    ref.submit(1, wav8, sample_rate=8000)
+    expect = ref.flush()
+
+    ld = BatchLoader(2, n_out)
+    ld.submit_flac(0, encode_flac(pcm16k))
+    ld.submit_flac(1, encode_flac(pcm8k, sample_rate=8000,
+                                  stereo="mid_side"))
+    got = ld.flush()
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_batchloader_submit_flac_error_surfaces():
+    from openai_whisper_compression_tpu import runtime_native as rn
+    if not rn.flac_native_available():
+        pytest.skip("native runtime not built")
+    ld = rn.BatchLoader(1, 1000)
+    ld.submit_flac(0, b"not a flac stream at all")
+    with pytest.raises(RuntimeError, match="FLAC decode failure"):
+        ld.flush()
+    ld.submit_flac(0, encode_flac(_pcm(1024, seed=52)))  # loader still usable
+    assert ld.flush().shape == (1, 1000)
+
+
+def test_parse_stream_info_header_only():
+    from openai_whisper_compression_tpu.audio.flac import parse_stream_info
+    pcm = _pcm(2048, seed=53)
+    data = encode_flac(pcm, sample_rate=22050)
+    info, pos = parse_stream_info(data)
+    assert (info.sample_rate, info.channels, info.bits_per_sample,
+            info.total_samples) == (22050, 1, 16, 2048)
+    assert data[pos] == 0xFF  # first frame sync byte
+    with pytest.raises(ValueError):
+        parse_stream_info(b"OggS" + data[4:])

@@ -253,3 +253,62 @@ def test_transcribe_auto_timeout_scales(svc_setup):
     res = svc.transcribe(wav)                 # timeout=None -> auto
     assert res["audio_seconds"] > 0
     svc.close()
+
+
+def test_submit_flac_matches_submit(svc_setup):
+    """FLAC-wire requests (decoded inside the native loader pool) produce
+    the same transcription as the pre-decoded waveform."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    try:
+        from test_flac import encode_flac
+    finally:
+        sys.path.pop(0)
+
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                               max_wait_ms=30)
+    rng = np.random.default_rng(7)
+    pcm = rng.integers(-20000, 20000, 4096, dtype=np.int64)
+    wav = pcm.astype(np.float32) / 32768.0
+    try:
+        r_wav = svc.submit(wav).result(timeout=120)
+        r_flac = svc.submit_flac(encode_flac(pcm)).result(timeout=120)
+        assert r_flac["tokens"] == r_wav["tokens"]
+        assert r_flac["text"] == r_wav["text"]
+        assert r_flac["audio_seconds"] == pytest.approx(4096 / 16000.0)
+        with pytest.raises(ValueError):
+            svc.submit_flac(b"junk that is not flac")
+    finally:
+        svc.close()
+
+
+def test_submit_flac_long_audio_chunks(svc_setup):
+    """FLAC longer than one window decodes up-front and rides the chunked
+    submit path (num_chunks in the result)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    try:
+        from test_flac import encode_flac
+    finally:
+        sys.path.pop(0)
+    from openai_whisper_compression_tpu.evaluation.harness import \
+        samples_for_arch
+
+    arch, params, tok, cfg = svc_setup
+    n_win = samples_for_arch(arch)
+    n = ((2 * n_win + 1023) // 1024) * 1024  # two windows, whole blocks
+    rng = np.random.default_rng(8)
+    pcm = rng.integers(-20000, 20000, n, dtype=np.int64)
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                               max_wait_ms=30)
+    try:
+        res = svc.submit_flac(encode_flac(pcm)).result(timeout=120)
+        assert res["num_chunks"] >= 2
+        direct = svc.submit(pcm.astype(np.float32) / 32768.0) \
+            .result(timeout=120)
+        assert res["tokens"] == direct["tokens"]
+    finally:
+        svc.close()
