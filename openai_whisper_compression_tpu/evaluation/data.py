@@ -152,9 +152,18 @@ def load_audio_dir(path: str, transcripts: str | None = None,
             if len(parts) == 2:
                 table[parts[0]] = parts[1]
     trans = _dir_transcripts(root)
+    # parallel decode: the native FLAC decoder + resampler run outside the
+    # GIL (ctypes), so threads give real speedup on multi-file corpora
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..runtime_native import available
+
+    available()  # build/load the native lib once, not racing in N threads
+    with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+        wavs = list(ex.map(lambda f: read_audio_file(str(f), sample_rate),
+                           files))
     out = []
-    for f in files:
-        wav = read_audio_file(str(f), sample_rate)
+    for f, wav in zip(files, wavs):
         stem = f.stem
         text = table.get(stem) or trans.get(stem) or ""
         if not text:
