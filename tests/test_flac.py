@@ -165,11 +165,18 @@ def _write_subframe(bw: _BitWriter, s: np.ndarray, bps: int, kind: str,
         raise ValueError(kind)
 
 
+_BS_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5, 256: 8, 512: 9,
+             1024: 10, 2048: 11, 4096: 12, 8192: 13, 16384: 14, 32768: 15}
+_SR_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+             24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11}
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int = 16000, bps: int = 16,
                 blocksize: int = 1024, kind: str = "fixed2",
                 stereo: str | None = None, porder: int = 0,
                 escape: bool = False, wasted: int = 0,
-                ss_from_streaminfo: bool = False) -> bytes:
+                ss_from_streaminfo: bool = False,
+                table_codes: bool = False) -> bytes:
     """samples: (n,) mono or (n, 2) stereo integers. Returns a FLAC stream."""
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -198,8 +205,15 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000, bps: int = 16,
         hdr = _BitWriter()
         hdr.write(0x3FFE, 14)
         hdr.write(0, 1); hdr.write(0, 1)  # reserved, fixed blocksize
-        hdr.write(7, 4)                   # blocksize-1 as 16 bits at end
-        hdr.write(0, 4)                   # sample rate from STREAMINFO
+        if table_codes:
+            # the codes real libFLAC files carry for common sizes/rates
+            bs_code = _BS_CODES[blocksize]
+            sr_code = _SR_CODES[sample_rate]
+        else:
+            bs_code = 7                   # blocksize-1 as 16 bits at end
+            sr_code = 0                   # sample rate from STREAMINFO
+        hdr.write(bs_code, 4)
+        hdr.write(sr_code, 4)
         chan_code = {None: ch - 1, "left_side": 8, "right_side": 9,
                      "mid_side": 10}[stereo]
         hdr.write(chan_code, 4)
@@ -207,7 +221,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000, bps: int = 16,
         hdr.write(0, 1)
         for b in _utf8_number(f):
             hdr.write(b, 8)
-        hdr.write(blocksize - 1, 16)
+        if bs_code == 7:
+            hdr.write(blocksize - 1, 16)
         hbytes = hdr.bytes()
         fw = _BitWriter()
         for b in hbytes:
@@ -415,3 +430,23 @@ def test_parse_stream_info_header_only():
     assert data[pos] == 0xFF  # first frame sync byte
     with pytest.raises(ValueError):
         parse_stream_info(b"OggS" + data[4:])
+
+
+@pytest.mark.parametrize("blocksize,sr", [(4096, 16000), (1024, 22050),
+                                          (192, 8000), (4608, 44100)])
+def test_table_blocksize_and_rate_codes(blocksize, sr):
+    """Real libFLAC frames carry table codes (e.g. 4096 -> code 12,
+    16 kHz -> code 5) instead of the explicit 8/16-bit forms; both
+    decoders must take the table path too."""
+    n = blocksize * 2
+    pcm = _pcm(n, seed=blocksize + sr)
+    data = encode_flac(pcm, sample_rate=sr, blocksize=blocksize,
+                       table_codes=True)
+    out, info = decode_flac(data)
+    assert info.sample_rate == sr
+    np.testing.assert_array_equal(out[:, 0], pcm)
+    from openai_whisper_compression_tpu import runtime_native as rn
+    if rn.flac_native_available():
+        nout, nsr, _ = rn.flac_decode(data)
+        assert nsr == sr
+        np.testing.assert_array_equal(nout[:, 0], pcm)
