@@ -287,7 +287,7 @@ def cmd_run(args):
                              "schema: {qat, steps, lr}")
         params, hist, label = _run_recovery_ladder(
             params, teacher, arch, qat=qat, steps=steps, lr=lr,
-            quant=rc.quantization)
+            quant=rc.quantization, pruned=bool(rc.pruning))
         print(f"recovery loss {hist[0]:.4f} -> {hist[-1]:.4f} "
               f"({steps} steps, {label})")
 
@@ -520,7 +520,8 @@ def cmd_analyze(args):
 
 
 def _run_recovery_ladder(student, teacher, arch, *, qat: bool, steps: int,
-                         lr: float, quant: dict | None, **distill_kw):
+                         lr: float, quant: dict | None, pruned: bool = False,
+                         **distill_kw):
     """The one compression-recovery ladder (shared by `distill` and
     `run` so the two CLI surfaces cannot drift):
 
@@ -533,6 +534,12 @@ def _run_recovery_ladder(student, teacher, arch, *, qat: bool, steps: int,
     "include_embed", + quantizer kwargs}) — every key is honoured on the
     final requant, not just the method name.
 
+    `pruned` says whether `student` carries pruning masks worth freezing:
+    sparsity is preserved ONLY then, and the masks always come from the
+    PRE-quantization student — never from zeros the quantizer rounded in
+    (at int2/int3 those are a large weight fraction, and freezing them
+    would silently cripple recovery; matches `fake_quant_recovery`).
+
     Returns (params, loss_history, label)."""
     from .distill import distill as run_distill
 
@@ -543,7 +550,7 @@ def _run_recovery_ladder(student, teacher, arch, *, qat: bool, steps: int,
                          "(--quant / quantization.name)")
     if quant is None:
         out, hist = run_distill(student, teacher, arch, steps=steps, lr=lr,
-                                **distill_kw)
+                                preserve_sparsity=pruned, **distill_kw)
         return out, hist, "recovery"
     from .quant.api import dequantize_params, quantize_params
     from .quant.qat import make_ste_transform, resolve_method
@@ -564,12 +571,14 @@ def _run_recovery_ladder(student, teacher, arch, *, qat: bool, steps: int,
                                        include_embed, **qkw)
         latent, hist = run_distill(student, teacher, arch, steps=steps,
                                    lr=lr, param_transform=transform,
-                                   **distill_kw)
+                                   preserve_sparsity=pruned, **distill_kw)
     else:
         dense = dequantize_params(quantize_params(
             student, base_method, include_embed=include_embed, **qkw))
         latent, hist = run_distill(dense, teacher, arch, steps=steps,
-                                   lr=lr, **distill_kw)
+                                   lr=lr, preserve_sparsity=pruned,
+                                   sparsity_ref=student if pruned else None,
+                                   **distill_kw)
     out = quantize_params(latent, base_method, act=act,
                           include_embed=include_embed, **qkw)
     return out, hist, ("QAT" if qat else "recovery")
@@ -590,6 +599,7 @@ def cmd_distill(args):
     out, history, label = _run_recovery_ladder(
         student, teacher, arch, qat=args.qat, steps=args.steps, lr=args.lr,
         quant={"name": args.quant} if args.quant else None,
+        pruned=bool(args.prune),
         batch=args.distill_batch, seq_len=args.seq_len, seed=args.seed)
     print(f"distill loss {history[0]:.4f} -> {history[-1]:.4f} "
           f"({args.steps} steps, {label})")

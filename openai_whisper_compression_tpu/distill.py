@@ -70,6 +70,7 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
             steps: int = 50, lr: float = 3e-5, batch: int = 2,
             seq_len: int = 8, temperature: float = 2.0, seed: int = 0,
             preserve_sparsity: bool = True,
+            sparsity_ref: Params | None = None,
             batch_fn: Callable[[np.random.Generator], tuple] | None = None,
             param_transform: Callable[[Params], Params] | None = None,
             mesh=None) -> tuple[Params, list[float]]:
@@ -77,6 +78,12 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
 
     batch_fn: optional (rng) -> (mel (B, M, F), tokens (B, L)) supplier to
     distill on real data instead of noise.
+
+    sparsity_ref: when preserve_sparsity is on, compute the frozen-zero
+    masks from THIS pytree instead of `student`. Pass the pre-quantization
+    pruned model when distilling a dequantized PTQ student, so only the
+    *pruned* zeros are frozen — not every weight the quantizer happened to
+    round to zero (a large fraction at int2/int3).
 
     mesh: optional `jax.sharding.Mesh` (('dp','tp') axes from
     `parallel.mesh.make_mesh`): params/optimizer state are placed per
@@ -99,7 +106,8 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
         raise ValueError("student has quantized leaves; distill the dense "
                          "(or dequantized fake-quant) model, then requantize")
     n_samples = samples_for_arch(arch)
-    masks = sparsity_masks(student) if preserve_sparsity else None
+    masks = (sparsity_masks(student if sparsity_ref is None else sparsity_ref)
+             if preserve_sparsity else None)
     batch_sharding = None
     if mesh is not None:
         from .parallel import mesh as mesh_lib

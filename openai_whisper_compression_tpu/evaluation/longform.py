@@ -323,6 +323,66 @@ def _align_window_words(params, arch: WhisperArch, enc_row, win_toks,
 
 
 _NSP_FNS: dict = {}
+_ENC_FNS: dict = {}
+_COND_FNS: dict = {}
+
+
+def _enc_fn(arch: WhisperArch):
+    """Cached jitted wav -> encoder-output fn. transcribe_seek evaluates a
+    corpus one file at a time; a fresh jax.jit closure per call would
+    re-trace (and, without the persistent compile cache, recompile) the
+    full encoder once per FILE — the same retrace bug _FN_CACHE fixes for
+    the per-window ladder fns (models/fallback.py)."""
+    fn = _ENC_FNS.get(arch)
+    if fn is None:
+        from ..audio import features as _feats
+        from ..models.whisper import encode as _encode
+
+        n_samples = samples_for_arch(arch)
+
+        @jax.jit
+        def fn(p, w):
+            mel = _feats.preprocess(w, arch.num_mel_bins, length=n_samples)
+            return _encode(p, arch, mel.astype(jnp.float32))
+
+        _ENC_FNS[arch] = fn
+    return fn
+
+
+def _cond_fn(arch: WhisperArch, cfg):
+    """Cached jitted conditioned decode step (prompted greedy/beam over a
+    30 s window), keyed by (arch, cfg) like fallback._ladder_fns — one
+    trace per configuration instead of one per transcribed file. Distinct
+    prompt widths recompile via jit's own shape cache, as they must."""
+    import dataclasses
+
+    try:
+        key = (arch, dataclasses.astuple(cfg))
+    except TypeError:           # unhashable cfg field: skip caching
+        key = None
+    if key is not None and key in _COND_FNS:
+        return _COND_FNS[key]
+    from ..audio import features as _feats
+    from ..models.decode import beam_decode, greedy_decode
+    from ..models.whisper import encode as _encode
+
+    n_samples = samples_for_arch(arch)
+    cond_lp = cfg.beam_size <= 1
+
+    @jax.jit
+    def fn(p, w, prompt, plen):
+        mel = _feats.preprocess(w, arch.num_mel_bins, length=n_samples)
+        e = _encode(p, arch, mel.astype(jnp.float32))
+        if cond_lp:
+            return greedy_decode(p, arch, e, cfg, prompt_tokens=prompt,
+                                 prompt_lens=plen,
+                                 return_token_logprobs=True)
+        return beam_decode(p, arch, e, cfg, prompt_tokens=prompt,
+                           prompt_lens=plen)
+
+    if key is not None:
+        _COND_FNS[key] = fn
+    return fn
 
 
 def _nsp_fn(arch: WhisperArch):
@@ -460,16 +520,7 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
     fn_returns_enc = own_fn and word_timestamps and not use_fallback
     first_gen = len(forced_prefix(arch, cfg))
 
-    fb_enc_fn = None
-    if use_fallback:
-        from ..audio import features as _feats
-        from ..models.whisper import encode as _encode
-
-        @jax.jit
-        def fb_enc_fn(p, w):
-            mel = _feats.preprocess(w, arch.num_mel_bins,
-                                    length=n_samples)
-            return _encode(p, arch, mel.astype(jnp.float32))
+    fb_enc_fn = _enc_fn(arch) if use_fallback else None
 
     pw = 0
     cond_step = None
@@ -483,35 +534,11 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
         if pw < 2:
             pw, conditioned = 0, False
     if conditioned:
-        from ..audio import features as _feats2
-        from ..models.decode import beam_decode, greedy_decode
-        from ..models.whisper import encode as _encode2
-
-        cond_lp = cfg.beam_size <= 1
-
-        @jax.jit
-        def cond_step(p, w, prompt, plen):
-            mel = _feats2.preprocess(w, arch.num_mel_bins,
-                                     length=n_samples)
-            e = _encode2(p, arch, mel.astype(jnp.float32))
-            if cond_lp:
-                return greedy_decode(p, arch, e, cfg,
-                                     prompt_tokens=prompt,
-                                     prompt_lens=plen,
-                                     return_token_logprobs=True)
-            return beam_decode(p, arch, e, cfg, prompt_tokens=prompt,
-                               prompt_lens=plen)
+        cond_step = _cond_fn(arch, cfg)
 
     enc_fn = None
     if word_timestamps and not fn_returns_enc:
-        from ..audio import features
-        from ..models.whisper import encode
-
-        @jax.jit
-        def enc_fn(p, w):
-            mel = features.preprocess(w, arch.num_mel_bins,
-                                      length=n_samples)
-            return encode(p, arch, mel.astype(jnp.float32))
+        enc_fn = _enc_fn(arch)
 
     wav = np.asarray(wav, np.float32)
     clips = _parse_clips(clip_timestamps, len(wav) / 16000.0)

@@ -94,6 +94,19 @@ def _make_cross_kvs(params, arch, enc_out, cfg):
     return precompute_cross_kv(params, arch, enc_out, int8=cfg.cross_kv_int8)
 
 
+def _pad_positions(params: Params, extra: int) -> Params:
+    """Return params with the decoder position table extended by `extra`
+    zero rows. Speculative drafting may *compute* (never accept) tokens up
+    to gamma positions past greedy's last slot; padding the table keeps
+    those overrun reads in-bounds without perturbing any accepted position
+    (pad rows feed only predictions that the accept clamp discards)."""
+    dec = params["decoder"]
+    pos = dec["pos"]
+    pad = jnp.zeros((extra, pos.shape[-1]), pos.dtype)
+    return {**params, "decoder": {**dec,
+                                  "pos": jnp.concatenate([pos, pad], axis=0)}}
+
+
 def speculative_decode(params_t: Params, arch_t: WhisperArch,
                        params_d: Params, arch_d: WhisperArch,
                        enc_t: jax.Array, enc_d: jax.Array,
@@ -109,17 +122,18 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
     size pair does). gamma: draft tokens per round.
 
     Returns (tokens (B, max_len), lengths (B,), rounds scalar) — tokens and
-    lengths are exactly what `greedy_decode(params_t, ...)` would produce;
-    `rounds` counts target passes (≈ decode steps saved vs. sequential).
+    lengths are exactly what `greedy_decode(params_t, ...)` would produce,
+    bit for bit, INCLUDING outputs that fill the position window to the
+    brim; `rounds` counts target passes (≈ decode steps saved vs.
+    sequential).
 
-    Bit-exactness caveat (length cap): the draft needs `gamma + 1` position
-    slots of headroom, so when the cache length clamps to
-    `arch_t.max_target_positions` this loop stops at
-    `max_len - gamma - 1` while greedy runs to `max_len - 1` — transcripts
-    that would fill the position window to the brim are truncated by up to
-    `gamma + 1` tokens. Exactness is guaranteed whenever every sequence
-    emits EOT before `max_new_tokens - gamma - 1` generated tokens (always
-    the case for real speech with the default 448-token window).
+    Length-cap mechanics: the draft needs up to `gamma` position slots of
+    lookahead past greedy's last slot, so the loop runs in a workspace
+    padded by `gamma + 1` slots (KV caches, token buffer, and a zero-padded
+    position table). Acceptance is clamped at greedy's `limit`, overrun
+    drafts are discarded, and the output is sliced back to greedy's
+    `max_len` — so the padding never changes a single accepted token
+    (tests/test_speculative.py::test_max_length_exactness).
     """
     cfg = cfg or DecodeConfig()
     if cfg.beam_size > 1:
@@ -135,22 +149,26 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
 
     prefix = forced_prefix(arch_t, cfg)
     p_len = len(prefix)
-    max_len = max_len or max(
-        _auto_cache_len(arch_t, p_len, cfg),
-        -(-(p_len + cfg.max_new_tokens + gamma + 2) // 64) * 64)
-    max_len = min(max_len, arch_t.max_target_positions)
+    # max_len matches greedy_decode exactly (it defines the output shape and
+    # the decode limit); the loop itself runs in a gamma+1-padded workspace
+    # `ws_len` so drafting near the cap never truncates accepted tokens.
+    max_len = min(max_len or _auto_cache_len(arch_t, p_len, cfg),
+                  arch_t.max_target_positions)
+    ws_len = max_len + gamma + 1
+    params_t = _pad_positions(params_t, gamma + 1)
+    params_d = _pad_positions(params_d, gamma + 1)
     sup = jnp.asarray(_suppress_bias(arch_t, tuple(cfg.suppress_tokens)))
     begin_sup = jnp.asarray(
         _suppress_bias(arch_t, tuple(cfg.begin_suppress_tokens)))
 
     ckv_t = _make_cross_kvs(params_t, arch_t, enc_t, cfg)
     ckv_d = _make_cross_kvs(params_d, arch_d, enc_d, cfg)
-    cache_t = kv_cache.init_cache(params_t, arch_t, b, max_len,
+    cache_t = kv_cache.init_cache(params_t, arch_t, b, ws_len,
                                   dtype=enc_t.dtype, int8=cfg.kv_int8)
-    cache_d = kv_cache.init_cache(params_d, arch_d, b, max_len,
+    cache_d = kv_cache.init_cache(params_d, arch_d, b, ws_len,
                                   dtype=enc_d.dtype, int8=cfg.kv_int8)
 
-    tokens = jnp.full((b, max_len), eot, jnp.int32)
+    tokens = jnp.full((b, ws_len), eot, jnp.int32)
     tokens = tokens.at[:, :p_len].set(jnp.asarray(prefix, jnp.int32)[None])
 
     if p_len > 1:
@@ -160,10 +178,10 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
                           ckv_d)
 
     step_d = functools.partial(decoder_step, params_d, arch_d,
-                               cross_kvs=ckv_d, max_len=max_len,
+                               cross_kvs=ckv_d, max_len=ws_len,
                                self_pallas=cfg.self_pallas)
 
-    limit = min(max_len - gamma - 1, p_len + cfg.max_new_tokens)
+    limit = min(max_len, p_len + cfg.max_new_tokens)  # == greedy's limit
     first_gen = p_len
 
     def bias(logits, pos):
@@ -192,7 +210,7 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
         # ---- target: one verify pass over [t_pos, d_1..d_gamma]
         window = lax.dynamic_slice(tokens, (0, pos), (b, gamma + 1))
         logits_w, cache_t = verify_window(params_t, arch_t, window, pos,
-                                          cache_t, ckv_t, max_len)
+                                          cache_t, ckv_t, ws_len)
         pred = []
         for i in range(gamma + 1):
             pred.append(jnp.argmax(bias(logits_w[:, i], pos + i), axis=-1))
@@ -203,8 +221,11 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
         n_acc = jnp.argmin(jnp.pad(match, ((0, 0), (0, 1))), axis=1)
         n_acc = jnp.where(match.all(axis=1), gamma, n_acc)  # (B,) in [0,gamma]
 
-        # batch moves in lockstep: advance by the batch-min acceptance
+        # batch moves in lockstep: advance by the batch-min acceptance,
+        # clamped so the last write lands at limit-1 exactly like greedy
+        # (overrun drafts past the cap are computed but never accepted)
         n = jnp.min(jnp.where(finished, gamma, n_acc))
+        n = jnp.minimum(n, limit - 2 - pos)
         # next token after the accepted run is the target's own prediction
         fix = jnp.take(pred, n, axis=1)                   # (B,)
         fix = jnp.where(finished, eot, fix)
@@ -221,6 +242,7 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
     state = (tokens, cache_t, cache_d, jnp.asarray(p_len - 1),
              jnp.zeros((b,), bool), jnp.asarray(0))
     tokens, _, _, pos, finished, rounds = lax.while_loop(cond, body, state)
+    tokens = tokens[:, :max_len]  # drop the draft-overrun workspace pad
 
     # greedy stopping semantics: everything strictly after a row's first
     # generated EOT becomes EOT (later rounds may have left draft junk

@@ -62,6 +62,10 @@ def _lib() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
         lib.owc_loader_take_errors.restype = ctypes.c_int
         lib.owc_loader_take_errors.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "owc_loader_error_slots"):
+            lib.owc_loader_error_slots.restype = ctypes.c_int
+            lib.owc_loader_error_slots.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
         lib.owc_flac_open.restype = ctypes.c_void_p
         lib.owc_flac_open.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                       ctypes.c_int64]
@@ -150,22 +154,44 @@ class BatchLoader:
         else:
             self._buf[slot] = 0
 
-    def flush(self) -> np.ndarray:
+    def flush(self, raise_on_error: bool = True) -> np.ndarray:
         """Wait for all jobs; return the assembled batch (copied out).
-        Raises RuntimeError if any submit_flac decode failed."""
+
+        raise_on_error=True (default): RuntimeError if any submit_flac
+        decode failed. raise_on_error=False: failed slots come back zeroed
+        and their indices are fetched via `take_error_slots()` — the
+        serving path uses this so one corrupt stream fails only its own
+        request, not the whole co-riding batch."""
         if self._h is not None:
             ptr = self._lib.owc_loader_flush(self._h)
             self._keepalive.clear()
-            if hasattr(self._lib, "owc_loader_take_errors"):
+            self._error_slots: list[int] = []
+            if hasattr(self._lib, "owc_loader_error_slots"):
+                flags = np.zeros(self.batch, np.int32)
+                n_err = self._lib.owc_loader_error_slots(
+                    self._h, flags.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)))
+                self._error_slots = np.flatnonzero(flags).tolist()
+            elif hasattr(self._lib, "owc_loader_take_errors"):
                 n_err = self._lib.owc_loader_take_errors(self._h)
-                if n_err:
-                    raise RuntimeError(
-                        f"BatchLoader: {n_err} FLAC decode failure(s) in "
-                        f"this batch (slots zeroed)")
+            else:
+                n_err = 0
+            if n_err and raise_on_error:
+                raise RuntimeError(
+                    f"BatchLoader: {n_err} FLAC decode failure(s) in "
+                    f"this batch (slots zeroed)")
             arr = np.ctypeslib.as_array(
                 ptr, shape=(self.batch, self.n_samples))
             return np.array(arr)  # copy: front buffer is reused next flush
+        self._error_slots = []
         return self._buf.copy()
+
+    def take_error_slots(self) -> list[int]:
+        """Slot indices whose FLAC decode failed in the batch returned by
+        the last flush() (empty when the .so predates per-slot flags)."""
+        out = getattr(self, "_error_slots", [])
+        self._error_slots = []
+        return out
 
     def __del__(self):
         if getattr(self, "_h", None) is not None and self._lib is not None:

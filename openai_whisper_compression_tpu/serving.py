@@ -249,10 +249,15 @@ class TranscriptionService:
         inside its worker pool — a batch of FLAC requests decodes in
         parallel with zero host-side Python work. Longer audio decodes
         up-front (native) and rides the normal chunked `submit` path.
-        Raises ValueError immediately on a malformed stream."""
+        Raises ValueError immediately on a malformed or truncated stream
+        (frame-level corruption past the metadata surfaces later, as the
+        request future's exception — never as a batch-wide failure)."""
         from .audio.flac import parse_stream_info
 
-        info, _ = parse_stream_info(data)
+        try:
+            info, _ = parse_stream_info(data)
+        except EOFError as e:  # truncated metadata: keep the documented
+            raise ValueError(f"malformed FLAC stream: {e}") from e
         src_win = int(self.n_samples * info.sample_rate / 16000)
         if 0 < info.total_samples <= src_win:
             return self._submit_window(
@@ -320,15 +325,26 @@ class TranscriptionService:
             items = self._take_batch()
             if not items:
                 continue
+            failed: dict[int, Exception] = {}
             try:
                 for slot in range(self.batch_size):
                     self._loader.clear(slot)
                 for slot, (wav, sr, _, _, _) in enumerate(items):
-                    if isinstance(wav, _FlacRequest):
-                        self._loader.submit_flac(slot, wav.data)
-                    else:
-                        self._loader.submit(slot, wav, sample_rate=sr)
-                buf = self._loader.flush()
+                    try:
+                        if isinstance(wav, _FlacRequest):
+                            self._loader.submit_flac(slot, wav.data)
+                        else:
+                            self._loader.submit(slot, wav, sample_rate=sr)
+                    except Exception as e:  # pure-Python FLAC decode path
+                        # raises at submit; fail THIS request only
+                        failed[slot] = e
+                        self._loader.clear(slot)
+                # native decode failures surface per slot after flush — one
+                # corrupt frame must not poison its co-riding batch
+                buf = self._loader.flush(raise_on_error=False)
+                for slot in self._loader.take_error_slots():
+                    failed.setdefault(slot, ValueError(
+                        "FLAC decode failed (corrupt frame data)"))
                 if self.transfer == "int16":
                     buf = _pcm16(buf)
                 elif self.transfer == "mulaw":
@@ -348,6 +364,10 @@ class TranscriptionService:
             now = time.perf_counter()
             audio_s = 0.0
             for slot, (wav, sr, fut, t_submit, _) in enumerate(items):
+                if slot in failed:
+                    if not fut.done():
+                        fut.set_exception(failed[slot])
+                    continue
                 ids = tokens[slot, self._first_gen: lengths[slot]]
                 ids = ids[ids != self.arch.eos_token_id]
                 dur = len(wav) / float(sr)

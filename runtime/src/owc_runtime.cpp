@@ -120,12 +120,16 @@ struct BatchLoader {
   int64_t n_samples;
   ThreadPool pool;
   std::vector<float> front, back;  // double buffer: (batch, n_samples) each
-  std::atomic<int> decode_errors{0};
+  // Per-slot decode-failure flags: each worker job writes only its own
+  // slot's element (distinct memory locations — race-free), read/reset
+  // after pool.wait() via owc_loader_error_slots / take_errors.
+  std::vector<uint8_t> slot_errors;
 
   BatchLoader(int b, int64_t ns, int threads)
       : batch(b), n_samples(ns), pool(threads),
         front(static_cast<size_t>(b) * ns, 0.0f),
-        back(static_cast<size_t>(b) * ns, 0.0f) {}
+        back(static_cast<size_t>(b) * ns, 0.0f),
+        slot_errors(static_cast<size_t>(b), 0) {}
 };
 
 }  // namespace
@@ -149,6 +153,7 @@ void owc_loader_destroy(void* h) { delete static_cast<BatchLoader*>(h); }
 void owc_loader_submit(void* h, int slot, const float* wav, int64_t n,
                        int sample_rate) {
   auto* L = static_cast<BatchLoader*>(h);
+  L->slot_errors[slot] = 0;
   float* dst = L->back.data() + static_cast<size_t>(slot) * L->n_samples;
   const int64_t n_samples = L->n_samples;
   L->pool.submit([=] {
@@ -166,19 +171,21 @@ void owc_loader_submit(void* h, int slot, const float* wav, int64_t n,
 // Submit one FLAC-encoded utterance into `slot` of the BACK buffer: decode,
 // downmix to mono, normalize to [-1, 1] and resample to 16 kHz — all inside
 // the worker pool, so a batch of FLAC files decodes in parallel. On decode
-// failure the slot is zeroed and the loader's error counter bumps (readable
-// via owc_loader_take_errors). The caller keeps `data` alive until
-// owc_loader_flush returns.
+// failure the slot is zeroed and its per-slot error flag set (readable via
+// owc_loader_error_slots / owc_loader_take_errors) — one corrupt stream
+// must fail only its own request, never the co-riding batch. The caller
+// keeps `data` alive until owc_loader_flush returns.
 void owc_loader_submit_flac(void* h, int slot, const uint8_t* data,
                             int64_t n) {
   auto* L = static_cast<BatchLoader*>(h);
+  L->slot_errors[slot] = 0;
   float* dst = L->back.data() + static_cast<size_t>(slot) * L->n_samples;
   const int64_t n_samples = L->n_samples;
   L->pool.submit([=] {
     void* fh = owc_flac_open(data, n);
     if (fh == nullptr) {
       std::fill(dst, dst + n_samples, 0.0f);
-      ++L->decode_errors;
+      L->slot_errors[slot] = 1;
       return;
     }
     int32_t sr = 0, ch = 0, bits = 0;
@@ -210,13 +217,32 @@ void owc_loader_submit_flac(void* h, int slot, const uint8_t* data,
 }
 
 // Fetch-and-reset the count of failed FLAC decodes since the last call.
+// Call only after owc_loader_flush (workers quiesced).
 int owc_loader_take_errors(void* h) {
-  return static_cast<BatchLoader*>(h)->decode_errors.exchange(0);
+  auto* L = static_cast<BatchLoader*>(h);
+  int n = 0;
+  for (auto& e : L->slot_errors) { n += e; e = 0; }
+  return n;
+}
+
+// Fetch-and-reset per-slot decode-failure flags: writes `batch` int32 flags
+// into `out` (caller-allocated), returns the failure count. Call only after
+// owc_loader_flush (workers quiesced).
+int owc_loader_error_slots(void* h, int32_t* out) {
+  auto* L = static_cast<BatchLoader*>(h);
+  int n = 0;
+  for (int i = 0; i < L->batch; ++i) {
+    out[i] = L->slot_errors[i];
+    n += L->slot_errors[i];
+    L->slot_errors[i] = 0;
+  }
+  return n;
 }
 
 // Zero a back-buffer slot (for padding batches short of utterances).
 void owc_loader_clear(void* h, int slot) {
   auto* L = static_cast<BatchLoader*>(h);
+  L->slot_errors[slot] = 0;
   float* dst = L->back.data() + static_cast<size_t>(slot) * L->n_samples;
   std::fill(dst, dst + L->n_samples, 0.0f);
 }

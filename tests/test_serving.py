@@ -284,6 +284,51 @@ def test_submit_flac_matches_submit(svc_setup):
         svc.close()
 
 
+def test_corrupt_flac_fails_only_its_own_request(svc_setup):
+    """ADVICE r2 (medium): frame-level FLAC corruption must fail ONLY the
+    corrupt request's future — the valid requests co-riding in the same
+    batch complete normally (per-slot error flags from the native loader,
+    per-slot try/except on the Python fallback)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    try:
+        from test_flac import encode_flac
+    finally:
+        sys.path.pop(0)
+    from openai_whisper_compression_tpu.audio.flac import parse_stream_info
+
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=4,
+                               max_wait_ms=200)
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-20000, 20000, 4096, dtype=np.int64)
+    wav = pcm.astype(np.float32) / 32768.0
+    good = encode_flac(pcm)
+    # valid STREAMINFO, truncated frame section: passes submit_flac's
+    # header check, fails in the decode worker
+    _, off = parse_stream_info(good)
+    corrupt = good[: off + 2]
+    try:
+        f_wav = svc.submit(wav)
+        f_bad = svc.submit_flac(corrupt)
+        f_good = svc.submit_flac(good)
+        r_wav = f_wav.result(timeout=120)
+        r_good = f_good.result(timeout=120)
+        with pytest.raises(Exception):
+            f_bad.result(timeout=120)
+        # the co-riders are unharmed and correct
+        assert r_good["tokens"] == r_wav["tokens"]
+        assert r_good["text"] == r_wav["text"]
+        # truncated METADATA still raises ValueError synchronously
+        with pytest.raises(ValueError):
+            svc.submit_flac(good[:10])
+        # and the service keeps serving after the failure
+        assert svc.transcribe(wav)["tokens"] == r_wav["tokens"]
+    finally:
+        svc.close()
+
+
 def test_submit_flac_long_audio_chunks(svc_setup):
     """FLAC longer than one window decodes up-front and rides the chunked
     submit path (num_chunks in the result)."""

@@ -124,6 +124,27 @@ def test_speculative_transcribe_fn_cross_arch(setup):
                                   np.asarray(ts)[:, :n])
 
 
+def test_max_length_exactness(setup):
+    """Decode that fills the position window to the brim (EOT suppressed,
+    max_new_tokens past the cap): tokens AND lengths must equal greedy's
+    over the FULL buffer — the gamma+1 workspace padding must never
+    truncate or shift a token at the cap (VERDICT r2 item 6)."""
+    arch, params, enc = setup
+    assert arch.max_target_positions == 32
+    cfg = DecodeConfig(max_new_tokens=40, language_token_id=None,
+                       task_token_id=None,
+                       suppress_tokens=(arch.eos_token_id,))
+    tg, lg = jax.jit(lambda p, e: decode.greedy_decode(p, arch, e, cfg))(
+        params, enc)
+    for gamma in (3, 4):
+        ts, lsp, rounds = jax.jit(
+            lambda p, e, g=gamma: speculative.speculative_decode(
+                p, arch, p, arch, e, e, cfg, gamma=g))(params, enc)
+        assert ts.shape == tg.shape
+        np.testing.assert_array_equal(np.asarray(tg), np.asarray(ts))
+        np.testing.assert_array_equal(np.asarray(lg), np.asarray(lsp))
+
+
 def test_speculative_rejects_beam_and_timestamps(setup):
     arch, params, enc = setup
     with pytest.raises(ValueError):
