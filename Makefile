@@ -1,6 +1,18 @@
 # Developer entry points (≈ reference Makefile: check/test — `Makefile:4-21`).
 
-.PHONY: test native bench example check
+.PHONY: test native bench example check real-wer real-wer-rehearse
+
+# The BASELINE WER comparison artifact (reference notebook cell 15:
+# FP32 whisper-small, 100 test-clean utts, WER 0.0473 -> WER_REAL.json).
+# Needs any mountable weight source + LibriSpeech audio; see
+# tools/real_wer.py for the resolution order.
+real-wer:
+	python tools/real_wer.py
+
+# Zero-egress rehearsal of the identical path: fake checkpoints in all
+# three ingestion formats -> loaders -> eval -> artifact.
+real-wer-rehearse:
+	python tools/real_wer.py --rehearse --out WER_REHEARSAL.json
 
 test:
 	python -m pytest tests/ -q

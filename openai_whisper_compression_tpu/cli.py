@@ -41,6 +41,10 @@ def _load_model(args):
     from .config import ARCHS
     from .models import params as P
 
+    if getattr(args, "weights", None):
+        from .models.convert import load_checkpoint
+
+        return load_checkpoint(args.weights, dtype=jnp.dtype(args.dtype))
     if getattr(args, "hf", None):
         from .models.convert import load_hf_model
 
@@ -695,6 +699,10 @@ def main(argv=None):
         p.add_argument("--model", default="tiny")
         p.add_argument("--hf", default=None,
                        help="HF model name/path (needs hub or cache)")
+        p.add_argument("--weights", default=None,
+                       help="local checkpoint: HF snapshot/export dir, "
+                            "OpenAI original .pt, bare torch state dict, "
+                            "or bare .safetensors (arch inferred)")
         p.add_argument("--dtype", default="float32")
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--batch-size", type=int, default=4)

@@ -193,6 +193,421 @@ def arch_from_hf_config(cfg) -> WhisperArch:
     )
 
 
+# ---------------------------------------------------------------------------
+# OpenAI original checkpoint format (.pt)
+# ---------------------------------------------------------------------------
+
+# OpenAI's whisper repo names -> HF names (blocks are handled positionally).
+_OAI_FIXED = {
+    "encoder.positional_embedding": "encoder.embed_positions.weight",
+    "decoder.token_embedding.weight": "decoder.embed_tokens.weight",
+    "decoder.positional_embedding": "decoder.embed_positions.weight",
+}
+_OAI_SUB = [  # ordered: longest/most-specific first
+    (".cross_attn_ln.", ".encoder_attn_layer_norm."),
+    (".cross_attn.query.", ".encoder_attn.q_proj."),
+    (".cross_attn.key.", ".encoder_attn.k_proj."),
+    (".cross_attn.value.", ".encoder_attn.v_proj."),
+    (".cross_attn.out.", ".encoder_attn.out_proj."),
+    (".attn_ln.", ".self_attn_layer_norm."),
+    (".attn.query.", ".self_attn.q_proj."),
+    (".attn.key.", ".self_attn.k_proj."),
+    (".attn.value.", ".self_attn.v_proj."),
+    (".attn.out.", ".self_attn.out_proj."),
+    (".mlp_ln.", ".final_layer_norm."),
+    (".mlp.0.", ".fc1."),
+    (".mlp.2.", ".fc2."),
+]
+
+
+def openai_to_hf_names(sd: Mapping[str, Any]) -> dict[str, Any]:
+    """Rename an OpenAI original whisper state dict (the `.pt` files from
+    openai/whisper, e.g. `small.pt` — keys like `encoder.blocks.0.attn.query`)
+    to HF `WhisperForConditionalGeneration` names. The tensors themselves are
+    layout-identical (torch (out, in) linears, biasless key projection)."""
+    out: dict[str, Any] = {}
+    for k, v in sd.items():
+        nk = _OAI_FIXED.get(k)
+        if nk is None:
+            nk = k.replace(".blocks.", ".layers.")
+            if nk.startswith("encoder.ln_post."):
+                nk = nk.replace("encoder.ln_post.", "encoder.layer_norm.")
+            elif nk.startswith("decoder.ln."):
+                nk = nk.replace("decoder.ln.", "decoder.layer_norm.")
+            for a, b in _OAI_SUB:
+                nk = nk.replace(a, b)
+        out[nk] = v
+    return out
+
+
+def _special_layout(vocab: int) -> dict:
+    """Special-token ids implied by an OpenAI vocab size: 51864 = English-
+    only GPT-2 vocab, 51865 = multilingual v1/v2, >=51866 = v3 (+<|yue|>,
+    every later special shifts +1). Mirrors `arch_from_hf_config`."""
+    if vocab == 51864:
+        return dict(bos_token_id=50256, eos_token_id=50256,
+                    decoder_start_token_id=50257,
+                    no_timestamps_token_id=50362, multilingual=False)
+    nts = 50364 if vocab >= 51866 else 50363
+    return dict(bos_token_id=50257, eos_token_id=50257,
+                decoder_start_token_id=50258,
+                no_timestamps_token_id=nts, multilingual=True)
+
+
+def arch_from_openai_dims(dims: Mapping[str, int],
+                          name: str = "openai-pt") -> WhisperArch:
+    """WhisperArch from the `dims` dict embedded in OpenAI `.pt` checkpoints
+    ({"dims": {n_mels, n_vocab, n_audio_state, ...}, "model_state_dict":
+    ...} — the format `whisper.load_model` consumes; the reference never
+    reads these, it goes through HF (`model_utils.py:116-123`), but real
+    deployments hold them, so ingestion accepts them)."""
+    v = int(dims["n_vocab"])
+    return ARCHS["tiny"].replace(
+        name=name, vocab_size=v,
+        num_mel_bins=int(dims["n_mels"]),
+        d_model=int(dims["n_audio_state"]),
+        encoder_layers=int(dims["n_audio_layer"]),
+        encoder_heads=int(dims["n_audio_head"]),
+        decoder_layers=int(dims["n_text_layer"]),
+        decoder_heads=int(dims["n_text_head"]),
+        ffn_dim=4 * int(dims["n_audio_state"]),
+        max_source_positions=int(dims["n_audio_ctx"]),
+        max_target_positions=int(dims["n_text_ctx"]),
+        **_special_layout(v))
+
+
+def infer_arch_from_state_dict(sd: Mapping[str, Any],
+                               name: str = "inferred") -> WhisperArch:
+    """Derive a WhisperArch from an HF-named state dict's SHAPES alone — the
+    bare-safetensors case, where no config.json travels with the weights.
+    Head counts are not recoverable from shapes, so they resolve against the
+    official model family (every OpenAI checkpoint has heads = d_model/64);
+    unknown custom sizes fall back to d_model//64."""
+    sd_keys = {k.removeprefix("model."): v for k, v in sd.items()}
+    embed = sd_keys["decoder.embed_tokens.weight"]
+    vocab, d_model = (int(s) for s in _shape(embed))
+    enc_pos = _shape(sd_keys["encoder.embed_positions.weight"])[0]
+    dec_pos = _shape(sd_keys["decoder.embed_positions.weight"])[0]
+    mels = _shape(sd_keys["encoder.conv1.weight"])[1]
+    n_enc = 1 + max(int(k.split(".")[2]) for k in sd_keys
+                    if k.startswith("encoder.layers."))
+    n_dec = 1 + max(int(k.split(".")[2]) for k in sd_keys
+                    if k.startswith("decoder.layers."))
+    ffn = _shape(sd_keys["encoder.layers.0.fc1.weight"])[0]
+    heads = max(1, d_model // 64)
+    for a in ARCHS.values():  # exact family match wins (incl. turbo)
+        if (a.d_model, a.encoder_layers, a.decoder_layers,
+                a.num_mel_bins) == (d_model, n_enc, n_dec, mels):
+            heads = a.encoder_heads
+            break
+    return ARCHS["tiny"].replace(
+        name=name, vocab_size=vocab, num_mel_bins=int(mels),
+        d_model=d_model, encoder_layers=n_enc, encoder_heads=heads,
+        decoder_layers=n_dec, decoder_heads=heads, ffn_dim=int(ffn),
+        max_source_positions=int(enc_pos),
+        max_target_positions=int(dec_pos),
+        **_special_layout(vocab))
+
+
+def _shape(t) -> tuple:
+    return tuple(t.shape)
+
+
+# ---------------------------------------------------------------------------
+# safetensors reader (dependency-free)
+# ---------------------------------------------------------------------------
+
+_ST_DTYPES = {
+    "F64": np.float64, "F32": np.float32, "F16": np.float16,
+    "I64": np.int64, "I32": np.int32, "I16": np.int16, "I8": np.int8,
+    "U8": np.uint8, "BOOL": np.bool_,
+}
+
+
+def read_safetensors(path: str) -> dict[str, np.ndarray]:
+    """Minimal safetensors reader: 8-byte LE header length, JSON header
+    ({name: {dtype, shape, data_offsets}}), raw little-endian data. No
+    dependency on the `safetensors` package (the image's may be stale), and
+    tensors are memory-mapped — a whisper-large file does not double in RAM.
+    BF16 decodes via ml_dtypes (a JAX dependency)."""
+    import json
+    import struct
+
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+    data = np.memmap(path, dtype=np.uint8, mode="r", offset=8 + hlen)
+    out: dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        b0, b1 = meta["data_offsets"]
+        raw = data[b0:b1]
+        if meta["dtype"] == "BF16":
+            import ml_dtypes
+
+            arr = raw.view(ml_dtypes.bfloat16)
+        elif meta["dtype"] in _ST_DTYPES:
+            arr = raw.view(_ST_DTYPES[meta["dtype"]])
+        else:
+            raise ValueError(f"unsupported safetensors dtype "
+                             f"{meta['dtype']} for {name}")
+        out[name] = arr.reshape(meta["shape"])
+    return out
+
+
+def write_safetensors(sd: Mapping[str, Any], path: str) -> None:
+    """Minimal safetensors writer (inverse of `read_safetensors`): used by
+    the real-WER rehearsal to construct checkpoint files offline, and by
+    `cli export --format safetensors`. float32/float16/bf16/int dtypes."""
+    import json
+    import struct
+
+    import ml_dtypes
+
+    rev = {np.dtype(v).str: k for k, v in _ST_DTYPES.items()}
+    rev[np.dtype(ml_dtypes.bfloat16).str] = "BF16"
+    header: dict[str, Any] = {}
+    offset = 0
+    arrays = []
+    for name, t in sd.items():
+        a = np.ascontiguousarray(_np(t))
+        code = rev.get(a.dtype.str)
+        if code is None:
+            raise ValueError(f"unsupported dtype {a.dtype} for {name}")
+        header[name] = {"dtype": code, "shape": list(a.shape),
+                        "data_offsets": [offset, offset + a.nbytes]}
+        offset += a.nbytes
+        arrays.append(a)
+    blob = json.dumps(header).encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(blob)))
+        f.write(blob)
+        for a in arrays:
+            f.write(a.tobytes())
+
+
+def hf_to_openai_names(sd: Mapping[str, Any]) -> dict[str, Any]:
+    """Inverse of `openai_to_hf_names` (HF names -> OpenAI original names);
+    drops HF's tied `proj_out.weight`."""
+    fixed = {v: k for k, v in _OAI_FIXED.items()}
+    out: dict[str, Any] = {}
+    for k, v in sd.items():
+        k = k.removeprefix("model.")
+        if k == "proj_out.weight":
+            continue
+        nk = fixed.get(k)
+        if nk is None:
+            nk = k.replace(".layers.", ".blocks.")
+            if nk.startswith("encoder.layer_norm."):
+                nk = nk.replace("encoder.layer_norm.", "encoder.ln_post.")
+            elif nk.startswith("decoder.layer_norm."):
+                nk = nk.replace("decoder.layer_norm.", "decoder.ln.")
+            for a, b in _OAI_SUB:
+                nk = nk.replace(b, a)
+        out[nk] = v
+    return out
+
+
+def to_openai_checkpoint(params: dict, arch: WhisperArch) -> dict:
+    """Pytree -> the OpenAI `.pt` checkpoint structure ({"dims": ...,
+    "model_state_dict": ...}, torch.save-able). Counterpart of
+    `to_hf_state_dict` for the original-whisper toolchain, and the
+    rehearsal constructor for `.pt` ingestion."""
+    dims = {
+        "n_mels": arch.num_mel_bins, "n_vocab": arch.vocab_size,
+        "n_audio_ctx": arch.max_source_positions,
+        "n_audio_state": arch.d_model, "n_audio_head": arch.encoder_heads,
+        "n_audio_layer": arch.encoder_layers,
+        "n_text_ctx": arch.max_target_positions,
+        "n_text_state": arch.d_model, "n_text_head": arch.decoder_heads,
+        "n_text_layer": arch.decoder_layers,
+    }
+    sd = hf_to_openai_names(to_hf_state_dict(params))
+    return {"dims": dims, "model_state_dict": sd}
+
+
+# ---------------------------------------------------------------------------
+# Unified checkpoint ingestion
+# ---------------------------------------------------------------------------
+
+def _load_torch_file(path: str) -> Any:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=True)
+
+
+def _sd_from_torch_obj(obj: Any) -> tuple[dict, WhisperArch | None]:
+    """(hf-named state dict, arch-or-None) from a torch.load result: OpenAI
+    {dims, model_state_dict} wrappers, {state_dict: ...} wrappers, or a
+    bare state dict in either naming scheme."""
+    arch = None
+    if isinstance(obj, Mapping) and "dims" in obj:
+        arch = arch_from_openai_dims(obj["dims"])
+        obj = obj.get("model_state_dict") or obj.get("state_dict")
+    elif isinstance(obj, Mapping) and "state_dict" in obj and not any(
+            hasattr(v, "shape") for v in obj.values()):
+        obj = obj["state_dict"]
+    if not isinstance(obj, Mapping):
+        raise ValueError("unrecognised torch checkpoint structure")
+    if any(".blocks." in k or k.endswith("positional_embedding")
+           for k in obj):
+        obj = openai_to_hf_names(obj)
+    obj = dict(obj)
+    if arch is not None:
+        # dims carries no ffn width (real checkpoints are always 4*d_model,
+        # which arch_from_openai_dims assumes) — trust the weights
+        fc1 = obj.get("encoder.layers.0.fc1.weight")
+        if fc1 is None:
+            fc1 = obj.get("model.encoder.layers.0.fc1.weight")
+        if fc1 is not None and int(fc1.shape[0]) != arch.ffn_dim:
+            arch = arch.replace(ffn_dim=int(fc1.shape[0]))
+    return obj, arch
+
+
+def _read_hf_dir(d: str) -> tuple[dict, WhisperArch]:
+    """Load an HF-layout directory: config.json (optional — shapes infer the
+    arch without it, so a PARTIALLY populated snapshot still loads) +
+    model.safetensors / pytorch_model.bin, sharded or not."""
+    import json
+    import os
+
+    sd: dict[str, Any] = {}
+    for index in ("model.safetensors.index.json",
+                  "pytorch_model.bin.index.json"):
+        ip = os.path.join(d, index)
+        if os.path.exists(ip):
+            with open(ip) as f:
+                shards = sorted(set(json.load(f)["weight_map"].values()))
+            missing = [s for s in shards
+                       if not os.path.exists(os.path.join(d, s))]
+            if missing:
+                raise FileNotFoundError(
+                    f"sharded checkpoint in {d} is missing {missing}")
+            for s in shards:
+                sp = os.path.join(d, s)
+                if s.endswith(".safetensors"):
+                    sd.update(read_safetensors(sp))
+                else:
+                    sd.update(_sd_from_torch_obj(_load_torch_file(sp))[0])
+            break
+    if not sd:
+        for fname in ("model.safetensors", "pytorch_model.bin",
+                      "whisper.safetensors"):
+            fp = os.path.join(d, fname)
+            if os.path.exists(fp):
+                if fname.endswith(".safetensors"):
+                    sd = read_safetensors(fp)
+                else:
+                    sd = _sd_from_torch_obj(_load_torch_file(fp))[0]
+                break
+    if not sd:  # any lone weights file in the dir
+        cands = [f for f in os.listdir(d)
+                 if f.endswith((".safetensors", ".pt", ".bin"))]
+        if len(cands) == 1:
+            return load_checkpoint_file(os.path.join(d, cands[0]))
+        raise FileNotFoundError(f"no model weights found in {d}")
+
+    cfg_path = os.path.join(d, "config.json")
+    if os.path.exists(cfg_path):
+        import types
+
+        with open(cfg_path) as f:
+            arch = arch_from_hf_config(
+                types.SimpleNamespace(**json.load(f)))
+        arch = arch.replace(name=os.path.basename(d.rstrip("/")) or arch.name)
+    else:
+        arch = infer_arch_from_state_dict(sd)
+    gen_path = os.path.join(d, "generation_config.json")
+    if os.path.exists(gen_path):
+        with open(gen_path) as f:
+            gen = json.load(f)
+        heads = gen.get("alignment_heads")
+        if heads:
+            arch = arch.replace(
+                alignment_heads=tuple(tuple(h) for h in heads))
+        if gen.get("no_timestamps_token_id") is not None:
+            arch = arch.replace(
+                no_timestamps_token_id=int(gen["no_timestamps_token_id"]))
+    return sd, arch
+
+
+def load_checkpoint_file(path: str) -> tuple[dict, WhisperArch]:
+    """(hf-named state dict, arch) from a single checkpoint FILE: OpenAI
+    original `.pt` (dims + model_state_dict), a bare torch state dict
+    (`.pt`/`.bin`, HF or OpenAI names), or a bare `.safetensors` file (arch
+    inferred from shapes; a sibling config.json is honoured when present)."""
+    import os
+
+    if path.endswith(".safetensors"):
+        sib = os.path.join(os.path.dirname(path) or ".", "config.json")
+        sd = read_safetensors(path)
+        if os.path.exists(sib):
+            import json
+            import types
+
+            with open(sib) as f:
+                arch = arch_from_hf_config(
+                    types.SimpleNamespace(**json.load(f)))
+        else:
+            arch = infer_arch_from_state_dict(
+                sd, name=os.path.basename(path))
+        return sd, arch
+    sd, arch = _sd_from_torch_obj(_load_torch_file(path))
+    if arch is None:
+        arch = infer_arch_from_state_dict(sd, name=os.path.basename(path))
+    return sd, arch
+
+
+def load_checkpoint(path: str, dtype=jnp.float32) -> tuple[dict, WhisperArch]:
+    """Universal real-weights entry point: `path` is an HF snapshot/export
+    DIRECTORY, an OpenAI original `.pt`, a bare torch state dict, or a bare
+    `.safetensors` file. Returns (params pytree, arch). This is the
+    ingestion surface `make real-wer` and `cli --weights` use, so any weight
+    source a deployment can mount becomes a WER artifact without code
+    changes (VERDICT r2 next-step #1)."""
+    import os
+
+    from .params import tree_cast
+
+    if os.path.isdir(path):
+        sd, arch = _read_hf_dir(path)
+    else:
+        sd, arch = load_checkpoint_file(path)
+    return tree_cast(from_hf_state_dict(sd), dtype), arch
+
+
+def find_in_hf_cache(model_name: str) -> str | None:
+    """Locate `model_name` (e.g. "openai/whisper-small") in a mounted HF hub
+    cache WITHOUT the hub library: scans $HF_HUB_CACHE, $HF_HOME/hub and
+    ~/.cache/huggingface/hub for models--org--name/snapshots/*, returning
+    the newest snapshot dir that actually contains weights — a partially
+    populated cache (no tokenizer, no refs) is accepted."""
+    import os
+
+    roots = []
+    if os.environ.get("HF_HUB_CACHE"):
+        roots.append(os.environ["HF_HUB_CACHE"])
+    if os.environ.get("HF_HOME"):
+        roots.append(os.path.join(os.environ["HF_HOME"], "hub"))
+    roots.append(os.path.join(os.path.expanduser("~"), ".cache",
+                              "huggingface", "hub"))
+    leaf = "models--" + model_name.replace("/", "--")
+    weight_names = ("model.safetensors", "pytorch_model.bin",
+                    "model.safetensors.index.json",
+                    "pytorch_model.bin.index.json")
+    for root in roots:
+        snaps = os.path.join(root, leaf, "snapshots")
+        if not os.path.isdir(snaps):
+            continue
+        cands = [os.path.join(snaps, s) for s in sorted(os.listdir(snaps))]
+        cands = [c for c in cands if os.path.isdir(c) and any(
+            os.path.exists(os.path.join(c, w)) for w in weight_names)]
+        if cands:
+            return max(cands, key=os.path.getmtime)
+    return None
+
+
 def checkpoint_cache_dir() -> str:
     """Local npz checkpoint cache: $WHISPER_TPU_CACHE or
     ~/.cache/openai_whisper_compression_tpu/checkpoints."""
@@ -255,13 +670,25 @@ def load_hf_model(model_name: str, dtype=jnp.float32, use_cache: bool = True,
     """Load a pretrained HF Whisper into (params, arch).
 
     Resolution order: (1) this framework's local npz cache (written by
-    `tools/fetch_checkpoint.py` or a previous call), (2) the HF hub /
-    transformers cache (requires network or a pre-existing HF cache; the
-    result is then saved to (1) so subsequent runs are offline)."""
+    `tools/fetch_checkpoint.py` or a previous call), (2) a mounted HF hub
+    cache, read DIRECTLY from its snapshot files — a partially populated
+    cache (weights + config, no tokenizer/refs) works offline, (3) the HF
+    hub via transformers (requires network; the result is then saved to (1)
+    so subsequent runs are offline)."""
     if use_cache:
         hit = load_cached_model(model_name, dtype, cache_dir)
         if hit is not None:
             return hit
+    snap = find_in_hf_cache(model_name)
+    if snap is not None:
+        params, arch = load_checkpoint(snap, dtype)
+        arch = arch.replace(name=model_name)
+        if use_cache:
+            try:
+                save_cached_model(params, arch, model_name, cache_dir)
+            except Exception:
+                pass
+        return params, arch
     from transformers import WhisperForConditionalGeneration
 
     model = WhisperForConditionalGeneration.from_pretrained(model_name)
