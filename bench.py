@@ -1,6 +1,15 @@
 """Headline benchmark: whisper-small greedy transcription throughput on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "rows"}.
+The headline value is the pipelined fixed-25-token regression metric (the
+r2 accounting); "rows" records the full workload family every round
+(VERDICT r2 next-step #2):
+  fenced        per-batch-fenced fixed-25 (the r1/r2-early accounting, kept
+                so the BENCH series stays comparable)
+  real_decode   decode-to-EOT, ragged lengths, p50/p95 per-batch latency —
+                the reference's RTF accounting shape (evaluation.py:77-106)
+  longform      multi-stream timestamp-seek long-form transcription
+                (transcribe_seek_batch, 8x60s streams)
 
 Workload: whisper-small architecture (random weights — no egress for real
 checkpoints), bf16 (or int8 weight-only via --quant), batch B of 30 s-padded
@@ -136,6 +145,89 @@ def _stream_bench(params, arch, args) -> None:
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
     }))
+
+
+def _measure_pipelined(fn, params, wavs, args, n_iters) -> tuple[float, float]:
+    """(rtfx, effective ms/batch) with `--pipeline` batches in flight:
+    host RTT and readback overlap device compute — steady-state serving
+    accounting (reference `evaluation.py:103-106` divides summed time by
+    summed audio)."""
+    import numpy as np
+
+    depth = max(args.pipeline, 1)
+    n = max(n_iters, 8)
+    t0 = time.perf_counter()
+    inflight = []
+    for i in range(n):
+        inflight.append(fn(params, wavs[i % len(wavs)])[0])
+        if len(inflight) >= depth:
+            np.asarray(inflight.pop(0))
+    for tok in inflight:
+        np.asarray(tok)
+    wall_total = time.perf_counter() - t0
+    rtfx = n * args.batch * AVG_UTT_SECONDS / wall_total
+    return rtfx, wall_total / n * 1e3
+
+
+def _measure_fenced(fn, params, wavs, args, n_iters):
+    """(rtfx, times list, final lengths) with a host-readback fence per
+    batch — per-batch latency accounting (the r1/r2-early BENCH metric)."""
+    times = []
+    lengths = None
+    for i in range(n_iters):
+        wav = wavs[i % len(wavs)]
+        t0 = time.perf_counter()
+        tokens, lengths = fn(params, wav)
+        np.asarray(tokens)
+        times.append(time.perf_counter() - t0)
+    wall = float(np.median(times))
+    return args.batch * AVG_UTT_SECONDS / wall, times, lengths
+
+
+def _longform_row(params, arch, args) -> dict:
+    """Multi-stream timestamp-seek long-form row: N concurrent 60 s streams
+    through transcribe_seek_batch's ONE fixed-batch window decoder
+    (longform.py) — the workload the reference's 30 s-only harness cannot
+    express. Audio seconds here are REAL (60 s/stream), not the
+    AVG_UTT_SECONDS convention."""
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek_batch)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        default_tokenizer)
+
+    n_streams, secs = 8, 60.0
+    cfg = DecodeConfig(max_new_tokens=args.tokens, notimestamps=False,
+                       kv_int8=args.kv_int8,
+                       cross_kv_int8=args.cross_kv_int8,
+                       cross_kv_int4=args.cross_kv_int4)
+    tok = default_tokenizer(arch)
+    rng = np.random.default_rng(3)
+    wavs = [rng.standard_normal(int(secs * 16000)).astype(np.float32) * 0.1
+            for _ in range(n_streams)]
+    # warmup: compile the batched window decoder on a short stream set
+    t0 = time.perf_counter()
+    transcribe_seek_batch(params, arch, [w[: 16000 * 2] for w in wavs], tok,
+                          cfg, batch_size=n_streams)
+    print(f"# longform compile+warmup {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    results = transcribe_seek_batch(params, arch, wavs, tok, cfg,
+                                    batch_size=n_streams)
+    wall = time.perf_counter() - t0
+    windows = sum(r["num_windows"] for r in results)
+    segments = sum(len(r["segments"]) for r in results)
+    audio_s = n_streams * secs
+    # Random weights emit degenerate closing timestamps, so seeks advance
+    # far less than a window (real checkpoints advance ~a full window):
+    # window_rtfx = 30 s of decoded audio per window / wall is the
+    # weight-independent throughput; stream rtfx recovers toward it as the
+    # per-window advance approaches 30 s.
+    return {"rtfx": round(audio_s / wall, 2),
+            "window_rtfx": round(windows * 30.0 / wall, 2),
+            "windows": windows, "segments": segments,
+            "streams": n_streams, "seconds_per_stream": secs,
+            "wall_s": round(wall, 2)}
 
 
 def _kernel_smoke() -> None:
@@ -283,6 +375,10 @@ def main() -> None:
                          "p50/p95 per-batch latency — the reference's RTF "
                          "accounting shape (evaluation.py:77-106) instead "
                          "of the fixed-25-token regression metric")
+    ap.add_argument("--quick", action="store_true",
+                    help="headline (pipelined + fenced) only — skip the "
+                         "real-decode and longform rows of the default "
+                         "composite")
     ap.add_argument("--w8a8", action="store_true",
                     help="dynamic int8 activations via the fused Pallas "
                          "w8a8 kernel (the reference's PTDQ analog, "
@@ -418,69 +514,15 @@ def main() -> None:
     n_iters = max(args.iters, 8) if args.real_decode else args.iters
     wavs = [jnp.asarray(rng.standard_normal((args.batch, 480_000)) * 0.1,
                         jnp.float32)
-            for _ in range(n_iters if args.real_decode else 1)]
+            for _ in range(max(n_iters if args.real_decode else 1, 2))]
 
-    def run_synced(wav):
-        # Host readback of the outputs: on some remote TPU platforms (axon)
-        # block_until_ready returns before execution finishes for buffers
-        # descended from jit-created params; copying the (tiny) token array
-        # to host is the only reliable fence. ONE readback — each extra
-        # np.asarray pays a full ~25 ms tunnel RTT inside the timed region
-        # (lengths are read back once, after timing).
-        tokens, lengths = fn(params, wav)
-        np.asarray(tokens)
-        return lengths
-
-    # compile + warmup
+    # compile + warmup. Host readback (np.asarray of the tiny token array)
+    # is the only reliable fence on axon: block_until_ready can return
+    # before execution finishes for buffers descended from jit-created
+    # params; ONE readback — each extra np.asarray pays ~25 ms tunnel RTT.
     t0 = time.perf_counter()
-    lengths = run_synced(wavs[0])
+    np.asarray(fn(params, wavs[0])[0])
     print(f"# compile+warmup {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    if args.pipeline and not args.real_decode:
-        # Sliding window of `--pipeline` in-flight batches: dispatch is
-        # async, so while the host reads batch i's (tiny) tokens back,
-        # the device is already executing batch i+1. Total-wall / total-
-        # audio accounting over all iterations (the reference's shape:
-        # `evaluation.py:103-106` divides summed time by summed audio).
-        depth = max(args.pipeline, 1)
-        n = max(n_iters, 8)
-        t0 = time.perf_counter()
-        inflight = []
-        for i in range(n):
-            inflight.append(fn(params, wavs[i % len(wavs)])[0])
-            if len(inflight) >= depth:
-                np.asarray(inflight.pop(0))
-        for tok in inflight:
-            np.asarray(tok)
-        wall_total = time.perf_counter() - t0
-        rtfx = n * args.batch * AVG_UTT_SECONDS / wall_total
-        print(f"# pipelined: {n} batches depth={depth} "
-              f"wall_total={wall_total:.2f}s "
-              f"({wall_total / n * 1e3:.1f}ms/batch effective)",
-              file=sys.stderr)
-        mode = "greedy" if args.beam <= 1 else f"beam{args.beam}"
-        if args.merge_at is not None:
-            mode += f"+merge@{args.merge_at}"
-        print(json.dumps({
-            "metric": f"whisper-{args.model}-{args.quant} {mode} "
-                      f"pipelined RTFx "
-                      f"(batch {args.batch}, depth {depth}, {n} batches, "
-                      f"{args.tokens} tok, audio={AVG_UTT_SECONDS}s/utt)",
-            "value": round(rtfx, 2),
-            "unit": "x_realtime",
-            "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
-        }))
-        return
-
-    times = []
-    for i in range(n_iters):
-        wav = wavs[i % len(wavs)]
-        t0 = time.perf_counter()
-        lengths = run_synced(wav)
-        times.append(time.perf_counter() - t0)
-    mean_len = [float(np.mean(np.asarray(lengths)))]
-    wall = float(np.median(times))
-    rtfx = args.batch * AVG_UTT_SECONDS / wall
 
     hbm = device_memory_stats().get("hbm_peak_mb", 0.0)
     if not hbm:  # axon reports no memory stats: analytic steady-state model
@@ -491,13 +533,19 @@ def main() -> None:
         hbm = analytic_hbm_mb(params, arch, args.batch,
                               beam=max(args.beam, 1), kv_int8=cfg.kv_int8,
                               cross_kv_bytes=ckv_bytes, cache_len=64)
-    print(f"# wall_per_batch={wall * 1e3:.1f}ms times={[f'{t*1e3:.0f}' for t in times]} "
-          f"peak_hbm={hbm:.0f}MB (analytic when platform reports none)",
-          file=sys.stderr)
+
+    mode = "greedy" if args.beam <= 1 else f"beam{args.beam}"
+    if args.merge_at is not None:
+        mode += f"+merge@{args.merge_at}"
+
     if args.real_decode:
+        # standalone real-decode mode (the r2 flag): fenced, to-EOT
+        rtfx, times, lengths = _measure_fenced(fn, params, wavs, args,
+                                               n_iters)
         p50 = float(np.percentile(times, 50)) * 1e3
         p95 = float(np.percentile(times, 95)) * 1e3
-        print(f"# real-decode: mean_len={mean_len[0]:.1f} tok "
+        mean_len = float(np.mean(np.asarray(lengths)))
+        print(f"# real-decode: mean_len={mean_len:.1f} tok "
               f"latency p50={p50:.0f}ms p95={p95:.0f}ms "
               f"(per batch of {args.batch}; every utterance in a batch "
               f"shares its batch's wall)", file=sys.stderr)
@@ -510,14 +558,75 @@ def main() -> None:
             "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
         }))
         return
+
+    if not args.pipeline:
+        # fenced-only mode (--pipeline 0): the r1/r2-early accounting
+        rtfx, times, _ = _measure_fenced(fn, params, wavs, args, n_iters)
+        print(f"# wall_per_batch={np.median(times) * 1e3:.1f}ms "
+              f"times={[f'{t*1e3:.0f}' for t in times]} "
+              f"peak_hbm={hbm:.0f}MB (analytic when platform reports none)",
+              file=sys.stderr)
+        print(json.dumps({
+            "metric": f"whisper-{args.model}-{args.quant} {mode} RTFx "
+                      f"(batch {args.batch}, {args.tokens} tok, "
+                      f"audio={AVG_UTT_SECONDS}s/utt)",
+            "value": round(rtfx, 2),
+            "unit": "x_realtime",
+            "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+        }))
+        return
+
+    # ---- default composite: pipelined headline + the workload family ----
+    rtfx, ms_batch = _measure_pipelined(fn, params, wavs, args, args.iters)
+    print(f"# pipelined: depth={args.pipeline} "
+          f"{ms_batch:.1f}ms/batch effective peak_hbm={hbm:.0f}MB "
+          f"(analytic when platform reports none)", file=sys.stderr)
+    rows = {"pipelined": {"rtfx": round(rtfx, 2),
+                          "ms_per_batch": round(ms_batch, 1)}}
+
+    f_rtfx, f_times, _ = _measure_fenced(fn, params, wavs, args,
+                                         max(args.iters, 3))
+    rows["fenced"] = {"rtfx": round(f_rtfx, 2),
+                      "ms_per_batch": round(float(np.median(f_times)) * 1e3,
+                                            1)}
+    print(f"# fenced: {rows['fenced']}", file=sys.stderr)
+
+    if not args.quick:
+        # real-decode row: to-EOT, ragged lengths (its own program — EOT
+        # unsuppressed + early-exit while_loop)
+        import dataclasses
+
+        cfg_rd = dataclasses.replace(cfg, suppress_tokens=())
+        fn_rd = make_transcribe_fn(arch, cfg_rd, fast_mel=True,
+                                   merge_at=args.merge_at,
+                                   fast_gelu=args.fast_gelu)
+        t0 = time.perf_counter()
+        np.asarray(fn_rd(params, wavs[0])[0])
+        print(f"# real-decode compile+warmup {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        rd_rtfx, rd_times, rd_lengths = _measure_fenced(
+            fn_rd, params, wavs, args, max(args.iters, 8))
+        rows["real_decode"] = {
+            "rtfx": round(rd_rtfx, 2),
+            "p50_ms": round(float(np.percentile(rd_times, 50)) * 1e3),
+            "p95_ms": round(float(np.percentile(rd_times, 95)) * 1e3),
+            "mean_len_tok": round(float(np.mean(np.asarray(rd_lengths))), 1),
+            "vs_fixed_token": round(rd_rtfx / f_rtfx, 3),
+        }
+        print(f"# real-decode: {rows['real_decode']}", file=sys.stderr)
+
+        rows["longform"] = _longform_row(params, arch, args)
+        print(f"# longform: {rows['longform']}", file=sys.stderr)
+
     print(json.dumps({
-        "metric": f"whisper-{args.model}-{args.quant} "
-                  f"{'greedy' if args.beam <= 1 else f'beam{args.beam}'} RTFx "
-                  f"(batch {args.batch}, {args.tokens} tok, "
-                  f"audio={AVG_UTT_SECONDS}s/utt)",
+        "metric": f"whisper-{args.model}-{args.quant} {mode} "
+                  f"pipelined RTFx "
+                  f"(batch {args.batch}, depth {args.pipeline}, "
+                  f"{args.tokens} tok, audio={AVG_UTT_SECONDS}s/utt)",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+        "rows": rows,
     }))
 
 

@@ -256,6 +256,12 @@ class EvalConfig:
     # scoring the reference's recorded WERs use — data_utils.py:60,170), or
     # "none". The CLI real-data path (--hf/--librispeech) selects "whisper".
     normalizer: str = "basic"
+    # Sort utterances by duration before batching so each lockstep decode
+    # batch holds similar-length audio: a batch pays for its SLOWEST member
+    # (to-EOT decode runs until all rows finish), so mixing a 30 s utterance
+    # into a batch of 3 s ones wastes ~90% of the other rows' steps. Scores
+    # and record order are unaffected (records are restored to input order).
+    length_bucketing: bool = True
 
 
 @dataclass

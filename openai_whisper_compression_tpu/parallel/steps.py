@@ -38,21 +38,74 @@ def make_train_step(arch: WhisperArch, mesh: Mesh, lr: float = 1e-4):
     return jax.jit(step, donate_argnums=(0,)), place_params, place_batch
 
 
-def make_eval_step(arch: WhisperArch, mesh: Mesh, decode_cfg=None):
-    """Data-parallel transcription step: waveform batch sharded over 'dp'.
+def make_dp_transcribe(arch: WhisperArch, mesh: Mesh, decode_cfg=None,
+                       axis: str = "dp", **fn_kwargs):
+    """Kernel-preserving data-parallel transcription (VERDICT r2 #3).
 
-    This is the throughput scale-out for the eval harness (the per-chip path
-    stays identical; GSPMD splits the batch). NOTE: on a >1-device mesh the
-    fused Pallas decode cross-attention is disabled (GSPMD cannot
-    auto-partition a pallas_call; the explicit shard_map serving path in
-    tp_forward is the kernel-compatible multi-chip route)."""
-    import dataclasses
+    The single-device flagship program — fused Pallas decode
+    cross-attention, fused self-attention step, quantized matmul kernels,
+    the full greedy/beam/timestamp machinery of `make_transcribe_fn` —
+    runs UNCHANGED inside `shard_map`: every device sees its local batch
+    shard as a plain array, params are replicated, and there is zero
+    cross-device communication (batch rows are independent). GSPMD cannot
+    auto-partition a `pallas_call`, which is why the old pjit route had to
+    turn `cross_pallas` off on >1 device and regress per-chip decode
+    throughput (DESIGN.md §8: the fused kernel is the 14→3.9 ms/step win);
+    shard_map sidesteps GSPMD entirely.
+
+    On a ('dp','tp') mesh the batch splits over 'dp' and the program is
+    replicated over 'tp' (use `tp_forward.make_tp_decoder` to shard the
+    model itself). Batch size must divide by the 'dp' axis size.
+
+    Returns (jitted (params, wav) -> (tokens, lengths), place_batch)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
 
     from ..evaluation.harness import make_transcribe_fn
 
-    if decode_cfg is not None and mesh.size > 1 and decode_cfg.cross_pallas:
-        decode_cfg = dataclasses.replace(decode_cfg, cross_pallas=False)
-    fn = make_transcribe_fn(arch, decode_cfg) if decode_cfg else None
+    fn = make_transcribe_fn(arch, decode_cfg, **fn_kwargs)
+    dp = mesh.shape[axis]
+
+    run = shard_map(
+        lambda params, wav: fn(params, wav),
+        mesh=mesh,
+        in_specs=(P(), P(axis)),        # params replicated, batch on dp
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,                # no collectives: nothing to check
+    )
+
+    @jax.jit
+    def step(params, wav):
+        return run(params, wav)
+
+    def place_batch(wav):
+        if wav.shape[0] % dp:
+            raise ValueError(
+                f"batch {wav.shape[0]} not divisible by dp={dp}")
+        return jax.device_put(wav, mesh_lib.batch_sharding(mesh))
+
+    return step, place_batch
+
+
+def make_eval_step(arch: WhisperArch, mesh: Mesh, decode_cfg=None):
+    """Data-parallel transcription step: waveform batch sharded over 'dp'.
+
+    Multi-device meshes route through `make_dp_transcribe` (shard_map), so
+    the fused Pallas decode kernels survive scale-out — per-chip throughput
+    is the single-chip program's. Single-device meshes keep the plain jitted
+    fn (no shard_map wrapping to stay off the virtual-mesh code path)."""
+    from ..evaluation.harness import make_transcribe_fn
+
+    if decode_cfg is None:
+        def place_batch(wav):
+            return jax.device_put(wav, mesh_lib.batch_sharding(mesh))
+
+        return None, place_batch
+    if mesh.size > 1:
+        return make_dp_transcribe(arch, mesh, decode_cfg)
+    fn = make_transcribe_fn(arch, decode_cfg)
 
     def place_batch(wav):
         return jax.device_put(wav, mesh_lib.batch_sharding(mesh))

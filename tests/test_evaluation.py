@@ -168,6 +168,47 @@ def test_evaluate_model_end_to_end(tmp_path):
     assert "WER" in out
 
 
+def test_length_bucketing_preserves_results():
+    """length_bucketing batches by duration but must not change scores or
+    the ORDER of returned records (VERDICT r2 next-step #2)."""
+    import jax
+
+    from openai_whisper_compression_tpu.config import (ARCHS, DecodeConfig,
+                                                       EvalConfig)
+    from openai_whisper_compression_tpu.evaluation import harness
+    from openai_whisper_compression_tpu.evaluation.data import (
+        synthetic_dataset)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+    from openai_whisper_compression_tpu.models import params as P
+
+    arch = ARCHS["test2l"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    # deliberately shuffled durations: min 0.5 s to max 6 s
+    data = synthetic_dataset(8, seed=5, vocab_size=500,
+                             min_dur=0.5, max_dur=6.0)
+    assert [u.duration for u in data] != sorted(u.duration for u in data)
+    tok = WordTokenizer(arch.vocab_size, special_start=997)
+    dcfg = DecodeConfig(max_new_tokens=6, language_token_id=None,
+                        task_token_id=None, notimestamps=False)
+
+    s_plain, r_plain = harness.evaluate_model(
+        params, arch, data, tok,
+        eval_cfg=EvalConfig(batch_size=4, warmup_batches=0,
+                            length_bucketing=False), decode_cfg=dcfg)
+    s_bucket, r_bucket = harness.evaluate_model(
+        params, arch, data, tok,
+        eval_cfg=EvalConfig(batch_size=4, warmup_batches=0,
+                            length_bucketing=True), decode_cfg=dcfg)
+    assert [r["id"] for r in r_bucket] == [u.uid for u in data]
+    assert [r["id"] for r in r_plain] == [r["id"] for r in r_bucket]
+    # per-utterance hypotheses identical (batch composition must not
+    # change a row's transcription: rows are independent)
+    for a, b in zip(r_plain, r_bucket):
+        assert a["hypothesis"] == b["hypothesis"]
+    assert s_plain["wer"] == s_bucket["wer"]
+
+
 def test_synthetic_dataset_deterministic():
     from openai_whisper_compression_tpu.evaluation.data import (
         prepare_datasets, synthetic_dataset)

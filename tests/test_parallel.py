@@ -63,6 +63,48 @@ def test_param_sharding_layout(arch):
     assert fc2.sharding.spec == jax.sharding.PartitionSpec("tp", None)
 
 
+def test_dp_transcribe_kernels_on_matches_single_device(arch):
+    """VERDICT r2 #3: dp=8 eval with the fused Pallas kernels ON
+    (cross_pallas + self_pallas + int8 cross-KV) must produce the exact
+    single-device tokens — the shard_map DP path must not silently degrade
+    the per-chip program the way the old GSPMD route did."""
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.evaluation.harness import (
+        make_transcribe_fn)
+    from openai_whisper_compression_tpu.parallel.steps import (
+        make_dp_transcribe, make_eval_step)
+
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    cfg = DecodeConfig(max_new_tokens=8, language_token_id=None,
+                       task_token_id=None, cross_kv_int8=True)
+    assert cfg.cross_pallas and cfg.self_pallas  # kernels ON
+    rng = np.random.default_rng(2)
+    n = arch.max_source_positions * 2 * 160
+    wav = jnp.asarray(rng.standard_normal((8, n)) * 0.1, jnp.float32)
+
+    ref_t, ref_l = make_transcribe_fn(arch, cfg)(params, wav)
+
+    mesh = mesh_lib.make_mesh(dp=8, tp=1)
+    fn, place = make_dp_transcribe(arch, mesh, cfg)
+    t, l = fn(params, place(wav))
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(ref_t))
+    np.testing.assert_array_equal(np.asarray(l), np.asarray(ref_l))
+
+    # dp=2 x tp=4 mesh: batch over dp, program replicated over tp
+    mesh2 = mesh_lib.make_mesh(dp=2, tp=4)
+    fn2, place2 = make_dp_transcribe(arch, mesh2, cfg)
+    t2, l2 = fn2(params, place2(wav))
+    np.testing.assert_array_equal(np.asarray(t2), np.asarray(ref_t))
+
+    # make_eval_step routes through the same kernel-preserving path
+    fn3, place3 = make_eval_step(arch, mesh, cfg)
+    t3, _ = fn3(params, place3(wav))
+    np.testing.assert_array_equal(np.asarray(t3), np.asarray(ref_t))
+
+    with pytest.raises(ValueError):
+        place(wav[:3])  # 3 % 8 != 0
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
