@@ -511,6 +511,35 @@ def cmd_presets(args):
     return all_scores
 
 
+def cmd_curve(args):
+    """Compression->speed curve artifact: sweep the structured ladder
+    (head-prune 25/50%, FFN shrink, decoder layer drop, each + quant,
+    optional recovery distill) ON-CHIP, emitting RTFx + agreement + size
+    per point (JSON + plot) — the thesis's core story told with measured
+    throughput, which masked-pruning torch could not do
+    (`pruning_quantization_all.py:1392-1460` reports theoretical GFLOPs)."""
+    from .sweep.curve import plot_curve, run_curve
+
+    params, arch = _load_model(args)
+    points = run_curve(params, arch, quant=args.quant or "int8",
+                       batch=args.batch_size, tokens=args.max_new_tokens,
+                       iters=args.iters, recover_steps=args.recover_steps)
+    out = {"model": arch.name, "batch": args.batch_size,
+           "quant": args.quant or "int8", "points": points}
+    if args.save_path:
+        import os
+
+        os.makedirs(args.save_path, exist_ok=True)
+        jpath = os.path.join(args.save_path, "curve.json")
+        with open(jpath, "w") as f:
+            json.dump(out, f, indent=2)
+        ppath = os.path.join(args.save_path, "curve.png")
+        plot_curve(points, ppath)
+        print(f"wrote {jpath} and {ppath}")
+    print(json.dumps(out))
+    return out
+
+
 def cmd_analyze(args):
     from .sensitivity import architecture
 
@@ -836,6 +865,18 @@ def main(argv=None):
     p.add_argument("--arch-override", default=None,
                    help="run preset transforms on a different (tiny) arch")
     p.set_defaults(fn=cmd_presets)
+
+    p = sub.add_parser("curve", help="compression->speed ladder artifact "
+                                     "(on-chip RTFx + agreement + size)")
+    common(p)
+    p.add_argument("--max-new-tokens", type=int, default=25)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--recover-steps", type=int, default=0,
+                   help="> 0 adds a +recover distilled variant per lossy "
+                        "rung")
+    p.add_argument("--quant", default="int8",
+                   help="weight quantizer applied at every non-dense rung")
+    p.set_defaults(fn=cmd_curve)
 
     p = sub.add_parser("sensitivity", help="sensitivity analyses")
     common(p)

@@ -58,8 +58,6 @@ def make_dp_transcribe(arch: WhisperArch, mesh: Mesh, decode_cfg=None,
     model itself). Batch size must divide by the 'dp' axis size.
 
     Returns (jitted (params, wav) -> (tokens, lengths), place_batch)."""
-    from functools import partial
-
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 

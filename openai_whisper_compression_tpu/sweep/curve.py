@@ -1,0 +1,231 @@
+"""Compression -> speed curve: the thesis's structured-compression story
+told with REAL on-chip throughput (VERDICT r2 next-step #5).
+
+The reference sweeps structured pruning configs and reports WER + a
+THEORETICAL GFLOPs reduction (`/root/reference/pruning+quantization/
+pruning_quantization_all.py:1392-1460`; FLOPs model at
+`unstructured_L1_baseline.py:100-177`) — it cannot measure speed because
+masked pruning doesn't accelerate torch. Here every rung is PHYSICAL
+surgery (smaller matmuls, smaller KV caches), so each point carries a
+measured RTFx alongside agreement-vs-dense and stored size:
+
+    dense -> int8 -> +head-prune 25% -> 50% -> +FFN shrink 50%
+          -> +decoder layer drop      (each optionally + recovery distill)
+
+One command: `cli curve --model small --batch 32` -> curve.json (+ plot).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+from ..config import DecodeConfig, WhisperArch
+
+Transform = Callable[[Any, WhisperArch], tuple[Any, WhisperArch]]
+
+
+def _heads(amount: float):
+    def f(p, a):
+        from ..prune.structured import prune_heads_by_l1
+
+        # arch stays fixed: head counts are derived from local weight
+        # widths downstream (head_dim must keep d_model//encoder_heads)
+        return prune_heads_by_l1(p, a, amount, physical=True), a
+    return f
+
+
+def _ffn(amount: float):
+    def f(p, a):
+        from ..prune.structured import shrink_ffn
+
+        for comp in ("encoder", "decoder"):
+            for li in range(len(p[comp]["layers"])):
+                p = shrink_ffn(p, comp, li, amount)
+        return p, a
+    return f
+
+
+def _drop_decoder(frac: float):
+    def f(p, a):
+        from ..prune.structured import drop_layers
+
+        n = len(p["decoder"]["layers"])
+        k = max(1, int(n * frac))
+        p = drop_layers(p, "decoder", list(range(n - k, n)))
+        return p, a.replace(decoder_layers=n - k)
+    return f
+
+
+def _chain(*fns):
+    def f(p, a):
+        for fn in fns:
+            p, a = fn(p, a)
+        return p, a
+    return f
+
+
+def ladder(quant: str = "int8") -> list[tuple[str, Transform, bool]]:
+    """(name, transform, lossy) rungs. `lossy` rungs are eligible for the
+    optional recovery-distillation variant."""
+    ident: Transform = lambda p, a: (p, a)
+    return [
+        ("dense", ident, False),
+        (quant, ident, False),
+        (f"heads25+{quant}", _heads(0.25), True),
+        (f"heads50+{quant}", _heads(0.50), True),
+        (f"heads50+ffn50+{quant}", _chain(_heads(0.50), _ffn(0.50)), True),
+        (f"declayers-25%+{quant}", _drop_decoder(0.25), True),
+    ]
+
+
+def _measure_rtfx(params, arch, cfg, batch: int, iters: int = 3,
+                  avg_utt_s: float = 7.42) -> float:
+    """Fenced fixed-token decode throughput (bench.py accounting): EOT
+    suppressed so every rung does identical token work."""
+    import jax.numpy as jnp
+
+    from ..evaluation.harness import make_transcribe_fn
+
+    fn = make_transcribe_fn(arch, cfg, fast_mel=True)
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((batch, 480_000)) * 0.1,
+                      jnp.float32)
+    np.asarray(fn(params, wav)[0])        # compile + warmup
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, wav)[0])    # host readback = timing fence
+        times.append(time.perf_counter() - t0)
+    return batch * avg_utt_s / float(np.median(times))
+
+
+def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
+              batch: int = 32, tokens: int = 25, iters: int = 3,
+              agreement_samples: int = 8, recover_steps: int = 0,
+              kv_int8: bool = True, cross_kv_int8: bool = True,
+              rungs: list[str] | None = None,
+              progress=print) -> list[dict]:
+    """Measure every ladder rung on the attached backend.
+
+    rungs: optional name filter (substring match) selecting a subset of
+    the ladder. recover_steps > 0 adds a `+recover` variant for each lossy rung
+    (KL recovery distillation against the dense teacher, then requant —
+    cli._run_recovery_ladder semantics with pruned-mask preservation).
+
+    Returns a list of point dicts: {name, rtfx, size_mb, hbm_mb,
+    token_agreement, mean_kl, params_m, [recovered: {...}]}.
+    """
+    import jax.numpy as jnp
+
+    from ..audio import features
+    from ..evaluation.agreement import model_agreement
+    from ..evaluation.harness import samples_for_arch
+    import jax
+
+    from ..evaluation.memory import analytic_hbm_mb
+    from ..models.params import size_in_mb
+    from ..quant.api import quantize_params
+
+    def count_params(p):
+        from ..ops.qtensor import QTensor
+
+        total = 0
+        for leaf in jax.tree.leaves(
+                p, is_leaf=lambda x: isinstance(x, QTensor)):
+            total += (int(np.prod(leaf.shape)) if isinstance(leaf, QTensor)
+                      else int(np.prod(np.shape(leaf))))
+        return total
+
+    n = samples_for_arch(arch)
+    rng = np.random.default_rng(1)
+    mels = features.preprocess(
+        jnp.asarray(rng.standard_normal((agreement_samples, n)) * 0.1,
+                    jnp.float32), arch.num_mel_bins,
+        length=n).astype(jnp.float32)
+    agree_cfg = DecodeConfig(max_new_tokens=min(tokens, 16),
+                             language_token_id=None, task_token_id=None,
+                             notimestamps=False)
+
+    points: list[dict] = []
+    for name, transform, lossy in ladder(quant):
+        if rungs is not None and not any(r in name for r in rungs):
+            continue
+        p2, a2 = transform(params, arch)
+        variants = [("", p2)]
+        if lossy and recover_steps > 0:
+            from ..distill import distill
+
+            # physical surgery leaves no masks to preserve; recovery is
+            # plain KL distillation toward the dense teacher
+            dense_rec, _ = distill(p2, params, a2, steps=recover_steps,
+                                   lr=3e-5, batch=2, seq_len=8,
+                                   preserve_sparsity=False)
+            variants.append(("+recover", dense_rec))
+        base_entry = None
+        for suffix, pv in variants:
+            q = pv if name == "dense" else quantize_params(pv, quant)
+            cfg = DecodeConfig(
+                max_new_tokens=tokens, kv_int8=kv_int8,
+                cross_kv_int8=cross_kv_int8,
+                suppress_tokens=(arch.eos_token_id,))
+            rtfx = _measure_rtfx(q, a2, cfg, batch, iters)
+            ag = model_agreement(params, q, a2, mels, agree_cfg) \
+                if name != "dense" else {"token_agreement": 1.0,
+                                         "top1_agreement": 1.0,
+                                         "mean_kl": 0.0,
+                                         "logit_rel_err": 0.0}
+            entry = {
+                "name": name + suffix,
+                "rtfx": round(rtfx, 2),
+                "size_mb": round(size_in_mb(q), 1),
+                "hbm_mb": round(analytic_hbm_mb(
+                    q, a2, batch, kv_int8=kv_int8,
+                    cross_kv_bytes=1.0 if cross_kv_int8 else 2.0,
+                    cache_len=64), 0),
+                "params_m": round(count_params(q) / 1e6, 1),
+                **{k: round(v, 4) for k, v in ag.items()},
+            }
+            progress(f"# curve {entry['name']}: rtfx={entry['rtfx']} "
+                     f"size={entry['size_mb']}MB "
+                     f"agree={entry['token_agreement']}")
+            if suffix == "":
+                base_entry = entry
+                points.append(entry)
+            else:
+                base_entry["recovered"] = entry
+    return points
+
+
+def plot_curve(points: list[dict], path: str) -> None:
+    """RTFx-vs-size scatter with agreement coloring (matplotlib Agg)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    xs = [p["size_mb"] for p in points]
+    ys = [p["rtfx"] for p in points]
+    cs = [p["token_agreement"] for p in points]
+    sc = ax.scatter(xs, ys, c=cs, cmap="viridis", vmin=0, vmax=1, s=60,
+                    zorder=3)
+    for p in points:
+        ax.annotate(p["name"], (p["size_mb"], p["rtfx"]), fontsize=7,
+                    xytext=(4, 4), textcoords="offset points")
+        if "recovered" in p:
+            r = p["recovered"]
+            ax.scatter([r["size_mb"]], [r["rtfx"]], marker="^", s=50,
+                       c=[r["token_agreement"]], cmap="viridis", vmin=0,
+                       vmax=1, zorder=3)
+    ax.set_xlabel("stored size (MB)")
+    ax.set_ylabel("RTFx (fixed-token decode)")
+    ax.set_title("structured compression ladder: size vs throughput "
+                 "(color = token agreement vs dense)")
+    fig.colorbar(sc, label="token agreement")
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
