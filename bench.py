@@ -59,11 +59,22 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     wavs = [rng.standard_normal(int(AVG_UTT_SECONDS * 16000)
                                 ).astype(np.float32) * 0.1
             for _ in range(n_req)]
+    if args.wire == "flac":
+        # client-side FLAC wire: ~2x less request payload than int16 PCM,
+        # decoded inside the native loader's worker pool (serving.py)
+        from openai_whisper_compression_tpu.audio.flac_encode import (
+            encode_waveform)
+
+        payloads = [encode_waveform(w) for w in wavs]
+        submit = svc.submit_flac
+    else:
+        payloads = wavs
+        submit = svc.submit
     # warmup (first call compiles; remote-TPU compiles take minutes)
     svc.transcribe(wavs[0], timeout=None)
     svc.stats = type(svc.stats)()  # exclude warmup/compile from stats
     t0 = time.perf_counter()
-    futs = [svc.submit(w) for w in wavs]
+    futs = [submit(p) for p in payloads]
     for f in futs:
         f.result(timeout=600)
     wall = time.perf_counter() - t0
@@ -74,10 +85,20 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     print(json.dumps({
         "metric": f"whisper-{args.model}-{args.quant} serving RTFx "
                   f"({n_req} reqs, batch {args.batch}, {args.tokens} tok, "
+                  f"wire={args.wire}, transfer={args.transfer}, "
                   f"audio={AVG_UTT_SECONDS}s/utt)",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+        # end-to-end vs model-call-busy, both MEASURED in this run (no
+        # projections): busy_rtfx = audio / model-call seconds (dispatch+
+        # readback-fenced), the device-side throughput the e2e number
+        # approaches as host/wire overheads shrink
+        "rows": {"e2e_rtfx": round(rtfx, 2),
+                 "busy_rtfx": round(stats["rtfx"], 2),
+                 "occupancy": round(stats["mean_batch_occupancy"], 3),
+                 "latency_p50_ms": round(stats.get("latency_p50_ms", 0)),
+                 "latency_p95_ms": round(stats.get("latency_p95_ms", 0))},
     }))
 
 
@@ -122,28 +143,60 @@ def _stream_bench(params, arch, args) -> None:
     print(f"# compile+warmup {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    for i in range(n_streams):
+    # churn: sessions leave and join mid-run (the production pattern —
+    # callers hang up, new callers arrive). Every quarter of the run,
+    # close 1/4 of the live sessions (collecting their finals) and open
+    # fresh ones in their slots (VERDICT r2 next-step #7).
+    churn_every = (total_chunks // 4 if args.stream_churn else 0)
+    next_id = n_streams
+    live = list(range(n_streams))
+    for i in live:
         pool.open(i)
+    tick_times = []
+    closed = 0
     t0 = time.perf_counter()
     for c in range(total_chunks):
-        for i in range(n_streams):
-            pool.feed(i, audio[i][c])
+        if churn_every and c > 0 and c % churn_every == 0:
+            for _ in range(max(1, n_streams // 4)):
+                sid = live.pop(0)
+                pool.close(sid)       # flush decodes ride the shared step
+                closed += 1
+                pool.open(next_id)
+                live.append(next_id)
+                next_id += 1
+        for i in live:
+            pool.feed(i, audio[i % n_streams][c])
+        tt = time.perf_counter()
         pool.tick()
-    for i in range(n_streams):
+        tick_times.append(time.perf_counter() - tt)
+    for i in live:
         pool.close(i)
+        closed += 1
     wall = time.perf_counter() - t0
     stats = pool.stats()
     fed_s = total_chunks * 0.5        # audio actually fed, not the arg
-    audio_s = n_streams * fed_s
+    audio_s = stats["audio_seconds"] if stats.get("audio_seconds") \
+        else n_streams * fed_s
     rtfx = audio_s / wall
+    p50 = float(np.percentile(tick_times, 50)) * 1e3
+    p95 = float(np.percentile(tick_times, 95)) * 1e3
     print(f"# stream stats: {stats}", file=sys.stderr)
+    print(f"# tick latency p50={p50:.0f}ms p95={p95:.0f}ms "
+          f"sessions_closed={closed} (churn "
+          f"{'on' if churn_every else 'off'})", file=sys.stderr)
     print(json.dumps({
         "metric": f"whisper-{args.model}-{args.quant} streaming RTFx "
-                  f"({n_streams} live streams, LocalAgreement-2, "
-                  f"{fed_s:.1f}s/stream, 0.5s chunks)",
+                  f"({n_streams} live streams"
+                  f"{', churn' if churn_every else ''}, LocalAgreement-2, "
+                  f"{fed_s:.1f}s/stream, 0.5s chunks, "
+                  f"tick p50={p50:.0f}ms p95={p95:.0f}ms)",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+        "rows": {"occupancy": round(stats["mean_batch_occupancy"], 3),
+                 "device_rtfx": round(stats["rtfx"], 2),
+                 "tick_p50_ms": round(p50), "tick_p95_ms": round(p95),
+                 "sessions_closed": closed},
     }))
 
 
@@ -346,6 +399,11 @@ def main() -> None:
                     choices=["float32", "int16", "mulaw"],
                     help="--serve wire codec for host->device audio "
                          "(mulaw = 1 B/sample, ~38 dB SNR)")
+    ap.add_argument("--wire", default="float32",
+                    choices=["float32", "flac"],
+                    help="--serve client->service request format (flac = "
+                         "lossless ~2x smaller payload, decoded in the "
+                         "native loader's worker pool)")
     ap.add_argument("--stream", action="store_true",
                     help="live-streaming throughput: N sessions through "
                          "the StreamingPool's batched per-tick decode")
@@ -353,6 +411,9 @@ def main() -> None:
                     help="concurrent live sessions for --stream")
     ap.add_argument("--stream-seconds", type=float, default=20.0,
                     help="audio seconds fed per stream for --stream")
+    ap.add_argument("--stream-churn", action="store_true",
+                    help="--stream with sessions leaving/joining mid-run "
+                         "(1/4 of the pool every quarter of the run)")
     ap.add_argument("--tune-threshold", action="store_true",
                     help="measure the Pallas-vs-XLA dispatch crossover on "
                          "the attached chip and print it (feeds "

@@ -263,6 +263,52 @@ def test_streaming_pool_limits(setup):
     pool.open("y")                      # slot freed
 
 
+def test_pool_churn_at_scale(setup):
+    """VERDICT r2 #7: a 16-slot pool with sessions opening/closing
+    mid-run — every closed session yields a final dict, replacements ride
+    the SAME compiled step (no recompile: same shapes), stats stay
+    consistent, and a surviving session's output is unaffected by the
+    churn around it (matches a standalone transcriber fed identically)."""
+    from openai_whisper_compression_tpu.streaming import StreamingPool
+
+    params, arch, tok, cfg = setup
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(10)
+    B = 16
+    pool = StreamingPool(params, arch, tok, cfg, max_streams=B,
+                         min_step_s=0.5)
+    keeper_wav = (g.standard_normal(int(1.5 * n)) * 0.1).astype(np.float32)
+    solo = StreamingTranscriber(params, arch, tok, cfg, min_step_s=0.5)
+
+    pool.open("keeper")
+    for i in range(B - 1):
+        pool.open(i)
+    next_id = B - 1
+    finals = []
+    chunk = n // 3
+    for step, i in enumerate(range(0, int(1.5 * n), chunk)):
+        if step > 0:  # churn 4 sessions per round
+            for _ in range(4):
+                victim = next(s for s in pool.sessions if s != "keeper")
+                finals.append(pool.close(victim))
+                pool.open(next_id)
+                next_id += 1
+        for sid in list(pool.sessions):
+            wav = keeper_wav if sid == "keeper" else \
+                (g.standard_normal(chunk) * 0.1).astype(np.float32)
+            pool.feed(sid, keeper_wav[i: i + chunk]
+                      if sid == "keeper" else wav)
+        ticked = pool.tick()
+        ref = solo.feed(keeper_wav[i: i + chunk])
+        assert ticked["keeper"]["committed"] == ref["committed"]
+        assert ticked["keeper"]["pending"] == ref["pending"]
+    assert len(finals) >= 8 and all("committed" in f for f in finals)
+    assert len(pool.sessions) == B
+    assert pool.close("keeper")["committed"] == solo.flush()["committed"]
+    st = pool.stats()
+    assert st["decodes"] > 0 and 0 < st["mean_batch_occupancy"] <= 1
+
+
 def test_pool_stats(setup):
     from openai_whisper_compression_tpu.streaming import StreamingPool
 
