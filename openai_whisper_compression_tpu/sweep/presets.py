@@ -75,10 +75,16 @@ BASELINE_PRESETS: list[Preset] = [
     Preset("small_fp16_beam5_longform", "small", "float16", _identity,
            decode={"beam_size": 5}, longform=True),
     Preset("small_int8", "small", "bfloat16", _quant("int8")),
+    # capacity-driven configs (VERDICT r2 #4, measured on v5e-1, r3):
+    # int4 cross-KV halves the per-item decode stream so batch rises to
+    # the throughput plateau — medium 16->96 (275->382 RTFx), large-v3
+    # 8->48 (244->347). kv_int8 stays OFF for large-v3: at the 64-slot
+    # decode cache the int8 convert overhead exceeds the bandwidth saved
+    # (measured 347 -> 313 at b48; DESIGN.md §8).
     Preset("medium_int4_kv8", "medium", "bfloat16", _quant("int4"),
-           decode={"kv_int8": True}),
+           decode={"kv_int8": True, "cross_kv_int4": True}),
     Preset("largev3_structured50_int8", "large-v3", "bfloat16",
-           _structured50_int8),
+           _structured50_int8, decode={"cross_kv_int4": True}),
 ]
 
 PRESETS = {p.name: p for p in BASELINE_PRESETS}
