@@ -74,7 +74,21 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     svc.transcribe(wavs[0], timeout=None)
     svc.stats = type(svc.stats)()  # exclude warmup/compile from stats
     t0 = time.perf_counter()
-    futs = [submit(p) for p in payloads]
+    if args.arrival_rtfx:
+        # OPEN-LOOP: requests arrive paced at a target aggregate load
+        # (args.arrival_rtfx x realtime of offered audio), so the latency
+        # percentiles measure steady-state service latency instead of the
+        # depth of a burst queue (closed-loop submits all N at t=0).
+        interval = AVG_UTT_SECONDS / args.arrival_rtfx
+        futs = []
+        for i, p in enumerate(payloads):
+            target = t0 + i * interval
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+            futs.append(submit(p))
+    else:
+        futs = [submit(p) for p in payloads]
     for f in futs:
         f.result(timeout=600)
     wall = time.perf_counter() - t0
@@ -86,7 +100,9 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
         "metric": f"whisper-{args.model}-{args.quant} serving RTFx "
                   f"({n_req} reqs, batch {args.batch}, {args.tokens} tok, "
                   f"wire={args.wire}, transfer={args.transfer}, "
-                  f"audio={AVG_UTT_SECONDS}s/utt)",
+                  + (f"open-loop {args.arrival_rtfx}x, "
+                     if args.arrival_rtfx else "closed-loop, ")
+                  + f"audio={AVG_UTT_SECONDS}s/utt)",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
@@ -399,6 +415,12 @@ def main() -> None:
                     choices=["float32", "int16", "mulaw"],
                     help="--serve wire codec for host->device audio "
                          "(mulaw = 1 B/sample, ~38 dB SNR)")
+    ap.add_argument("--arrival-rtfx", type=float, default=None,
+                    help="--serve open-loop mode: pace request arrivals at "
+                         "this aggregate x-realtime load so latency "
+                         "percentiles measure steady-state service time, "
+                         "not burst-queue depth (default: closed-loop "
+                         "burst, the max-throughput accounting)")
     ap.add_argument("--wire", default="float32",
                     choices=["float32", "flac"],
                     help="--serve client->service request format (flac = "

@@ -581,9 +581,14 @@ def _run_recovery_ladder(student, teacher, arch, *, qat: bool, steps: int,
     if qat and not quant:
         raise SystemExit("QAT needs a quantization method "
                          "(--quant / quantization.name)")
+    # an explicit caller preserve_sparsity/sparsity_ref wins over the
+    # `pruned`-derived defaults
+    ps = distill_kw.pop("preserve_sparsity", pruned)
+    sref = distill_kw.pop("sparsity_ref",
+                          student if (ps and pruned) else None)
     if quant is None:
         out, hist = run_distill(student, teacher, arch, steps=steps, lr=lr,
-                                preserve_sparsity=pruned, **distill_kw)
+                                preserve_sparsity=ps, **distill_kw)
         return out, hist, "recovery"
     from .quant.api import dequantize_params, quantize_params
     from .quant.qat import make_ste_transform, resolve_method
@@ -604,14 +609,13 @@ def _run_recovery_ladder(student, teacher, arch, *, qat: bool, steps: int,
                                        include_embed, **qkw)
         latent, hist = run_distill(student, teacher, arch, steps=steps,
                                    lr=lr, param_transform=transform,
-                                   preserve_sparsity=pruned, **distill_kw)
+                                   preserve_sparsity=ps, **distill_kw)
     else:
         dense = dequantize_params(quantize_params(
             student, base_method, include_embed=include_embed, **qkw))
         latent, hist = run_distill(dense, teacher, arch, steps=steps,
-                                   lr=lr, preserve_sparsity=pruned,
-                                   sparsity_ref=student if pruned else None,
-                                   **distill_kw)
+                                   lr=lr, preserve_sparsity=ps,
+                                   sparsity_ref=sref, **distill_kw)
     out = quantize_params(latent, base_method, act=act,
                           include_embed=include_embed, **qkw)
     return out, hist, ("QAT" if qat else "recovery")
