@@ -655,10 +655,12 @@ def cmd_distill(args):
 
 def cmd_export(args):
     """Export a (optionally compressed) model as an HF-named state dict:
-    .npz (numpy) or .pt (torch.save) — the counterpart of the reference's
-    `save_pretrained` flow (`openai_whisper_compression/utils.py:258-268`)
-    so compressed models round-trip into HF-based tooling. Quantized
-    leaves are dequantized (fake-quant values, error baked in)."""
+    .npz (numpy), .pt (torch.save), or .safetensors (the framework's own
+    dependency-free writer; loads straight back via `--weights` or any HF
+    tool) — the counterpart of the reference's `save_pretrained` flow
+    (`openai_whisper_compression/utils.py:258-268`) so compressed models
+    round-trip into HF-based tooling. Quantized leaves are dequantized
+    (fake-quant values, error baked in)."""
     from .models.convert import to_hf_state_dict
     from .quant.api import dequantize_params
     from .storage import formats
@@ -693,6 +695,10 @@ def cmd_export(args):
 
         torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                     for k, v in sd.items()}, out_path)
+    elif out_path.endswith(".safetensors"):
+        from .models.convert import write_safetensors
+
+        write_safetensors(sd, out_path)
     else:
         if not out_path.endswith(".npz"):
             out_path += ".npz"
@@ -923,7 +929,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_distill)
 
     p = sub.add_parser("export",
-                       help="export HF-named state dict (.npz/.pt)")
+                       help="export HF-named state dict "
+                            "(.npz/.pt/.safetensors)")
     common(p)
     p.add_argument("--quant", default=None,
                    help="quantize before export (dequantized values land "
@@ -931,7 +938,8 @@ def main(argv=None):
     p.add_argument("--load", default=None,
                    help="load a stored compressed model (any storage "
                         "format) instead of --model/--hf weights")
-    p.add_argument("--out", required=True, help=".npz or .pt path")
+    p.add_argument("--out", required=True,
+                   help=".npz, .pt or .safetensors path")
     p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("compress", help="thesis recipe + store compressed")

@@ -195,6 +195,19 @@ def test_cli_export_hf_state_dict(tmp_path, capsys):
     sd2 = dict(np.load(out2))
     assert set(sd2) == set(sd)
 
+    # safetensors export: loads straight back via the universal loader
+    from openai_whisper_compression_tpu.models.convert import (
+        load_checkpoint, read_safetensors)
+
+    outs = tmp_path / "m.safetensors"
+    cli.main(["export", "--model", "test2l", "--out", str(outs)])
+    sds = read_safetensors(str(outs))
+    assert set(sds) == set(sd)
+    loaded, _ = load_checkpoint(str(outs))
+    np.testing.assert_array_equal(
+        np.asarray(loaded["encoder"]["layers"][0]["fc1"]["w"]),
+        np.asarray(params["encoder"]["layers"][0]["fc1"]["w"]))
+
 
 def test_cli_run_with_recovery(tmp_path):
     """RunConfig.recovery: declarative QAT / recovery ladder in the
