@@ -138,7 +138,8 @@ class TranscriptionService:
                  cfg: DecodeConfig | None = None, batch_size: int = 8,
                  max_wait_ms: float = 50.0, transcribe_fn=None,
                  transfer_int16: bool = False,
-                 transfer: str | None = None):
+                 transfer: str | None = None,
+                 pipeline: int = 2):
         import jax
         import jax.numpy as jnp
 
@@ -178,6 +179,12 @@ class TranscriptionService:
 
             self._fn = _fn_wire
         self._first_gen = len(forced_prefix(arch, self.cfg))
+        # batches in flight (JAX async dispatch). 2 = dispatch batch i+1
+        # (host decode/resample/wire-encode + upload) while the device runs
+        # batch i, the same overlap that recovered the ~30 ms tunnel tax in
+        # bench.py's pipelined accounting (DESIGN.md §8). 1 = fenced.
+        self.pipeline = max(1, int(pipeline))
+        self._busy_mark = 0.0  # merged-interval device-busy accounting
         self._loader = BatchLoader(batch_size, self.n_samples)
         self._queue: queue.Queue = queue.Queue()
         self.stats = ServiceStats()
@@ -319,78 +326,119 @@ class TranscriptionService:
         return items
 
     def _run(self) -> None:
+        """Worker loop: assemble -> dispatch (async) -> retire.
+
+        JAX dispatch is asynchronous — `self._fn(...)` returns device
+        futures immediately; the block happens at `np.asarray` in
+        `_finalize`. Keeping up to `self.pipeline` batches in flight lets
+        the host side of batch i+1 (native FLAC decode/resample, wire
+        encode, upload, result decode of batch i-1) overlap the device
+        compute of batch i. Under low load (no new batch assembled this
+        iteration) everything in flight retires immediately, so idle-queue
+        latency is never inflated by pipeline residency.
+        """
+        from collections import deque
+
         import jax.numpy as jnp
 
-        while not (self._stop.is_set() and self._queue.empty()):
-            items = self._take_batch()
-            if not items:
-                continue
-            failed: dict[int, Exception] = {}
-            try:
-                for slot in range(self.batch_size):
-                    self._loader.clear(slot)
-                for slot, (wav, sr, _, _, _) in enumerate(items):
-                    try:
-                        if isinstance(wav, _FlacRequest):
-                            self._loader.submit_flac(slot, wav.data)
-                        else:
-                            self._loader.submit(slot, wav, sample_rate=sr)
-                    except Exception as e:  # pure-Python FLAC decode path
-                        # raises at submit; fail THIS request only
-                        failed[slot] = e
+        inflight: deque = deque()  # (items, failed, tokens, lengths, t0)
+        while True:
+            stopping = self._stop.is_set() and self._queue.empty()
+            if stopping and not inflight:
+                break
+            items = [] if stopping else self._take_batch()
+            if items:
+                failed: dict[int, Exception] = {}
+                try:
+                    for slot in range(self.batch_size):
                         self._loader.clear(slot)
-                # native decode failures surface per slot after flush — one
-                # corrupt frame must not poison its co-riding batch
-                buf = self._loader.flush(raise_on_error=False)
-                for slot in self._loader.take_error_slots():
-                    failed.setdefault(slot, ValueError(
-                        "FLAC decode failed (corrupt frame data)"))
-                if self.transfer == "int16":
-                    buf = _pcm16(buf)
-                elif self.transfer == "mulaw":
-                    buf = mulaw_encode(buf)
+                    for slot, (wav, sr, _, _, _) in enumerate(items):
+                        try:
+                            if isinstance(wav, _FlacRequest):
+                                self._loader.submit_flac(slot, wav.data)
+                            else:
+                                self._loader.submit(slot, wav,
+                                                    sample_rate=sr)
+                        except Exception as e:  # pure-Python FLAC decode
+                            # path raises at submit; fail THIS request only
+                            failed[slot] = e
+                            self._loader.clear(slot)
+                    # native decode failures surface per slot after flush —
+                    # one corrupt frame must not poison its co-riding batch
+                    buf = self._loader.flush(raise_on_error=False)
+                    for slot in self._loader.take_error_slots():
+                        failed.setdefault(slot, ValueError(
+                            "FLAC decode failed (corrupt frame data)"))
+                    if self.transfer == "int16":
+                        buf = _pcm16(buf)
+                    elif self.transfer == "mulaw":
+                        buf = mulaw_encode(buf)
 
-                t0 = time.perf_counter()
-                tokens, lengths = self._fn(self.params, jnp.asarray(buf))
-                tokens = np.asarray(tokens)
-                lengths = np.asarray(lengths)
-                busy = time.perf_counter() - t0
-            except Exception as e:  # fail the batch, keep serving
-                for _, _, fut, _, _ in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    t0 = time.perf_counter()
+                    tokens, lengths = self._fn(self.params,
+                                               jnp.asarray(buf))
+                    inflight.append((items, failed, tokens, lengths, t0))
+                except Exception as e:  # fail the batch, keep serving
+                    for _, _, fut, _, _ in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+                # pipeline full: retire the oldest (its device work has
+                # been overlapping this batch's host prep), keeping
+                # pipeline-1 outstanding while the next batch assembles
+                while len(inflight) >= self.pipeline:
+                    self._finalize(inflight.popleft())
+            else:
+                while inflight:  # low load / draining: retire everything
+                    self._finalize(inflight.popleft())
+
+    def _finalize(self, entry) -> None:
+        """Block on one in-flight batch's device results and resolve its
+        futures. Device-busy accounting merges overlapping dispatch
+        windows (pipelined batches overlap on the device; each wall-clock
+        second counts at most once, so `stats.busy_seconds` stays a true
+        device-occupancy measure)."""
+        items, failed, tokens, lengths, t0 = entry
+        try:
+            tokens = np.asarray(tokens)   # readback = completion fence
+            lengths = np.asarray(lengths)
+        except Exception as e:  # async device failure surfaces here
+            for _, _, fut, _, _ in items:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        now = time.perf_counter()
+        busy = max(0.0, now - max(t0, self._busy_mark))
+        self._busy_mark = max(self._busy_mark, now)
+
+        audio_s = 0.0
+        for slot, (wav, sr, fut, t_submit, _) in enumerate(items):
+            if slot in failed:
+                if not fut.done():
+                    fut.set_exception(failed[slot])
                 continue
-
-            now = time.perf_counter()
-            audio_s = 0.0
-            for slot, (wav, sr, fut, t_submit, _) in enumerate(items):
-                if slot in failed:
-                    if not fut.done():
-                        fut.set_exception(failed[slot])
-                    continue
-                ids = tokens[slot, self._first_gen: lengths[slot]]
-                ids = ids[ids != self.arch.eos_token_id]
-                dur = len(wav) / float(sr)
-                audio_s += dur
-                if not fut.done():   # user may have cancelled while queued
-                    fut.set_result({
-                        "text": self.tokenizer.decode(ids.tolist()),
-                        "tokens": ids.tolist(),
-                        "audio_seconds": dur,
-                        "latency_s": now - t_submit,
-                    })
-            with self.stats._lock:
-                self.stats.requests += len(items)
-                self.stats.batches += 1
-                self.stats.occupancy_sum += len(items) / self.batch_size
-                self.stats.audio_seconds += audio_s
-                self.stats.busy_seconds += busy
-                # latency percentiles are USER-facing: direct (non-chunk)
-                # windows only; chunked requests report their aggregate
-                # latency from submit()'s completion callback
-                self.stats.user_requests += sum(
-                    1 for it in items if not it[4])
-                if len(self.stats.latencies) < ServiceStats.MAX_LATENCIES:
-                    self.stats.latencies.extend(
-                        now - t for (_, _, _, t, internal) in items
-                        if not internal)
+            ids = tokens[slot, self._first_gen: lengths[slot]]
+            ids = ids[ids != self.arch.eos_token_id]
+            dur = len(wav) / float(sr)
+            audio_s += dur
+            if not fut.done():   # user may have cancelled while queued
+                fut.set_result({
+                    "text": self.tokenizer.decode(ids.tolist()),
+                    "tokens": ids.tolist(),
+                    "audio_seconds": dur,
+                    "latency_s": now - t_submit,
+                })
+        with self.stats._lock:
+            self.stats.requests += len(items)
+            self.stats.batches += 1
+            self.stats.occupancy_sum += len(items) / self.batch_size
+            self.stats.audio_seconds += audio_s
+            self.stats.busy_seconds += busy
+            # latency percentiles are USER-facing: direct (non-chunk)
+            # windows only; chunked requests report their aggregate
+            # latency from submit()'s completion callback
+            self.stats.user_requests += sum(
+                1 for it in items if not it[4])
+            if len(self.stats.latencies) < ServiceStats.MAX_LATENCIES:
+                self.stats.latencies.extend(
+                    now - t for (_, _, _, t, internal) in items
+                    if not internal)

@@ -357,3 +357,48 @@ def test_submit_flac_long_audio_chunks(svc_setup):
         assert res["tokens"] == direct["tokens"]
     finally:
         svc.close()
+
+
+def test_pipelined_matches_fenced(svc_setup):
+    """pipeline=2 (async dispatch, default) produces bit-identical results
+    to pipeline=1 (fenced, the pre-pipelining worker) across a multi-batch
+    burst, and its merged-interval busy accounting never exceeds wall."""
+    import time
+
+    arch, params, tok, cfg = svc_setup
+    rng = np.random.default_rng(11)
+    n = samples_for_arch(arch)
+    wavs = [rng.standard_normal(n // 2).astype(np.float32) * 0.1
+            for _ in range(10)]
+
+    results = {}
+    for depth in (1, 2):
+        svc = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                                   max_wait_ms=10, pipeline=depth)
+        t0 = time.perf_counter()
+        futs = [svc.submit(w) for w in wavs]
+        results[depth] = [f.result(timeout=300)["tokens"] for f in futs]
+        wall = time.perf_counter() - t0
+        stats = svc.stats.snapshot()
+        svc.close()
+        assert stats["requests"] == 10
+        assert stats["batches"] == 5
+        # merged-interval accounting: busy is a union of dispatch windows,
+        # so it can never exceed the burst's wall time
+        assert 0 < stats["busy_seconds"] <= wall + 0.5
+    assert results[1] == results[2]
+
+
+def test_close_drains_inflight_batches(svc_setup):
+    """close() immediately after a burst must retire every in-flight
+    pipelined batch: all futures resolve, none are dropped."""
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                               max_wait_ms=5, pipeline=2)
+    rng = np.random.default_rng(12)
+    n = samples_for_arch(arch)
+    futs = [svc.submit(rng.standard_normal(n // 2).astype(np.float32) * 0.1)
+            for _ in range(6)]
+    svc.close(timeout=300)
+    for f in futs:
+        assert f.result(timeout=1)["tokens"] is not None
