@@ -53,7 +53,8 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     # headline keeps audio device-resident).
     svc = TranscriptionService(params, arch, tok, cfg,
                                batch_size=args.batch, max_wait_ms=5,
-                               transcribe_fn=fn, transfer=args.transfer)
+                               transcribe_fn=fn, transfer=args.transfer,
+                               pipeline=args.serve_pipeline)
     rng = np.random.default_rng(0)
     n_req = args.batch * 4
     wavs = [rng.standard_normal(int(AVG_UTT_SECONDS * 16000)
@@ -100,6 +101,7 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
         "metric": f"whisper-{args.model}-{args.quant} serving RTFx "
                   f"({n_req} reqs, batch {args.batch}, {args.tokens} tok, "
                   f"wire={args.wire}, transfer={args.transfer}, "
+                  f"pipe={args.serve_pipeline}, "
                   + (f"open-loop {args.arrival_rtfx}x, "
                      if args.arrival_rtfx else "closed-loop, ")
                   + f"audio={AVG_UTT_SECONDS}s/utt)",
@@ -421,6 +423,10 @@ def main() -> None:
                          "percentiles measure steady-state service time, "
                          "not burst-queue depth (default: closed-loop "
                          "burst, the max-throughput accounting)")
+    ap.add_argument("--serve-pipeline", type=int, default=2,
+                    help="--serve batches in flight (async dispatch "
+                         "overlaps host prep/wire with device compute; "
+                         "1 = fenced, the pre-r3 serving accounting)")
     ap.add_argument("--wire", default="float32",
                     choices=["float32", "flac"],
                     help="--serve client->service request format (flac = "
@@ -484,6 +490,15 @@ def main() -> None:
                     help="50%% structured head+FFN pruning before quant")
     ap.add_argument("--merge-at", type=int, default=None,
                     help="encoder adjacent-token merging before this layer")
+    ap.add_argument("--cross-kv-pool", type=int, default=1,
+                    help="mean-pool encoder frames (stride) before cross-KV "
+                         "only — halves the per-step decode cross-attention "
+                         "stream at stride 2 without touching encoder "
+                         "fidelity (lossy; models/merge.py)")
+    ap.add_argument("--cross-kv-merge", type=int, default=0,
+                    help="ToMe-style bipartite merge of this many encoder "
+                         "frame pairs before cross-KV (content-adaptive "
+                         "lossy token merging; models/merge.py)")
     ap.add_argument("--fast-gelu", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="tanh-approximate encoder GELU; its ~3e-3 activation "
@@ -584,6 +599,8 @@ def main() -> None:
                        kv_int8=args.kv_int8,
                        cross_kv_int8=args.cross_kv_int8,
                        cross_kv_int4=args.cross_kv_int4,
+                       cross_kv_pool=args.cross_kv_pool,
+                       cross_kv_merge=args.cross_kv_merge,
                        suppress_tokens=(() if args.real_decode
                                         else (arch.eos_token_id,)))
     fn = make_transcribe_fn(arch, cfg, fast_mel=True, merge_at=args.merge_at,
@@ -613,13 +630,21 @@ def main() -> None:
 
         ckv_bytes = (0.5 if cfg.cross_kv_int4
                      else 1.0 if cfg.cross_kv_int8 else 2.0)
+        s_full = arch.max_source_positions
+        cross_s = (s_full - cfg.cross_kv_merge if cfg.cross_kv_merge
+                   else -(-s_full // cfg.cross_kv_pool))
         hbm = analytic_hbm_mb(params, arch, args.batch,
                               beam=max(args.beam, 1), kv_int8=cfg.kv_int8,
-                              cross_kv_bytes=ckv_bytes, cache_len=64)
+                              cross_kv_bytes=ckv_bytes, cache_len=64,
+                              cross_s=cross_s)
 
     mode = "greedy" if args.beam <= 1 else f"beam{args.beam}"
     if args.merge_at is not None:
         mode += f"+merge@{args.merge_at}"
+    if cfg.cross_kv_merge:
+        mode += f"+tome{cfg.cross_kv_merge}"
+    elif cfg.cross_kv_pool > 1:
+        mode += f"+ckvpool{cfg.cross_kv_pool}"
 
     if args.real_decode:
         # standalone real-decode mode (the r2 flag): fenced, to-EOT

@@ -122,6 +122,10 @@ def _decode_cfg(args, arch):
         kw["language_token_id"] = language_token_id(arch, args.language)
     if getattr(args, "length_penalty", None) is not None:
         kw["length_penalty"] = args.length_penalty
+    if getattr(args, "cross_kv_pool", None):
+        kw["cross_kv_pool"] = args.cross_kv_pool
+    if getattr(args, "cross_kv_merge", None):
+        kw["cross_kv_merge"] = args.cross_kv_merge
     return DecodeConfig(max_new_tokens=args.max_new_tokens,
                         beam_size=args.beam,
                         notimestamps=arch.no_timestamps_token_id < arch.vocab_size,
@@ -769,6 +773,14 @@ def main(argv=None):
                        help="beam-score length exponent (len^alpha; "
                             "HF/OpenAI length_penalty semantics)")
         p.add_argument("--kv-int8", action="store_true")
+        p.add_argument("--cross-kv-pool", type=int, default=None,
+                       help="mean-pool encoder frames with this stride "
+                            "before cross-KV (lossy; 2 halves the decode "
+                            "cross-attention stream — models/merge.py)")
+        p.add_argument("--cross-kv-merge", type=int, default=None,
+                       help="ToMe-style bipartite merge of this many "
+                            "encoder frame pairs before cross-KV "
+                            "(content-adaptive lossy token merging)")
 
     p = sub.add_parser("evaluate", help="single-config evaluation")
     common(p)

@@ -227,6 +227,16 @@ class DecodeConfig:
     # ops.cross_attention). With cross_kv_int8 the int8 dequant fuses into
     # the kernel — 2.2x faster per step than the XLA path on v5e.
     cross_pallas: bool = True
+    # Encoder token merging (models/merge.py) — LOSSY decode levers that
+    # shrink the attended encoder sequence before cross-KV precompute.
+    # Every decode step streams the full cross-KV (the measured decode
+    # bottleneck, DESIGN.md §8), so S 1500 -> 750 halves both that stream
+    # and cross-KV HBM capacity. cross_kv_pool: stride-k mean pooling
+    # (k=2/3). cross_kv_merge: ToMe-style bipartite merging of the r most
+    # similar frame pairs (content-adaptive; takes precedence over pool
+    # when both set). Both one-shot per utterance, static shapes.
+    cross_kv_pool: int = 1
+    cross_kv_merge: int = 0
     # fused Pallas decode self-attention over the KV cache (replaces ~20
     # small XLA ops per layer per step; ops.self_attention_step). Both fp
     # and int8 KV caches use fused Pallas kernels on TPU (the int8 path via

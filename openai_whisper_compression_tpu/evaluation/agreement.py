@@ -25,17 +25,31 @@ from ..models.whisper import decode_logits, encode
 
 def model_agreement(base_params: Any, comp_params: Any, arch: WhisperArch,
                     mels: jax.Array, decode_cfg: DecodeConfig | None = None,
-                    teacher_tokens: jax.Array | None = None) -> dict[str, float]:
-    """-> {token_agreement, top1_agreement, mean_kl, logit_rel_err}."""
+                    teacher_tokens: jax.Array | None = None,
+                    comp_cfg: DecodeConfig | None = None) -> dict[str, float]:
+    """-> {token_agreement, top1_agreement, mean_kl, logit_rel_err}.
+
+    comp_cfg: optional decode config for the COMPRESSED side only — used
+    to score decode-time lossy knobs (encoder token merging,
+    models/merge.py) against the dense/unmerged baseline decode."""
     decode_cfg = decode_cfg or DecodeConfig(
         max_new_tokens=16, language_token_id=None, task_token_id=None,
         notimestamps=False)
+    comp_cfg = comp_cfg or decode_cfg
 
     enc_b = encode(base_params, arch, mels)
     enc_c = encode(comp_params, arch, mels)
+    # teacher-forced comp logits must see the same merged sequence the
+    # comp decode attends to (greedy_decode merges internally from cfg)
+    enc_c_tf = enc_c
+    if comp_cfg.cross_kv_pool > 1 or comp_cfg.cross_kv_merge > 0:
+        from ..models.merge import merge_encoder_tokens
+
+        enc_c_tf = merge_encoder_tokens(enc_c, pool=comp_cfg.cross_kv_pool,
+                                        merge_r=comp_cfg.cross_kv_merge)
 
     t_b, l_b = decode.greedy_decode(base_params, arch, enc_b, decode_cfg)
-    t_c, l_c = decode.greedy_decode(comp_params, arch, enc_c, decode_cfg)
+    t_c, l_c = decode.greedy_decode(comp_params, arch, enc_c, comp_cfg)
     t_b, t_c = np.asarray(t_b), np.asarray(t_c)
     l_b, l_c = np.asarray(l_b), np.asarray(l_c)
     agree = []
@@ -48,7 +62,8 @@ def model_agreement(base_params: Any, comp_params: Any, arch: WhisperArch,
         width = min(8, t_b.shape[1])
         teacher_tokens = jnp.asarray(t_b[:, :width].astype(np.int32))
     lg_b = decode_logits(base_params, arch, teacher_tokens, enc_b).astype(jnp.float32)
-    lg_c = decode_logits(comp_params, arch, teacher_tokens, enc_c).astype(jnp.float32)
+    lg_c = decode_logits(comp_params, arch, teacher_tokens,
+                         enc_c_tf).astype(jnp.float32)
     p = jax.nn.log_softmax(lg_b, axis=-1)
     q = jax.nn.log_softmax(lg_c, axis=-1)
     kl = jnp.sum(jnp.exp(p) * (p - q), axis=-1)

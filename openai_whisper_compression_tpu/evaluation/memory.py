@@ -22,7 +22,8 @@ logger = logging.getLogger("whisper_eval")
 def analytic_hbm_mb(params, arch, batch_size: int, *, beam: int = 1,
                     kv_int8: bool = False, cross_kv_bytes: float = 2.0,
                     cache_len: int = 64, audio_samples: int = 480_000,
-                    audio_resident: bool = True) -> float:
+                    audio_resident: bool = True,
+                    cross_s: int | None = None) -> float:
     """Steady-state HBM footprint model (MB) for a greedy/beam decode batch.
 
     Used when the platform's `device.memory_stats()` is unpopulated (axon
@@ -34,7 +35,10 @@ def analytic_hbm_mb(params, arch, batch_size: int, *, beam: int = 1,
 
     mb = 1.0 / 2 ** 20
     d = arch.d_model
-    s_pad = -(-arch.max_source_positions // 128) * 128
+    # cross_s: attended encoder length after token merging (models/merge.py);
+    # default = the full encoder output
+    s = cross_s if cross_s is not None else arch.max_source_positions
+    s_pad = -(-s // 128) * 128
     total = P.size_in_mb(params)
     if audio_resident:
         total += batch_size * audio_samples * 4 * mb

@@ -383,6 +383,11 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     begin_sup = jnp.asarray(
         _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
 
+    if cfg.cross_kv_pool > 1 or cfg.cross_kv_merge > 0:
+        from .merge import merge_encoder_tokens
+
+        enc_out = merge_encoder_tokens(enc_out, pool=cfg.cross_kv_pool,
+                                       merge_r=cfg.cross_kv_merge)
     if cfg.cross_pallas:
         from .whisper import precompute_cross_kv_t
 
@@ -543,6 +548,11 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
     begin_sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
 
+    if cfg.cross_kv_pool > 1 or cfg.cross_kv_merge > 0:
+        from .merge import merge_encoder_tokens
+
+        enc_out = merge_encoder_tokens(enc_out, pool=cfg.cross_kv_pool,
+                                       merge_r=cfg.cross_kv_merge)
     # Cross-KV stays at batch size B; beams share entries via grouped
     # cross-attention in decoder_step (no B*K replication in HBM).
     if cfg.cross_pallas:

@@ -17,6 +17,7 @@ One command: `cli curve --model small --batch 32` -> curve.json (+ plot).
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Any, Callable
 
@@ -67,17 +68,30 @@ def _chain(*fns):
     return f
 
 
-def ladder(quant: str = "int8") -> list[tuple[str, Transform, bool]]:
-    """(name, transform, lossy) rungs. `lossy` rungs are eligible for the
-    optional recovery-distillation variant."""
+def ladder(quant: str = "int8") -> list[tuple[str, Transform, bool, dict]]:
+    """(name, transform, lossy, cfg_kw) rungs. `lossy` rungs with no
+    cfg_kw are eligible for the optional recovery-distillation variant
+    (decode-time knobs — the cfg_kw rungs — are not weight-recoverable).
+
+    cfg_kw are DecodeConfig overrides; "cross_kv_merge_frac" resolves to
+    cross_kv_merge = frac * S at run time (S is arch-dependent). The
+    pool2/tome rungs are encoder token merging (models/merge.py): the
+    decode-side lossy lever that halves the per-step cross-KV stream —
+    the measured decode bottleneck (DESIGN.md §8) the weight-side rungs
+    cannot touch."""
     ident: Transform = lambda p, a: (p, a)
     return [
-        ("dense", ident, False),
-        (quant, ident, False),
-        (f"heads25+{quant}", _heads(0.25), True),
-        (f"heads50+{quant}", _heads(0.50), True),
-        (f"heads50+ffn50+{quant}", _chain(_heads(0.50), _ffn(0.50)), True),
-        (f"declayers-25%+{quant}", _drop_decoder(0.25), True),
+        ("dense", ident, False, {}),
+        (quant, ident, False, {}),
+        (f"pool2+{quant}", ident, True, {"cross_kv_pool": 2}),
+        (f"tome25%+{quant}", ident, True, {"cross_kv_merge_frac": 0.25}),
+        (f"heads25+{quant}", _heads(0.25), True, {}),
+        (f"heads50+{quant}", _heads(0.50), True, {}),
+        (f"heads50+ffn50+{quant}", _chain(_heads(0.50), _ffn(0.50)), True,
+         {}),
+        (f"heads50+ffn50+pool2+{quant}",
+         _chain(_heads(0.50), _ffn(0.50)), True, {"cross_kv_pool": 2}),
+        (f"declayers-25%+{quant}", _drop_decoder(0.25), True, {}),
     ]
 
 
@@ -150,16 +164,24 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
                              notimestamps=False)
 
     points: list[dict] = []
-    for name, transform, lossy in ladder(quant):
+    for name, transform, lossy, cfg_kw in ladder(quant):
         if rungs is not None and not any(r in name for r in rungs):
             continue
         p2, a2 = transform(params, arch)
+        ckw = dict(cfg_kw)
+        frac = ckw.pop("cross_kv_merge_frac", None)
+        if frac is not None:
+            # resolve the merge fraction against this arch's encoder
+            # length (bipartite cap: r <= S // 2)
+            s = a2.max_source_positions
+            ckw["cross_kv_merge"] = min(int(s * frac), s // 2)
         variants = [("", p2)]
-        if lossy and recover_steps > 0:
+        if lossy and not cfg_kw and recover_steps > 0:
             from ..distill import distill
 
             # physical surgery leaves no masks to preserve; recovery is
-            # plain KL distillation toward the dense teacher
+            # plain KL distillation toward the dense teacher (decode-time
+            # cfg_kw rungs have no weights to recover)
             dense_rec, _ = distill(p2, params, a2, steps=recover_steps,
                                    lr=3e-5, batch=2, seq_len=8,
                                    preserve_sparsity=False)
@@ -170,13 +192,20 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
             cfg = DecodeConfig(
                 max_new_tokens=tokens, kv_int8=kv_int8,
                 cross_kv_int8=cross_kv_int8,
-                suppress_tokens=(arch.eos_token_id,))
+                suppress_tokens=(arch.eos_token_id,), **ckw)
             rtfx = _measure_rtfx(q, a2, cfg, batch, iters)
-            ag = model_agreement(params, q, a2, mels, agree_cfg) \
+            ag = model_agreement(
+                params, q, a2, mels, agree_cfg,
+                comp_cfg=dataclasses.replace(agree_cfg, **ckw)
+                if ckw else None) \
                 if name != "dense" else {"token_agreement": 1.0,
                                          "top1_agreement": 1.0,
                                          "mean_kl": 0.0,
                                          "logit_rel_err": 0.0}
+            s_full = a2.max_source_positions
+            cross_s = (s_full - ckw.get("cross_kv_merge", 0)
+                       if ckw.get("cross_kv_merge")
+                       else -(-s_full // ckw.get("cross_kv_pool", 1)))
             entry = {
                 "name": name + suffix,
                 "rtfx": round(rtfx, 2),
@@ -184,7 +213,7 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
                 "hbm_mb": round(analytic_hbm_mb(
                     q, a2, batch, kv_int8=kv_int8,
                     cross_kv_bytes=1.0 if cross_kv_int8 else 2.0,
-                    cache_len=64), 0),
+                    cache_len=64, cross_s=cross_s), 0),
                 "params_m": round(count_params(q) / 1e6, 1),
                 **{k: round(v, 4) for k, v in ag.items()},
             }

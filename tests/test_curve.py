@@ -21,10 +21,12 @@ def setup():
 
 
 def test_ladder_structure():
-    names = [n for n, _, _ in curve.ladder("int8")]
+    names = [n for n, _, _, _ in curve.ladder("int8")]
     assert names[0] == "dense"
     assert any("heads50" in n for n in names)
     assert any("declayers" in n for n in names)
+    assert any("pool2" in n for n in names)
+    assert any("tome" in n for n in names)
 
 
 def test_run_curve_subset_with_recovery(setup, tmp_path):
@@ -63,3 +65,22 @@ def test_curve_cli(setup, tmp_path, monkeypatch, capsys):
     out = json.loads(open(tmp_path / "curve.json").read())
     assert [p["name"] for p in out["points"]] == ["dense", "int8"]
     assert os.path.exists(tmp_path / "curve.png")
+
+
+def test_run_curve_merge_rungs(setup):
+    """Token-merge rungs measure, shrink analytic cross-KV HBM, and do
+    not grow a recovery variant (decode-time knobs are not
+    weight-recoverable)."""
+    arch, params = setup
+    points = curve.run_curve(params, arch, batch=2, tokens=6, iters=1,
+                             agreement_samples=2, recover_steps=1,
+                             rungs=["dense", "pool2+int8", "tome25%+int8"],
+                             progress=lambda *_: None)
+    by_name = {p["name"]: p for p in points}
+    # substring rung filter also picks up the combined structural+pool rung
+    assert {"dense", "pool2+int8", "tome25%+int8",
+            "heads50+ffn50+pool2+int8"} == set(by_name)
+    assert by_name["pool2+int8"]["hbm_mb"] < by_name["dense"]["hbm_mb"]
+    for n in ("pool2+int8", "tome25%+int8"):
+        assert "recovered" not in by_name[n]
+        assert 0.0 <= by_name[n]["token_agreement"] <= 1.0
