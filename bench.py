@@ -71,8 +71,10 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     else:
         payloads = wavs
         submit = svc.submit
-    # warmup (first call compiles; remote-TPU compiles take minutes)
-    svc.transcribe(wavs[0], timeout=None)
+    # warmup (first call compiles; remote-TPU compiles take minutes —
+    # transcribe's auto-timeout assumes a compiled program, so pin one
+    # long enough for a cold tunnel compile)
+    svc.transcribe(wavs[0], timeout=900.0)
     svc.stats = type(svc.stats)()  # exclude warmup/compile from stats
     t0 = time.perf_counter()
     if args.arrival_rtfx:
@@ -725,6 +727,27 @@ def main() -> None:
 
         rows["longform"] = _longform_row(params, arch, args)
         print(f"# longform: {rows['longform']}", file=sys.stderr)
+
+        if (args.cross_kv_pool == 1 and not args.cross_kv_merge
+                and args.beam <= 1):
+            # opt-in lossy lever recorded alongside the lossless headline:
+            # cross-KV token merging stride 2 (models/merge.py)
+            cfg_p2 = dataclasses.replace(cfg, cross_kv_pool=2)
+            fn_p2 = make_transcribe_fn(arch, cfg_p2, fast_mel=True,
+                                       merge_at=args.merge_at,
+                                       fast_gelu=args.fast_gelu)
+            t0 = time.perf_counter()
+            np.asarray(fn_p2(params, wavs[0])[0])
+            print(f"# pool2 compile+warmup {time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr)
+            p2_rtfx, p2_ms = _measure_pipelined(fn_p2, params, wavs, args,
+                                                args.iters)
+            rows["cross_kv_pool2_lossy"] = {
+                "rtfx": round(p2_rtfx, 2),
+                "ms_per_batch": round(p2_ms, 1),
+                "vs_headline": round(p2_rtfx / rtfx, 3)}
+            print(f"# cross_kv_pool2 (lossy): "
+                  f"{rows['cross_kv_pool2_lossy']}", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"whisper-{args.model}-{args.quant} {mode} "

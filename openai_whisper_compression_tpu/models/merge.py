@@ -90,15 +90,16 @@ def tome_merge(enc_out: jax.Array, r: int) -> jax.Array:
         bn = bset / (jnp.linalg.norm(bset, axis=-1, keepdims=True) + 1e-6)
         sim = an @ bn.T                                # (na, nb)
         best = sim.max(axis=-1)
-        partner = sim.argmax(axis=-1)                  # (na,)
+        partner = sim.argmax(axis=-1).astype(jnp.int32)
         order = jnp.argsort(-best)                     # merge-first ranking
         merged_idx = order[:r]                         # A rows to absorb
         kept_idx = order[r:]                           # A rows that survive
-        # size-weighted absorb: sum merged A rows into their partners,
-        # divide by 1 + (#absorbed) per partner
-        add = jnp.zeros_like(bset).at[partner[merged_idx]].add(
-            a[merged_idx].astype(jnp.float32))
-        cnt = jnp.zeros((nb,), jnp.float32).at[partner[merged_idx]].add(1.0)
+        # size-weighted absorb as a one-hot contraction (MXU-friendly;
+        # an XLA scatter-add here compiled/ran pathologically on TPU):
+        # sel (r, nb) routes each absorbed A row to its partner column
+        sel = jax.nn.one_hot(partner[merged_idx], nb, dtype=jnp.float32)
+        add = sel.T @ a[merged_idx].astype(jnp.float32)   # (nb, D)
+        cnt = sel.sum(axis=0)                             # (nb,)
         merged_b = (bset.astype(jnp.float32) + add) / (1.0 + cnt)[:, None]
         return jnp.concatenate([merged_b.astype(x.dtype), a[kept_idx]], 0)
 
