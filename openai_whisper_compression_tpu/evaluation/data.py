@@ -26,17 +26,59 @@ class Utterance:
     uid: str = ""
 
 
+def _librispeech_attempts(split: str, ds_major: int,
+                          supports_trc: bool) -> list[tuple[str, dict]]:
+    """Ordered (repo_id, load_dataset kwargs) attempts for one logical split.
+
+    datasets >= 3 removed script-based loading (`trust_remote_code`), so the
+    classic `librispeech_asr` loading script can never succeed there; the
+    hub's Parquet conversion lives under `openslr/librispeech_asr` and loads
+    natively. Older datasets run the script repo exactly as the reference
+    does (`data_utils.py:8-41`). Split spellings differ across the two: the
+    script exposes "test.clean"/"test.other" on the default config while the
+    Parquet repo uses config "clean"/"other" with split "test" — both are
+    tried, caller-spelling first.
+    """
+    script_kw: dict = {"split": split}
+    if supports_trc:
+        script_kw["trust_remote_code"] = True
+    attempts = [("librispeech_asr", script_kw),
+                ("openslr/librispeech_asr", {"split": split})]
+    if "." in split:  # "test.clean" -> config "clean", split "test"
+        s, cfg = split.split(".", 1)
+        attempts.append(("openslr/librispeech_asr",
+                         {"name": cfg, "split": s}))
+    if ds_major >= 3:  # script path is dead there — try Parquet repo first
+        attempts = attempts[1:] + attempts[:1]
+    return attempts
+
+
 def load_librispeech(num_samples: int | None = None,
                      split: str = "test.clean") -> list[Utterance]:
     """Streaming LibriSpeech loader (HF datasets), same semantics as reference
     `data_utils.py:8-41`. Raises RuntimeError when the hub is unreachable."""
+    import inspect
+
     try:
+        import datasets as _hfds
         from datasets import load_dataset
 
-        # split names are verbatim HF librispeech_asr splits ("test.clean",
-        # "test.other"), exactly as the reference passes them
-        stream = load_dataset("librispeech_asr", split=split, streaming=True,
-                              trust_remote_code=True)
+        try:
+            ds_major = int(str(getattr(_hfds, "__version__",
+                                       "0")).split(".")[0])
+        except ValueError:
+            ds_major = 0
+        supports_trc = ("trust_remote_code"
+                        in inspect.signature(load_dataset).parameters)
+        stream, errors = None, []
+        for repo, kw in _librispeech_attempts(split, ds_major, supports_trc):
+            try:
+                stream = load_dataset(repo, streaming=True, **kw)
+                break
+            except Exception as e:  # noqa: BLE001 — collect, try next form
+                errors.append(f"{repo}({kw.get('name', '')}): {e}")
+        if stream is None:
+            raise ConnectionError("; ".join(errors))
         if num_samples:
             stream = stream.take(num_samples)
         out = []

@@ -65,6 +65,67 @@ def test_load_librispeech_mocked(mock_datasets):
     assert abs(u.duration - 0.5) < 1e-6
 
 
+def _mock_datasets5(monkeypatch, accept):
+    """Mock a datasets>=3 install: script repos raise (trust_remote_code
+    removed), only the repo ids in `accept` load; records every call."""
+    calls = []
+
+    def load_dataset(name, split=None, streaming=False, **kw):
+        if "trust_remote_code" in kw:
+            raise ValueError("`trust_remote_code` is not supported anymore.")
+        calls.append(dict(name=name, split=split, streaming=streaming, **kw))
+        if name not in accept:
+            raise RuntimeError(
+                f"Dataset scripts are no longer supported ({name})")
+        return _FakeStream(_fake_records(5))
+
+    mod = types.ModuleType("datasets")
+    mod.__version__ = "5.0.0"
+    mod.load_dataset = load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", mod)
+    return calls
+
+
+def test_load_librispeech_datasets5_parquet_repo(monkeypatch):
+    """On datasets>=3 the Parquet repo is tried FIRST (the script repo can
+    never load there), with the caller's split spelling preserved."""
+    from openai_whisper_compression_tpu.evaluation.data import load_librispeech
+
+    calls = _mock_datasets5(monkeypatch, accept={"openslr/librispeech_asr"})
+    utts = load_librispeech(num_samples=2, split="test.clean")
+    assert len(utts) == 2
+    assert calls[0]["name"] == "openslr/librispeech_asr"
+    assert calls[0]["split"] == "test.clean"
+    # trust_remote_code never offered to a datasets that rejects it
+    assert all("trust_remote_code" not in c for c in calls)
+
+
+def test_load_librispeech_datasets5_split_remap(monkeypatch):
+    """When the Parquet repo rejects the dotted split spelling, the loader
+    falls back to config 'clean' + split 'test' (the Parquet layout)."""
+    from openai_whisper_compression_tpu.evaluation.data import load_librispeech
+
+    calls = []
+
+    # real datasets signature: path positional, name= the config kwarg
+    def load_dataset(path, split=None, streaming=False, **kw):
+        calls.append(dict(path=path, split=split, streaming=streaming,
+                          cfg=kw.get("name")))
+        if path == "openslr/librispeech_asr" and kw.get("name") == "clean" \
+                and split == "test":
+            return _FakeStream(_fake_records(4))
+        raise ValueError(f"unknown split {split!r}")
+
+    mod = types.ModuleType("datasets")
+    mod.__version__ = "3.2.0"
+    mod.load_dataset = load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", mod)
+    utts = load_librispeech(num_samples=3, split="test.clean")
+    assert len(utts) == 3
+    assert calls[-1] == {"path": "openslr/librispeech_asr", "split": "test",
+                         "streaming": True, "cfg": "clean"}
+
+
 def test_load_librispeech_unavailable(monkeypatch):
     from openai_whisper_compression_tpu.evaluation.data import load_librispeech
 
