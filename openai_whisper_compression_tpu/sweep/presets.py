@@ -87,4 +87,19 @@ BASELINE_PRESETS: list[Preset] = [
            _structured50_int8, decode={"cross_kv_int4": True}),
 ]
 
-PRESETS = {p.name: p for p in BASELINE_PRESETS}
+# Lossy capacity variants (opt-in via `cli presets --preset <name>`; not in
+# BASELINE_PRESETS, which mirrors BASELINE.json's lossless configs): cross-KV
+# pool2 (models/merge.py) halves the per-item decode stream AGAIN on top of
+# int4 cross-KV — measured v5e-1 r3: medium 382 -> 436 RTFx at b96 (1.59x the
+# r2 row), large-v3 347 -> 381 at b48 (1.56x) — past the 1.5x capacity target
+# the lossless ladder plateaued short of (DESIGN.md §8).
+EXTRA_PRESETS: list[Preset] = [
+    Preset("medium_int4_kv8_pool2", "medium", "bfloat16", _quant("int4"),
+           decode={"kv_int8": True, "cross_kv_int4": True,
+                   "cross_kv_pool": 2}),
+    Preset("largev3_structured50_int8_pool2", "large-v3", "bfloat16",
+           _structured50_int8,
+           decode={"cross_kv_int4": True, "cross_kv_pool": 2}),
+]
+
+PRESETS = {p.name: p for p in BASELINE_PRESETS + EXTRA_PRESETS}
