@@ -122,6 +122,115 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     }))
 
 
+def _cb_bench(params, arch, args) -> None:
+    """Continuous batching vs batch-synchronous waves on ONE ragged set.
+
+    The reference serves strictly batch-synchronously through HF
+    `generate` (`data_utils.py:152`): every batch runs as long as its
+    longest member. `ContinuousBatcher` retires a finished slot within
+    one chunk and re-arms it from the queue, so device steps track the
+    SUM of lengths, not waves x max. Raggedness comes from per-request
+    token budgets (serving `max_tokens`; with random weights natural EOT
+    is degenerate — accuracy-side EOT behavior is pinned by
+    tests/test_continuous.py's crafted-EOT fixture) drawn from a
+    lognormal speech-like length distribution. BOTH schedulers run the
+    same engine, kernels, and budgets — wave mode only admits into an
+    empty pool — so the ratio is pure scheduling, and token equality
+    between the two is asserted."""
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.continuous import (CBStats,
+                                                           ContinuousBatcher)
+
+    cfg = DecodeConfig(max_new_tokens=args.tokens,
+                       kv_int8=args.kv_int8,
+                       cross_kv_int8=args.cross_kv_int8,
+                       cross_kv_int4=args.cross_kv_int4,
+                       cross_kv_pool=args.cross_kv_pool,
+                       cross_kv_merge=args.cross_kv_merge,
+                       suppress_tokens=())
+    n_samples = arch.max_source_positions * 2 * 160
+    rng = np.random.default_rng(1)
+    n_req = args.batch * 4
+    wavs = []
+    for _ in range(n_req):
+        ln = int(rng.integers(16000, n_samples))
+        t = np.arange(ln) / 16000.0
+        f1, f2 = rng.uniform(100, 4000, 2)
+        wavs.append((np.sin(2 * np.pi * f1 * t) + np.sin(2 * np.pi * f2 * t)
+                     + 0.3 * rng.standard_normal(ln)).astype(np.float32))
+    # speech-like token-length spread (LibriSpeech test-clean transcripts
+    # span ~1-90 tokens with a long right tail); median ~tokens/2
+    caps = np.clip(np.round(rng.lognormal(np.log(args.tokens / 2), 0.55,
+                                          n_req)),
+                   2, args.tokens).astype(int).tolist()
+    audio_s = n_req * AVG_UTT_SECONDS  # same accounting as --serve
+
+    cb = ContinuousBatcher(params, arch, cfg, batch=args.batch,
+                           chunk=args.cb_chunk,
+                           admit_lanes=args.cb_lanes or max(2,
+                                                            args.batch // 8),
+                           fast_gelu=args.fast_gelu,
+                           transfer=("int16" if args.transfer == "int16"
+                                     else "float32"))
+    t0 = time.perf_counter()
+    cb.warmup()
+    print(f"# cb compile+warmup {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    # default: device-staged audio pool, so both schedulers' walls measure
+    # scheduling + compute, not the host->device audio wire both pay
+    # identically (--cb-upload keeps the per-admit uploads in the wall)
+    reqs = wavs if args.cb_upload else cb.stage(wavs)
+    if not args.cb_upload:
+        import jax.numpy as jnp
+
+        # compile the admit gather before either timed run
+        reqs[jnp.zeros((cb.plan.admit_lanes,), jnp.int32)].block_until_ready()
+
+    # ---- batch-synchronous comparator: same engine, wave scheduling ----
+    sync_stats = CBStats()
+    sync_tokens = cb.transcribe_all(reqs, stats=sync_stats,
+                                    max_new=caps, wave=True)
+    # ---- continuous batching on the identical request set ----
+    stats = CBStats()
+    got = cb.transcribe_all(reqs, stats=stats, max_new=caps)
+
+    mismatch = sum(not np.array_equal(g, r)
+                   for g, r in zip(got, sync_tokens))
+    lens = np.array([len(t) for t in sync_tokens])
+    cb_rtfx = audio_s / stats.wall_seconds
+    sync_rtfx = audio_s / sync_stats.wall_seconds
+    print(f"# cb stats: {stats.snapshot()}", file=sys.stderr)
+    print(f"# sync stats: {sync_stats.snapshot()} mismatches={mismatch} "
+          f"len[min/mean/max]={lens.min()}/{lens.mean():.1f}/{lens.max()}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"whisper-{args.model}-{args.quant} continuous-batching "
+                  f"RTFx ({n_req} ragged reqs, {args.batch} slots, "
+                  f"chunk {args.cb_chunk}, lognormal budgets<= "
+                  f"{args.tokens} tok, "
+                  + (f"transfer={args.transfer}, " if args.cb_upload
+                     else "device-staged audio, ")
+                  + f"audio={AVG_UTT_SECONDS}s/utt)",
+        "value": round(cb_rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(cb_rtfx / BASELINE_RTFX, 2),
+        "rows": {
+            "cb_rtfx": round(cb_rtfx, 2),
+            "batch_sync_rtfx": round(sync_rtfx, 2),
+            "speedup_vs_sync": round(cb_rtfx / sync_rtfx, 3),
+            "cb_device_steps": stats.device_steps,
+            "sync_device_steps": sync_stats.device_steps,
+            "step_ratio": round(stats.device_steps
+                                / max(sync_stats.device_steps, 1), 3),
+            "cb_occupancy": round(stats.occupancy, 3),
+            "sync_occupancy": round(sync_stats.occupancy, 3),
+            "gen_len_mean": round(float(lens.mean()), 1),
+            "gen_len_max": int(lens.max()),
+            "token_mismatches": mismatch,
+        },
+    }))
+
+
 def _stream_bench(params, arch, args) -> None:
     """Live-streaming throughput: N concurrent sessions through the
     StreamingPool's ONE batched decode per tick (streaming.py). Feeds
@@ -434,6 +543,23 @@ def main() -> None:
                     help="--serve client->service request format (flac = "
                          "lossless ~2x smaller payload, decoded in the "
                          "native loader's worker pool)")
+    ap.add_argument("--serve-cb", action="store_true",
+                    help="continuous-batching serve bench: slot-recycling "
+                         "decode (continuous.py) vs batch-synchronous waves "
+                         "on one crafted-ragged request set; asserts token "
+                         "equality between the two schedulers")
+    ap.add_argument("--cb-chunk", type=int, default=8,
+                    help="--serve-cb decode steps between host "
+                         "retire/admit passes (readback cadence)")
+    ap.add_argument("--cb-lanes", type=int, default=None,
+                    help="--serve-cb admit lanes per pass (default "
+                         "batch//8; wider = fewer dispatches, costlier "
+                         "encoder per pass)")
+    ap.add_argument("--cb-upload", action="store_true",
+                    help="--serve-cb: per-admit host audio uploads in the "
+                         "wall (default stages the request pool on-device "
+                         "first — both schedulers pay the wire identically, "
+                         "so staging isolates the scheduling difference)")
     ap.add_argument("--stream", action="store_true",
                     help="live-streaming throughput: N sessions through "
                          "the StreamingPool's batched per-tick decode")
@@ -593,6 +719,9 @@ def main() -> None:
 
     if args.stream:
         _stream_bench(params, arch, args)
+        return
+    if args.serve_cb:
+        _cb_bench(params, arch, args)
         return
 
     # fixed-25 regression metric suppresses EOT so every run does identical

@@ -1,0 +1,288 @@
+"""Host orchestration for continuous-batching transcription.
+
+`ContinuousBatcher` drives the three jitted programs built by
+`models/continuous.py` (chunk / admit / rebase) from a plain Python loop:
+every `chunk` decode steps it reads back the tiny `finished` vector,
+retires finished slots (one token-buffer readback), refills them from the
+request queue (one jitted admit = mel → encoder → cross-KV scatter), and
+rebases the global window when it nears the static cache end.
+
+Why it wins: the reference's serving shape — and our own
+`TranscriptionService` dynamic batcher — decodes batch-synchronously, so
+every batch runs as long as its longest member (HF `generate`,
+`data_utils.py:152`). With real speech-length variance the short
+utterances idle in lockstep. Here a finished slot is re-armed within one
+chunk (~16 steps), so device steps track the SUM of lengths, not
+batches × max. `bench.py --serve-cb` measures both paths on the same
+ragged request set.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DecodeConfig, WhisperArch
+from .models.continuous import gen_tokens_of_row, make_cb_fns
+
+
+@dataclass
+class CBStats:
+    """Counters for one `transcribe_all` run."""
+
+    requests: int = 0
+    chunks: int = 0
+    device_steps: int = 0          # global counter advance (lockstep steps)
+    slot_steps_busy: int = 0       # steps spent on live (unfinished) slots
+    slot_steps_total: int = 0      # steps x batch slots
+    rebases: int = 0
+    admits: int = 0
+    admit_passes: int = 0          # jitted admit calls (each uploads
+                                   # admit_lanes x n_samples of audio)
+    wall_seconds: float = 0.0
+    audio_seconds: float = 0.0
+    gen_tokens: int = 0
+    extra: dict = field(default_factory=dict)
+
+    @property
+    def occupancy(self) -> float:
+        return (self.slot_steps_busy / self.slot_steps_total
+                if self.slot_steps_total else 0.0)
+
+    @property
+    def rtfx(self) -> float:
+        return (self.audio_seconds / self.wall_seconds
+                if self.wall_seconds else 0.0)
+
+    def snapshot(self) -> dict:
+        return {"requests": self.requests, "chunks": self.chunks,
+                "device_steps": self.device_steps,
+                "occupancy": round(self.occupancy, 4),
+                "rebases": self.rebases, "admits": self.admits,
+                "admit_passes": self.admit_passes,
+                "wall_seconds": round(self.wall_seconds, 4),
+                "audio_seconds": round(self.audio_seconds, 2),
+                "gen_tokens": self.gen_tokens,
+                "rtfx": round(self.rtfx, 2), **self.extra}
+
+
+class ContinuousBatcher:
+    """Slot-recycling transcription over a fixed pool of decode slots.
+
+    Output contract: each request's token sequence is the standalone
+    `greedy_decode` output for that utterance — [forced prefix + generated
+    tokens (incl. final EOT)] — independent of which requests shared the
+    pool (bit-exactness covered by tests/test_continuous.py).
+    """
+
+    def __init__(self, params, arch: WhisperArch,
+                 cfg: DecodeConfig | None = None, batch: int = 8,
+                 chunk: int = 16, admit_lanes: int = 4,
+                 cache_len: int | None = None, fast_mel: bool = True,
+                 fast_gelu: bool = False, merge_at: int | None = None,
+                 transfer: str = "float32"):
+        self.params = params
+        self.arch = arch
+        self.cfg = cfg or DecodeConfig()
+        self.transfer = transfer
+        self._wav_dtype = np.int16 if transfer == "int16" else np.float32
+        self.plan, self.fns = make_cb_fns(
+            arch, self.cfg, batch, chunk=chunk, admit_lanes=admit_lanes,
+            cache_len=cache_len, fast_mel=fast_mel, fast_gelu=fast_gelu,
+            merge_at=merge_at, transfer=transfer)
+        self.state = None
+
+    # -- internals ----------------------------------------------------------
+
+    def _pad_wav(self, wav: np.ndarray) -> np.ndarray:
+        n = self.plan.n_samples
+        w = np.zeros((n,), self._wav_dtype)
+        if self.transfer == "int16":
+            w[: min(len(wav), n)] = np.clip(wav[:n] * 32767.0,
+                                            -32768, 32767).astype(np.int16)
+        else:
+            w[: min(len(wav), n)] = wav[:n]
+        return w
+
+    def stage(self, wavs: Sequence[np.ndarray]):
+        """Pre-pad + upload all request audio as ONE device-resident pool
+        (N, n_samples); pass the result to `transcribe_all` instead of the
+        wav list and admits become device-side gathers with zero per-admit
+        host upload — the serving shape where audio already arrived over
+        the wire (and the fair way to benchmark scheduling through a
+        tunnelled backend, where per-admit uploads dominate wall)."""
+        return jnp.asarray(np.stack([self._pad_wav(w) for w in wavs]))
+
+    def warmup(self) -> None:
+        """Compile all three programs (init + one admit + one chunk)."""
+        p = self.plan
+        self.state = self.fns["init"](self.params)
+        zeros = jnp.zeros((p.admit_lanes, p.n_samples),
+                          jnp.int16 if self.transfer == "int16"
+                          else jnp.float32)
+        slots = jnp.arange(p.admit_lanes, dtype=jnp.int32)
+        mask = jnp.zeros((p.admit_lanes,), bool)
+        caps = jnp.full((p.admit_lanes,), p.max_new, jnp.int32)
+        self.state = self.fns["admit"](self.params, self.state, zeros,
+                                       slots, mask, caps)
+        self.state = self.fns["chunk"](self.params, self.state)
+        self.state = self.fns["rebase"](self.state, jnp.asarray(0, jnp.int32))
+        np.asarray(self.state["pos"])  # fence
+
+    # -- main loop -----------------------------------------------------------
+
+    def transcribe_all(self, wavs: Sequence[np.ndarray],
+                       stats: CBStats | None = None,
+                       max_new: Sequence[int] | None = None,
+                       wave: bool = False) -> list[np.ndarray]:
+        """Run every request through the pool; returns per-request token
+        sequences (prefix + generated, standalone greedy layout) in input
+        order.
+
+        max_new: optional per-request token budgets (serving
+        ``max_tokens``) — request i generates at most max_new[i] tokens,
+        exactly as standalone greedy with max_new_tokens=max_new[i].
+        wave: batch-synchronous scheduling — only admit into an EMPTY
+        pool, so every wave runs as long as its longest member (the HF
+        `generate` serving shape, reference data_utils.py:152). Same
+        kernels and caps as continuous mode; exists so benchmarks can
+        isolate the pure scheduling win.
+
+        `wavs` is either a sequence of 1-D waveforms (padded + uploaded
+        per admit) or the device pool returned by `stage()` (admits
+        gather on-device, zero per-admit upload)."""
+        p, fns = self.plan, self.fns
+        staged = wavs if not isinstance(wavs, (list, tuple)) else None
+        eot = self.arch.eos_token_id
+        caps_req = ([min(int(m), p.max_new) for m in max_new]
+                    if max_new is not None else [p.max_new] * len(wavs))
+        stats = stats if stats is not None else CBStats()
+        stats.requests += len(wavs)
+        stats.audio_seconds += (len(wavs) * p.n_samples / 16000.0
+                                if staged is not None else
+                                sum(len(w) for w in wavs) / 16000.0)
+        results: list[Any] = [None] * len(wavs)
+        queue = deque(range(len(wavs)))
+        slot_req: list[int | None] = [None] * p.batch
+        # host mirror of each occupied slot's start/cap (avoids reading the
+        # device vectors every chunk; kept exact by admit/rebase bookkeeping)
+        start_h = [0] * p.batch
+        cap_h = [p.max_new] * p.batch
+
+        t0 = time.perf_counter()
+        state = self.state if self.state is not None \
+            else fns["init"](self.params)
+        # the pool may carry a previous run's window position — the host
+        # mirror must resume from the device, not from zero
+        pos_h = int(np.asarray(state["pos"]))
+        prefix = np.asarray(p.prefix, np.int32)
+
+        while queue or any(r is not None for r in slot_req):
+            # 1) rebase if the coming chunk could run off the window
+            if pos_h + p.chunk + 1 >= p.cache_len:
+                occupied = [start_h[i] for i in range(p.batch)
+                            if slot_req[i] is not None]
+                shift = min(occupied) if occupied else pos_h
+                if shift > 0:
+                    state = fns["rebase"](state,
+                                          jnp.asarray(shift, jnp.int32))
+                    pos_h -= shift
+                    for i in range(p.batch):
+                        start_h[i] = max(start_h[i] - shift, 0)
+                    stats.rebases += 1
+
+            # 2) admit arrivals into free slots, A lanes per jitted pass,
+            # looping until the pool is FULL or the queue empties — a chunk
+            # retires up to `batch` slots but one pass re-arms only
+            # `admit_lanes`, so stopping after one pass starves the pool
+            # whenever mean length ~ chunk (measured on-chip: occupancy
+            # 0.21 single-pass -> full-pool looping). A pass is taken only
+            # when it can fill at least HALF its lanes (or the queue
+            # tail): a nearly-empty pass uploads + encodes dead zero
+            # lanes, and waiting one chunk fills them (measured on-chip:
+            # always-admit cost ~60% extra admit upload over wave's
+            # full-pass admits). Wave mode only refills an EMPTY pool
+            # (batch-synchronous comparator).
+            free = [i for i in range(p.batch) if slot_req[i] is None]
+            if wave:
+                # only refill an EMPTY pool, but then fill it completely
+                admit_ok = len(free) == p.batch
+            admit_min = max(1, p.admit_lanes // 2)
+            while queue and free and (
+                    admit_ok if wave
+                    else (min(len(free), len(queue))
+                          >= min(admit_min, len(queue)))):
+                if staged is None:
+                    batch_wavs = np.zeros((p.admit_lanes, p.n_samples),
+                                          self._wav_dtype)
+                lane_reqs = np.zeros((p.admit_lanes,), np.int32)
+                slots = np.zeros((p.admit_lanes,), np.int32)
+                mask = np.zeros((p.admit_lanes,), bool)
+                caps = np.full((p.admit_lanes,), p.max_new, np.int32)
+                n_real = 0
+                for lane in range(min(p.admit_lanes, len(free))):
+                    if not queue:
+                        break
+                    req = queue.popleft()
+                    slot = free[lane]
+                    if staged is None:
+                        batch_wavs[lane] = self._pad_wav(wavs[req])
+                    lane_reqs[lane] = req
+                    slots[lane] = slot
+                    mask[lane] = True
+                    caps[lane] = caps_req[req]
+                    slot_req[slot] = req
+                    start_h[slot] = pos_h
+                    cap_h[slot] = caps_req[req]
+                    stats.admits += 1
+                    n_real += 1
+                # padding lanes target DISTINCT unused slots: the device
+                # scatter must never see duplicate rows (admit_lanes <=
+                # batch guarantees enough remain)
+                taken = set(slots[:n_real].tolist())
+                others = (i for i in range(p.batch) if i not in taken)
+                for lane in range(n_real, p.admit_lanes):
+                    slots[lane] = next(others)
+                wav_arg = (staged[jnp.asarray(lane_reqs)] if staged
+                           is not None else jnp.asarray(batch_wavs))
+                state = fns["admit"](self.params, state, wav_arg,
+                                     jnp.asarray(slots), jnp.asarray(mask),
+                                     jnp.asarray(caps))
+                stats.admit_passes += 1
+                free = [i for i in range(p.batch) if slot_req[i] is None]
+
+            # 3) one chunk of lockstep decode steps
+            live_before = sum(r is not None for r in slot_req)
+            state = fns["chunk"](self.params, state)
+            # ONE packed readback ([pos, finished..., tokens...]) — each
+            # extra np.asarray is a full tunnel RTT on remote backends
+            sync = np.asarray(state["sync"])
+            new_pos = int(sync[0])
+            steps = new_pos - pos_h
+            pos_h = new_pos
+            stats.chunks += 1
+            stats.device_steps += steps
+            stats.slot_steps_total += steps * p.batch
+            stats.slot_steps_busy += steps * live_before
+
+            # 4) retire finished slots
+            finished = sync[1: 1 + p.batch].astype(bool)
+            retiring = [i for i in range(p.batch)
+                        if slot_req[i] is not None and finished[i]]
+            if retiring:
+                tokens = sync[1 + p.batch:].reshape(p.batch, p.cache_len)
+                for i in retiring:
+                    gen = gen_tokens_of_row(tokens[i], start_h[i], p.p_len,
+                                            cap_h[i], eot)
+                    results[slot_req[i]] = np.concatenate([prefix, gen])
+                    stats.gen_tokens += int(gen.shape[0])
+                    slot_req[i] = None
+
+        self.state = state
+        stats.wall_seconds += time.perf_counter() - t0
+        return results

@@ -1,0 +1,304 @@
+"""Continuous batching (slot-recycling) greedy decode.
+
+A fixed pool of B decode slots advances in lockstep on a GLOBAL position
+counter; finished utterances retire and queued requests are admitted into
+their slots mid-flight, so a batch never waits for its slowest member —
+the throughput gap the reference cannot close: it serves strictly
+batch-synchronous through HF `generate` (`data_utils.py:152`), where every
+batch pays for its longest member. Continuous batching is the standard fix
+in production LLM serving (Orca / vLLM); this is the Whisper-shaped,
+XLA-compatible version.
+
+TPU-native design — everything static-shaped, three jitted programs:
+
+* ``chunk``: run up to `chunk` decode steps (early-exits when every slot is
+  finished). The whole trick rides the prompt left-padding machinery
+  already in `decoder_step` (models/decode.py): a slot admitted when the
+  global counter is at ``g`` gets ``start[b] = g`` — its position
+  embeddings are sequence-relative (``pos - start``), its cache reads are
+  masked to ``start <= idx <= pos``, and the fused Pallas decode kernels
+  take the same per-slot ``start`` vector they already take for prompted
+  decoding. The self-KV cache needs no per-slot reset: stale rows below
+  ``start`` are never read.
+* ``admit``: mel → encoder → transposed cross-KV for up to A arrivals in
+  one pass, scattered into their slots' rows (padding lanes write their
+  target's current content back, so lane count stays static).
+* ``rebase``: ``jnp.roll`` tokens + cache by the minimum active ``start``
+  so the global counter stays inside the static cache window. Amortized
+  cost: one cache copy every ``cache_len - max_rel`` steps.
+
+Host orchestration (slot bookkeeping, retirement, the admission queue)
+lives in ``openai_whisper_compression_tpu/continuous.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import HOP_LENGTH, DecodeConfig, WhisperArch
+from . import cache as kv_cache
+from .decode import _suppress_bias, decoder_step, forced_prefix
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class CBPlan:
+    """Static geometry shared by the engine fns and the host orchestrator."""
+
+    batch: int
+    chunk: int
+    admit_lanes: int
+    cache_len: int
+    prefix: tuple[int, ...]
+    p_len: int
+    max_new: int
+    n_samples: int
+
+    @property
+    def max_rel(self) -> int:
+        """Highest relative position a slot can reach (exclusive)."""
+        return self.p_len + self.max_new
+
+
+def _check_cfg(arch: WhisperArch, cfg: DecodeConfig) -> None:
+    from .decode import _timestamps_enabled
+
+    if cfg.beam_size > 1:
+        raise ValueError("continuous batching is greedy-only (beam_size=1)")
+    if _timestamps_enabled(arch, cfg):
+        raise ValueError(
+            "continuous batching does not support timestamp decoding; it "
+            "targets the short-utterance serving path (notimestamps=True)")
+
+
+def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
+                chunk: int = 16, admit_lanes: int = 4,
+                cache_len: int | None = None, n_mels: int | None = None,
+                use_pallas_mel: bool = True, fast_mel: bool = True,
+                merge_at: int | None = None, merge_factor: int = 2,
+                fast_gelu: bool = False,
+                transfer: str = "float32") -> tuple[CBPlan, dict[str,
+                                                                 Callable]]:
+    """Build the three jitted continuous-batching programs.
+
+    Returns (plan, fns) where fns has:
+      init(params)                          -> state
+      chunk(params, state)                  -> state
+      admit(params, state, wavs, slots, mask) -> state
+      rebase(state, shift)                  -> state
+    state is a pytree dict: {tokens (B, L) i32, cache, cross, pos () i32,
+    start (B,) i32, cap (B,) i32, finished (B,) bool}. `finished` doubles
+    as "slot free": unoccupied slots sit finished, feeding EOT (their
+    steps are wasted lanes, not wrong results). `cap` is the per-request
+    token budget (serving `max_tokens`): slot b generates at most cap[b]
+    tokens — exactly `greedy_decode` with max_new_tokens=cap[b], so the
+    standalone-parity contract holds per request.
+    """
+    _check_cfg(arch, cfg)
+    admit_lanes = min(admit_lanes, batch)
+    prefix = tuple(forced_prefix(arch, cfg))
+    p_len = len(prefix)
+    # relative positions index the (max_target_positions,) embedding table;
+    # the GLOBAL cache window may be longer (it's rebased, never embedded)
+    max_new = min(cfg.max_new_tokens, arch.max_target_positions - p_len)
+    # the global counter must fit a full slot lifetime plus one whole chunk
+    # between rebase checks (64-aligned like _auto_cache_len)
+    need = p_len + max_new + chunk + 1
+    cache_len = cache_len or -(-need // 64) * 64
+    if cache_len < need:
+        raise ValueError(f"cache_len {cache_len} < required {need}")
+    n_mels = n_mels or arch.num_mel_bins
+    n_samples = arch.max_source_positions * 2 * HOP_LENGTH
+    plan = CBPlan(batch=batch, chunk=chunk, admit_lanes=admit_lanes,
+                  cache_len=cache_len, prefix=prefix, p_len=p_len,
+                  max_new=max_new, n_samples=n_samples)
+
+    eot = arch.eos_token_id
+    sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
+    begin_sup = jnp.asarray(
+        _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
+    prefix_arr = jnp.asarray(prefix, jnp.int32)
+    bits = 4 if cfg.cross_kv_int4 else (8 if cfg.cross_kv_int8 else 16)
+
+    if transfer not in ("float32", "int16"):
+        raise ValueError(f"transfer must be float32|int16, got {transfer!r}")
+
+    def _encode(params, wavs):
+        """mel -> encoder -> (merged) enc_out for a (A, n_samples) batch —
+        the same frontend make_transcribe_fn compiles (harness.py).
+        transfer="int16" admits PCM16 and dequantizes on-device, halving
+        the host->device audio stream (serving.py's wire trick)."""
+        from ..audio import features
+        from .whisper import encode
+
+        if transfer == "int16":
+            wavs = wavs.astype(jnp.float32) * (1.0 / 32767.0)
+
+        dft_dtype = jnp.bfloat16 if fast_mel else jnp.float32
+        mel = features.preprocess(
+            wavs, n_mels=n_mels, use_pallas=use_pallas_mel,
+            length=n_samples, dft_dtype=dft_dtype).astype(
+            jax.tree.leaves(params["encoder"]["ln"])[0].dtype)
+        enc = encode(params, arch, mel, merge_at=merge_at,
+                     merge_factor=merge_factor, fast_gelu=fast_gelu)
+        if cfg.cross_kv_pool > 1 or cfg.cross_kv_merge > 0:
+            from .merge import merge_encoder_tokens
+
+            enc = merge_encoder_tokens(enc, pool=cfg.cross_kv_pool,
+                                       merge_r=cfg.cross_kv_merge)
+        return enc
+
+    def _cross_of(params, enc):
+        if cfg.cross_pallas:
+            from .whisper import precompute_cross_kv_t
+
+            return precompute_cross_kv_t(params, arch, enc, bits=bits)
+        from .whisper import precompute_cross_kv
+
+        if cfg.cross_kv_int4:
+            raise ValueError("cross_kv_int4 requires cross_pallas=True")
+        return precompute_cross_kv(params, arch, enc, int8=cfg.cross_kv_int8)
+
+    @jax.jit
+    def init_fn(params):
+        dtype = jax.tree.leaves(params["encoder"]["ln"])[0].dtype
+        enc0 = _encode(params, jnp.zeros((batch, n_samples), jnp.float32))
+        cross = _cross_of(params, enc0)
+        cache = kv_cache.init_cache(params, arch, batch, cache_len,
+                                    dtype=dtype, int8=cfg.kv_int8)
+        return {
+            "tokens": jnp.full((batch, cache_len), eot, jnp.int32),
+            "cache": cache,
+            "cross": cross,
+            "pos": jnp.asarray(0, jnp.int32),
+            "start": jnp.zeros((batch,), jnp.int32),
+            "cap": jnp.full((batch,), max_new, jnp.int32),
+            "finished": jnp.ones((batch,), bool),
+            # [pos, finished..., tokens...] packed for ONE host readback
+            # per chunk — each np.asarray pays a full tunnel RTT on remote
+            # backends, and the extra (B, L) i32 payload is KBs, so
+            # retirement token extraction rides the same readback free
+            "sync": jnp.zeros((1 + batch + batch * cache_len,), jnp.int32),
+        }
+
+    step_fn = functools.partial(decoder_step, max_len=cache_len,
+                                self_pallas=cfg.self_pallas)
+
+    @jax.jit
+    def chunk_fn(params, state):
+        def cond(carry):
+            n, st = carry
+            return jnp.logical_and(n < chunk, ~jnp.all(st["finished"]))
+
+        def body(carry):
+            n, st = carry
+            tokens, cache, pos = st["tokens"], st["cache"], st["pos"]
+            start, finished = st["start"], st["finished"]
+            logits, cache = step_fn(params, arch, tokens[:, pos], pos, cache,
+                                    st["cross"], start=start)
+            logits = logits + sup
+            rel_next = pos + 1 - start                      # (B,)
+            logits = jnp.where((rel_next == p_len)[:, None],
+                               logits + begin_sup, logits)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # forced prefix for freshly admitted slots (stepped, not
+            # prefilled: p_len is 2-4 tokens, and per-slot offsets rule out
+            # the batched prefill window)
+            in_prefix = rel_next < p_len
+            forced = prefix_arr[jnp.clip(rel_next, 0, p_len - 1)]
+            nxt = jnp.where(in_prefix, forced, nxt)
+            # length cap mirrors greedy_decode's `limit`: a slot writes at
+            # most cap[b] (<= max_new) generated tokens, then pads EOT
+            capped = rel_next >= p_len + st["cap"]
+            nxt = jnp.where(jnp.logical_or(finished, capped), eot, nxt)
+            finished = jnp.logical_or(
+                finished, jnp.logical_and(nxt == eot, ~in_prefix))
+            tokens = lax.dynamic_update_slice(tokens, nxt[:, None],
+                                              (0, pos + 1))
+            st = dict(st, tokens=tokens, cache=cache, pos=pos + 1,
+                      finished=finished)
+            return n + 1, st
+
+        _, state = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
+                                               state))
+        return dict(state, sync=jnp.concatenate(
+            [state["pos"][None], state["finished"].astype(jnp.int32),
+             state["tokens"].reshape(-1)]))
+
+    @jax.jit
+    def admit_fn(params, state, wavs, slots, mask, caps):
+        """Admit up to A requests: wavs (A, n_samples) f32, slots (A,) i32
+        DISTINCT slot indices (host-guaranteed), mask (A,) bool — masked-off
+        lanes write their slot's current content back (pure no-op); caps
+        (A,) i32 per-request token budgets (clipped to plan.max_new)."""
+        enc = _encode(params, wavs)
+        new_cross = _cross_of(params, enc)
+        pos = state["pos"]
+        cross = []
+        for kv, nkv in zip(state["cross"], new_cross):
+            h = kv.k_t.shape[0] // batch
+            rows = (slots[:, None] * h + jnp.arange(h)[None, :]).reshape(-1)
+            mrep = jnp.repeat(mask, h)
+
+            def scat(cur, new):
+                if cur is None:
+                    return None
+                val = jnp.where(
+                    mrep.reshape((-1,) + (1,) * (cur.ndim - 1)),
+                    new, cur[rows])
+                return cur.at[rows].set(val)
+
+            cross.append(dataclasses.replace(
+                kv, k_t=scat(kv.k_t, nkv.k_t), v_t=scat(kv.v_t, nkv.v_t),
+                k_scale=scat(kv.k_scale, nkv.k_scale),
+                v_scale=scat(kv.v_scale, nkv.v_scale)))
+        tokens, start, finished = (state["tokens"], state["start"],
+                                   state["finished"])
+        cur_tok = tokens[slots, pos]
+        tokens = tokens.at[slots, pos].set(
+            jnp.where(mask, prefix_arr[0], cur_tok))
+        start = start.at[slots].set(jnp.where(mask, pos, start[slots]))
+        cap = state["cap"].at[slots].set(
+            jnp.where(mask, jnp.clip(caps, 1, max_new), state["cap"][slots]))
+        finished = finished.at[slots].set(
+            jnp.where(mask, False, finished[slots]))
+        return dict(state, tokens=tokens, cross=cross, start=start,
+                    cap=cap, finished=finished)
+
+    @jax.jit
+    def rebase_fn(state, shift):
+        """Shift the global window down by `shift` (host-computed: the
+        minimum start over OCCUPIED slots). Rolled-in tail garbage is never
+        read: cache reads are masked to start <= idx <= pos."""
+        tokens = jnp.roll(state["tokens"], -shift, axis=1)
+        cache = jax.tree.map(lambda x: jnp.roll(x, -shift, axis=2),
+                             state["cache"])
+        return dict(state, tokens=tokens, cache=cache,
+                    pos=state["pos"] - shift,
+                    start=jnp.maximum(state["start"] - shift, 0))
+
+    return plan, {"init": init_fn, "chunk": chunk_fn, "admit": admit_fn,
+                  "rebase": rebase_fn}
+
+
+def gen_tokens_of_row(row: np.ndarray, start: int, p_len: int, cap: int,
+                      eot: int) -> np.ndarray:
+    """Host-side retirement: extract the generated tokens (incl. a final
+    EOT the model actually emitted — `_gen_lengths` semantics) of a
+    finished slot from the global token buffer. `cap` is the slot's token
+    budget; the EOT the engine force-pads at index `cap` is budget
+    exhaustion, not an emission, and is excluded — matching standalone
+    `greedy_decode` with max_new_tokens=cap, which truncates without
+    appending EOT."""
+    gen = row[start + p_len: start + p_len + cap]
+    hits = np.nonzero(gen == eot)[0]
+    n = int(hits[0]) + 1 if hits.size else gen.shape[0]
+    return gen[:n]
