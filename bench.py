@@ -10,6 +10,9 @@ r2 accounting); "rows" records the full workload family every round
                 the reference's RTF accounting shape (evaluation.py:77-106)
   longform      multi-stream timestamp-seek long-form transcription
                 (transcribe_seek_batch, 8x60s streams)
+  continuous_batching  slot-recycling vs batch-synchronous wave scheduling
+                on ragged token-budgeted requests (same engine, token
+                equality asserted; models/continuous.py)
 
 Workload: whisper-small architecture (random weights — no egress for real
 checkpoints), bf16 (or int8 weight-only via --quant), batch B of 30 s-padded
@@ -122,7 +125,7 @@ def _serve_bench(params, arch, cfg, fn, args) -> None:
     }))
 
 
-def _cb_bench(params, arch, args) -> None:
+def _cb_measure(params, arch, args, tokens: int) -> dict:
     """Continuous batching vs batch-synchronous waves on ONE ragged set.
 
     The reference serves strictly batch-synchronously through HF
@@ -136,12 +139,12 @@ def _cb_bench(params, arch, args) -> None:
     lognormal speech-like length distribution. BOTH schedulers run the
     same engine, kernels, and budgets — wave mode only admits into an
     empty pool — so the ratio is pure scheduling, and token equality
-    between the two is asserted."""
+    between the two is asserted. Returns the rows dict."""
     from openai_whisper_compression_tpu.config import DecodeConfig
     from openai_whisper_compression_tpu.continuous import (CBStats,
                                                            ContinuousBatcher)
 
-    cfg = DecodeConfig(max_new_tokens=args.tokens,
+    cfg = DecodeConfig(max_new_tokens=tokens,
                        kv_int8=args.kv_int8,
                        cross_kv_int8=args.cross_kv_int8,
                        cross_kv_int4=args.cross_kv_int4,
@@ -160,9 +163,8 @@ def _cb_bench(params, arch, args) -> None:
                      + 0.3 * rng.standard_normal(ln)).astype(np.float32))
     # speech-like token-length spread (LibriSpeech test-clean transcripts
     # span ~1-90 tokens with a long right tail); median ~tokens/2
-    caps = np.clip(np.round(rng.lognormal(np.log(args.tokens / 2), 0.55,
-                                          n_req)),
-                   2, args.tokens).astype(int).tolist()
+    caps = np.clip(np.round(rng.lognormal(np.log(tokens / 2), 0.55, n_req)),
+                   2, tokens).astype(int).tolist()
     audio_s = n_req * AVG_UTT_SECONDS  # same accounting as --serve
 
     cb = ContinuousBatcher(params, arch, cfg, batch=args.batch,
@@ -203,31 +205,37 @@ def _cb_bench(params, arch, args) -> None:
     print(f"# sync stats: {sync_stats.snapshot()} mismatches={mismatch} "
           f"len[min/mean/max]={lens.min()}/{lens.mean():.1f}/{lens.max()}",
           file=sys.stderr)
+    return {
+        "cb_rtfx": round(cb_rtfx, 2),
+        "batch_sync_rtfx": round(sync_rtfx, 2),
+        "speedup_vs_sync": round(cb_rtfx / sync_rtfx, 3),
+        "cb_device_steps": stats.device_steps,
+        "sync_device_steps": sync_stats.device_steps,
+        "step_ratio": round(stats.device_steps
+                            / max(sync_stats.device_steps, 1), 3),
+        "cb_occupancy": round(stats.occupancy, 3),
+        "sync_occupancy": round(sync_stats.occupancy, 3),
+        "gen_len_mean": round(float(lens.mean()), 1),
+        "gen_len_max": int(lens.max()),
+        "token_mismatches": mismatch,
+    }
+
+
+def _cb_bench(params, arch, args) -> None:
+    """Standalone --serve-cb mode: one JSON line from _cb_measure."""
+    rows = _cb_measure(params, arch, args, args.tokens)
     print(json.dumps({
         "metric": f"whisper-{args.model}-{args.quant} continuous-batching "
-                  f"RTFx ({n_req} ragged reqs, {args.batch} slots, "
+                  f"RTFx ({args.batch * 4} ragged reqs, {args.batch} slots, "
                   f"chunk {args.cb_chunk}, lognormal budgets<= "
                   f"{args.tokens} tok, "
                   + (f"transfer={args.transfer}, " if args.cb_upload
                      else "device-staged audio, ")
                   + f"audio={AVG_UTT_SECONDS}s/utt)",
-        "value": round(cb_rtfx, 2),
+        "value": rows["cb_rtfx"],
         "unit": "x_realtime",
-        "vs_baseline": round(cb_rtfx / BASELINE_RTFX, 2),
-        "rows": {
-            "cb_rtfx": round(cb_rtfx, 2),
-            "batch_sync_rtfx": round(sync_rtfx, 2),
-            "speedup_vs_sync": round(cb_rtfx / sync_rtfx, 3),
-            "cb_device_steps": stats.device_steps,
-            "sync_device_steps": sync_stats.device_steps,
-            "step_ratio": round(stats.device_steps
-                                / max(sync_stats.device_steps, 1), 3),
-            "cb_occupancy": round(stats.occupancy, 3),
-            "sync_occupancy": round(sync_stats.occupancy, 3),
-            "gen_len_mean": round(float(lens.mean()), 1),
-            "gen_len_max": int(lens.max()),
-            "token_mismatches": mismatch,
-        },
+        "vs_baseline": round(rows["cb_rtfx"] / BASELINE_RTFX, 2),
+        "rows": rows,
     }))
 
 
@@ -856,6 +864,19 @@ def main() -> None:
 
         rows["longform"] = _longform_row(params, arch, args)
         print(f"# longform: {rows['longform']}", file=sys.stderr)
+
+        if args.beam <= 1:
+            # continuous-batching scheduler A/B on ragged budgeted requests
+            # (fixed 32-token budget cap so the row is comparable across
+            # rounds regardless of --tokens); guarded — a CB failure must
+            # not sink the recorded headline
+            try:
+                rows["continuous_batching"] = _cb_measure(params, arch,
+                                                          args, 32)
+            except Exception as e:
+                rows["continuous_batching"] = {"error": repr(e)}
+            print(f"# continuous_batching: {rows['continuous_batching']}",
+                  file=sys.stderr)
 
         if (args.cross_kv_pool == 1 and not args.cross_kv_merge
                 and args.beam <= 1):

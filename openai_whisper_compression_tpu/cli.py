@@ -329,6 +329,42 @@ def cmd_run(args):
     return scores
 
 
+def _transcribe_continuous(args):
+    """`transcribe --continuous`: --audio is a DIRECTORY; every file runs
+    through the continuous-batching slot pool (continuous.py) — finished
+    utterances retire and the next file is admitted mid-flight, so the
+    corpus pays the SUM of decode lengths instead of waves x max."""
+    import sys
+
+    import numpy as np
+
+    from .continuous import CBStats, ContinuousBatcher
+    from .evaluation.data import load_audio_dir
+    from .evaluation.tokenizer import default_tokenizer, load_tokenizer
+
+    params, arch = _load_model(args)
+    utts = load_audio_dir(args.audio, transcripts=getattr(
+        args, "transcripts", None))
+    tok = (load_tokenizer(f"openai/whisper-{arch.name}")
+           or default_tokenizer(arch))
+    cfg = _decode_cfg(args, arch)
+    cb = ContinuousBatcher(params, arch, cfg, batch=args.cb_slots,
+                           chunk=args.cb_chunk,
+                           admit_lanes=max(2, args.cb_slots // 2))
+    stats = CBStats()
+    seqs = cb.transcribe_all([u.audio for u in utts], stats=stats)
+    p_len, eot = cb.plan.p_len, arch.eos_token_id
+    results = []
+    for u, seq in zip(utts, seqs):
+        ids = [int(t) for t in seq[p_len:] if int(t) != eot]
+        text = tok.decode(ids)
+        results.append({"uid": u.uid, "text": text})
+        print(f"{u.uid}\t{text}")
+    print(f"# continuous-batching stats: {stats.snapshot()}",
+          file=sys.stderr)
+    return results
+
+
 def cmd_transcribe(args):
     """Transcribe an audio file (.flac, .wav 16-bit PCM, or .npy float
     waveform)."""
@@ -338,6 +374,8 @@ def cmd_transcribe(args):
 
     from .evaluation.data import read_audio_file
 
+    if getattr(args, "continuous", False):
+        return _transcribe_continuous(args)
     wav = read_audio_file(args.audio, assume_rate=args.sample_rate)
 
     params, arch = _load_model(args)
@@ -828,6 +866,15 @@ def main(argv=None):
                         "--stream-chunk-s pieces, print stable partials "
                         "(LocalAgreement commitment)")
     p.add_argument("--stream-chunk-s", type=float, default=1.0)
+    p.add_argument("--continuous", action="store_true",
+                   help="--audio is a DIRECTORY: transcribe every file "
+                        "through the continuous-batching slot pool "
+                        "(slot recycling; greedy, no timestamps; prints "
+                        "uid<TAB>text per file)")
+    p.add_argument("--cb-slots", type=int, default=8,
+                   help="--continuous decode slot pool size")
+    p.add_argument("--cb-chunk", type=int, default=8,
+                   help="--continuous decode steps between retire/admit")
     p.add_argument("--timestamps", action="store_true",
                    help="segment timestamps via seek decoding")
     p.add_argument("--word-timestamps", action="store_true",

@@ -241,6 +241,25 @@ def test_cb_rejects_unsupported_modes(model):
                           ts_arch, DecodeConfig(notimestamps=False), batch=2)
 
 
+def test_cli_transcribe_continuous(tmp_path, capsys):
+    """`transcribe --continuous` drives a directory through the pool and
+    prints uid<TAB>text per file in deterministic (sorted-uid) order."""
+    from openai_whisper_compression_tpu import cli
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        np.save(tmp_path / f"utt{i}.npy",
+                (rng.standard_normal(12000) * 0.1).astype(np.float32))
+    res = cli.main(["transcribe", "--model", "test2l",
+                    "--audio", str(tmp_path), "--continuous",
+                    "--cb-slots", "2", "--max-new-tokens", "6"])
+    assert [r["uid"] for r in res] == [f"utt{i}" for i in range(4)]
+    out = capsys.readouterr().out.splitlines()
+    assert len([ln for ln in out if ln.startswith("utt")]) == 4
+    for r in res:
+        assert isinstance(r["text"], str)
+
+
 def test_cb_occupancy_beats_lockstep_accounting(model):
     """The stats must show the win mechanism: device steps track the SUM of
     lengths, not waves x max length (the batch-synchronous cost)."""
