@@ -195,20 +195,32 @@ def _cb_measure(params, arch, args, tokens: int) -> dict:
     # ---- continuous batching on the identical request set ----
     stats = CBStats()
     got = cb.transcribe_all(reqs, stats=stats, max_new=caps)
+    # ---- + one-deep chunk pipeline (sync readback rides under the next
+    # chunk's execution; same compiled programs, host-loop change only) ---
+    ov_stats = CBStats()
+    ov_tokens = cb.transcribe_all(reqs, stats=ov_stats, max_new=caps,
+                                  overlap=True)
 
     mismatch = sum(not np.array_equal(g, r)
                    for g, r in zip(got, sync_tokens))
+    ov_mismatch = sum(not np.array_equal(g, r)
+                      for g, r in zip(ov_tokens, got))
     lens = np.array([len(t) for t in sync_tokens])
     cb_rtfx = audio_s / stats.wall_seconds
+    ov_rtfx = audio_s / ov_stats.wall_seconds
     sync_rtfx = audio_s / sync_stats.wall_seconds
     print(f"# cb stats: {stats.snapshot()}", file=sys.stderr)
+    print(f"# cb overlap stats: {ov_stats.snapshot()} "
+          f"mismatches_vs_cb={ov_mismatch}", file=sys.stderr)
     print(f"# sync stats: {sync_stats.snapshot()} mismatches={mismatch} "
           f"len[min/mean/max]={lens.min()}/{lens.mean():.1f}/{lens.max()}",
           file=sys.stderr)
     return {
         "cb_rtfx": round(cb_rtfx, 2),
+        "cb_overlap_rtfx": round(ov_rtfx, 2),
         "batch_sync_rtfx": round(sync_rtfx, 2),
         "speedup_vs_sync": round(cb_rtfx / sync_rtfx, 3),
+        "overlap_speedup_vs_sync": round(ov_rtfx / sync_rtfx, 3),
         "cb_device_steps": stats.device_steps,
         "sync_device_steps": sync_stats.device_steps,
         "step_ratio": round(stats.device_steps
@@ -218,6 +230,7 @@ def _cb_measure(params, arch, args, tokens: int) -> dict:
         "gen_len_mean": round(float(lens.mean()), 1),
         "gen_len_max": int(lens.max()),
         "token_mismatches": mismatch,
+        "overlap_token_mismatches": ov_mismatch,
     }
 
 

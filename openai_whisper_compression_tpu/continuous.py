@@ -85,16 +85,17 @@ class ContinuousBatcher:
                  chunk: int = 16, admit_lanes: int = 4,
                  cache_len: int | None = None, fast_mel: bool = True,
                  fast_gelu: bool = False, merge_at: int | None = None,
-                 transfer: str = "float32"):
+                 transfer: str = "float32", overlap: bool = False):
         self.params = params
         self.arch = arch
         self.cfg = cfg or DecodeConfig()
         self.transfer = transfer
+        self.overlap = overlap
         self._wav_dtype = np.int16 if transfer == "int16" else np.float32
         self.plan, self.fns = make_cb_fns(
             arch, self.cfg, batch, chunk=chunk, admit_lanes=admit_lanes,
             cache_len=cache_len, fast_mel=fast_mel, fast_gelu=fast_gelu,
-            merge_at=merge_at, transfer=transfer)
+            merge_at=merge_at, transfer=transfer, overlap=overlap)
         self.state = None
 
     # -- internals ----------------------------------------------------------
@@ -139,7 +140,8 @@ class ContinuousBatcher:
     def transcribe_all(self, wavs: Sequence[np.ndarray],
                        stats: CBStats | None = None,
                        max_new: Sequence[int] | None = None,
-                       wave: bool = False) -> list[np.ndarray]:
+                       wave: bool = False,
+                       overlap: bool | None = None) -> list[np.ndarray]:
         """Run every request through the pool; returns per-request token
         sequences (prefix + generated, standalone greedy layout) in input
         order.
@@ -169,10 +171,10 @@ class ContinuousBatcher:
         results: list[Any] = [None] * len(wavs)
         queue = deque(range(len(wavs)))
         slot_req: list[int | None] = [None] * p.batch
-        # host mirror of each occupied slot's start/cap (avoids reading the
-        # device vectors every chunk; kept exact by admit/rebase bookkeeping)
+        # host mirror of each occupied slot's start — in non-overlap mode
+        # exact, in overlap mode a lower bound — used ONLY to pick rebase
+        # shifts (retirement reads the exact start from the snapshot)
         start_h = [0] * p.batch
-        cap_h = [p.max_new] * p.batch
 
         t0 = time.perf_counter()
         state = self.state if self.state is not None \
@@ -182,9 +184,52 @@ class ContinuousBatcher:
         pos_h = int(np.asarray(state["pos"]))
         prefix = np.asarray(p.prefix, np.int32)
 
+        # overlap: one-deep chunk pipeline — the sync readback of chunk k
+        # (a full tunnel RTT) rides under chunk k+1's execution. Retirement
+        # then lags one chunk, so each in-flight record carries the
+        # slot->request mapping AS OF ITS DISPATCH (a slot can retire and
+        # be re-armed before its old snapshot is consumed) plus any rebase
+        # shift applied after its snapshot (sync coordinates predate it).
+        overlap = (self.overlap if overlap is None else overlap) and not wave
+        if overlap and p.cache_len < p.max_rel + 2 * p.chunk + 1:
+            raise ValueError(
+                f"cache_len {p.cache_len} too small for the overlapped "
+                f"loop (needs {p.max_rel + 2 * p.chunk + 1}; construct "
+                "the batcher with overlap=True)")
+        margin = (2 * p.chunk if overlap else p.chunk) + 1
+        inflight: dict | None = None
+
+        def consume(rec) -> None:
+            nonlocal pos_h
+            sync = np.asarray(rec["state"]["sync"])
+            new_pos = int(sync[0]) - rec["shift"]
+            steps = new_pos - pos_h
+            pos_h = new_pos
+            stats.chunks += 1
+            stats.device_steps += steps
+            stats.slot_steps_total += steps * p.batch
+            stats.slot_steps_busy += steps * rec["live"]
+            finished = sync[1: 1 + p.batch].astype(bool)
+            # start + tokens come from the SAME snapshot, so extraction
+            # coordinates are self-consistent even across later rebases
+            start = sync[1 + p.batch: 1 + 2 * p.batch]
+            tokens = sync[1 + 2 * p.batch:].reshape(p.batch, p.cache_len)
+            for slot, req in rec["occ"].items():
+                if finished[slot] and slot_req[slot] == req:
+                    gen = gen_tokens_of_row(tokens[slot], int(start[slot]),
+                                            p.p_len, caps_req[req], eot)
+                    results[req] = np.concatenate([prefix, gen])
+                    stats.gen_tokens += int(gen.shape[0])
+                    slot_req[slot] = None
+
         while queue or any(r is not None for r in slot_req):
             # 1) rebase if the coming chunk could run off the window
-            if pos_h + p.chunk + 1 >= p.cache_len:
+            # (overlap: the NEXT dispatch runs one un-synced chunk ahead of
+            # pos_h, so the guard covers two chunks; start_h entries are
+            # LOWER bounds there — an admit's true start can exceed the
+            # last synced pos by up to one chunk — which only ever makes
+            # the shift conservative, never unsafe)
+            if pos_h + margin >= p.cache_len:
                 occupied = [start_h[i] for i in range(p.batch)
                             if slot_req[i] is not None]
                 shift = min(occupied) if occupied else pos_h
@@ -194,6 +239,8 @@ class ContinuousBatcher:
                     pos_h -= shift
                     for i in range(p.batch):
                         start_h[i] = max(start_h[i] - shift, 0)
+                    if inflight is not None:
+                        inflight["shift"] += shift
                     stats.rebases += 1
 
             # 2) admit arrivals into free slots, A lanes per jitted pass,
@@ -238,7 +285,6 @@ class ContinuousBatcher:
                     caps[lane] = caps_req[req]
                     slot_req[slot] = req
                     start_h[slot] = pos_h
-                    cap_h[slot] = caps_req[req]
                     stats.admits += 1
                     n_real += 1
                 # padding lanes target DISTINCT unused slots: the device
@@ -256,32 +302,25 @@ class ContinuousBatcher:
                 stats.admit_passes += 1
                 free = [i for i in range(p.batch) if slot_req[i] is None]
 
-            # 3) one chunk of lockstep decode steps
-            live_before = sum(r is not None for r in slot_req)
-            state = fns["chunk"](self.params, state)
-            # ONE packed readback ([pos, finished..., tokens...]) — each
-            # extra np.asarray is a full tunnel RTT on remote backends
-            sync = np.asarray(state["sync"])
-            new_pos = int(sync[0])
-            steps = new_pos - pos_h
-            pos_h = new_pos
-            stats.chunks += 1
-            stats.device_steps += steps
-            stats.slot_steps_total += steps * p.batch
-            stats.slot_steps_busy += steps * live_before
+            # 3) dispatch one chunk of lockstep decode steps
+            rec = {"state": fns["chunk"](self.params, state),
+                   "live": sum(r is not None for r in slot_req),
+                   "occ": {i: r for i, r in enumerate(slot_req)
+                           if r is not None},
+                   "shift": 0}
+            state = rec["state"]
 
-            # 4) retire finished slots
-            finished = sync[1: 1 + p.batch].astype(bool)
-            retiring = [i for i in range(p.batch)
-                        if slot_req[i] is not None and finished[i]]
-            if retiring:
-                tokens = sync[1 + p.batch:].reshape(p.batch, p.cache_len)
-                for i in retiring:
-                    gen = gen_tokens_of_row(tokens[i], start_h[i], p.p_len,
-                                            cap_h[i], eot)
-                    results[slot_req[i]] = np.concatenate([prefix, gen])
-                    stats.gen_tokens += int(gen.shape[0])
-                    slot_req[i] = None
+            # 4) consume a snapshot: retire finished slots via ONE packed
+            # readback ([pos, finished..., start..., tokens...] — each
+            # extra np.asarray is a full tunnel RTT on remote backends).
+            # overlap mode consumes the PREVIOUS chunk's snapshot, so this
+            # readback rides under the just-dispatched chunk's execution
+            if overlap:
+                if inflight is not None:
+                    consume(inflight)
+                inflight = rec
+            else:
+                consume(rec)
 
         self.state = state
         stats.wall_seconds += time.perf_counter() - t0

@@ -84,9 +84,9 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
                 cache_len: int | None = None, n_mels: int | None = None,
                 use_pallas_mel: bool = True, fast_mel: bool = True,
                 merge_at: int | None = None, merge_factor: int = 2,
-                fast_gelu: bool = False,
-                transfer: str = "float32") -> tuple[CBPlan, dict[str,
-                                                                 Callable]]:
+                fast_gelu: bool = False, transfer: str = "float32",
+                overlap: bool = False) -> tuple[CBPlan, dict[str,
+                                                             Callable]]:
     """Build the three jitted continuous-batching programs.
 
     Returns (plan, fns) where fns has:
@@ -110,8 +110,10 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
     # the GLOBAL cache window may be longer (it's rebased, never embedded)
     max_new = min(cfg.max_new_tokens, arch.max_target_positions - p_len)
     # the global counter must fit a full slot lifetime plus one whole chunk
-    # between rebase checks (64-aligned like _auto_cache_len)
-    need = p_len + max_new + chunk + 1
+    # between rebase checks — two chunks under the overlapped host loop,
+    # whose rebase decisions run one chunk behind (64-aligned like
+    # _auto_cache_len)
+    need = p_len + max_new + (2 * chunk if overlap else chunk) + 1
     cache_len = cache_len or -(-need // 64) * 64
     if cache_len < need:
         raise ValueError(f"cache_len {cache_len} < required {need}")
@@ -182,11 +184,15 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
             "start": jnp.zeros((batch,), jnp.int32),
             "cap": jnp.full((batch,), max_new, jnp.int32),
             "finished": jnp.ones((batch,), bool),
-            # [pos, finished..., tokens...] packed for ONE host readback
-            # per chunk — each np.asarray pays a full tunnel RTT on remote
-            # backends, and the extra (B, L) i32 payload is KBs, so
-            # retirement token extraction rides the same readback free
-            "sync": jnp.zeros((1 + batch + batch * cache_len,), jnp.int32),
+            # [pos, finished..., start..., tokens...] packed for ONE host
+            # readback per chunk — each np.asarray pays a full tunnel RTT
+            # on remote backends, and the extra (B, L) i32 payload is KBs,
+            # so retirement token extraction rides the same readback free.
+            # start rides along so the snapshot is SELF-CONSISTENT: the
+            # overlapped host loop retires from a one-chunk-old snapshot
+            # whose coordinates may predate a later rebase
+            "sync": jnp.zeros((1 + 2 * batch + batch * cache_len,),
+                              jnp.int32),
         }
 
     step_fn = functools.partial(decoder_step, max_len=cache_len,
@@ -231,7 +237,7 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
                                                state))
         return dict(state, sync=jnp.concatenate(
             [state["pos"][None], state["finished"].astype(jnp.int32),
-             state["tokens"].reshape(-1)]))
+             state["start"], state["tokens"].reshape(-1)]))
 
     @jax.jit
     def admit_fn(params, state, wavs, slots, mask, caps):

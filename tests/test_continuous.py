@@ -201,6 +201,51 @@ def test_cb_wave_mode_matches_continuous(model):
     assert w_stats.admits == c_stats.admits == len(wavs)
 
 
+def test_cb_overlap_pipeline_exact(model):
+    """overlap=True (one-deep chunk pipeline: the sync readback of chunk k
+    rides under chunk k+1) returns exactly the standalone outputs across
+    mid-flight admits AND rebases — retirement reads the snapshot's own
+    start/tokens, so a rebase applied after a snapshot cannot skew
+    extraction coordinates."""
+    cfg = DecodeConfig(max_new_tokens=16)
+    wavs = _wavs(30, seed=99)
+    ref = _standalone(model, cfg, wavs)
+    cb = ContinuousBatcher(model, ARCH, cfg, batch=4, chunk=5,
+                           admit_lanes=2, cache_len=32, overlap=True)
+    stats = CBStats()
+    got = cb.transcribe_all(wavs, stats=stats)
+    assert stats.rebases >= 1, "window was never rebased — weak test"
+    for i, (g, r) in enumerate(zip(got, ref)):
+        assert np.array_equal(g, r), (
+            f"request {i}: cb={g.tolist()} standalone={r.tolist()}")
+    # second run on the recycled pool stays exact too
+    wavs2 = _wavs(9, seed=3)
+    ref2 = _standalone(model, cfg, wavs2)
+    got2 = cb.transcribe_all(wavs2)
+    for g, r in zip(got2, ref2):
+        assert np.array_equal(g, r)
+
+
+def test_cb_overlap_with_budgets(model):
+    """Per-request budgets keep exact truncation semantics under the
+    overlapped loop (slots retire one chunk late but extraction still
+    matches standalone greedy with max_new_tokens=cap)."""
+    import dataclasses
+
+    wavs = _wavs(9, seed=7)
+    caps = [2, 5, 9, 3, 12, 4, 7, 2, 6]
+    refs = [_standalone(model,
+                        dataclasses.replace(DecodeConfig(max_new_tokens=16),
+                                            max_new_tokens=c), [w])[0]
+            for w, c in zip(wavs, caps)]
+    cb = ContinuousBatcher(model, ARCH, DecodeConfig(max_new_tokens=16),
+                           batch=3, chunk=4, admit_lanes=3, overlap=True)
+    got = cb.transcribe_all(wavs, max_new=caps)
+    for i, (g, r) in enumerate(zip(got, refs)):
+        assert np.array_equal(g, r), (
+            f"req {i} cap {caps[i]}: cb={g.tolist()} ref={r.tolist()}")
+
+
 def test_cb_int16_transfer(model):
     """transfer="int16" (halved host->device audio stream) equals the
     float32 path on PCM16-round-tripped audio — the quantization happens
