@@ -342,15 +342,20 @@ def _transcribe_continuous(args):
     from .evaluation.data import load_audio_dir
     from .evaluation.tokenizer import default_tokenizer, load_tokenizer
 
+    import jax
+
     params, arch = _load_model(args)
     utts = load_audio_dir(args.audio, transcripts=getattr(
         args, "transcripts", None))
     tok = (load_tokenizer(f"openai/whisper-{arch.name}")
            or default_tokenizer(arch))
     cfg = _decode_cfg(args, arch)
+    # the overlapped loop hides the per-chunk readback RTT — a win on any
+    # accelerator backend, pure overhead on CPU (nothing to hide)
     cb = ContinuousBatcher(params, arch, cfg, batch=args.cb_slots,
                            chunk=args.cb_chunk,
-                           admit_lanes=max(2, args.cb_slots // 2))
+                           admit_lanes=max(2, args.cb_slots // 2),
+                           overlap=jax.default_backend() != "cpu")
     stats = CBStats()
     seqs = cb.transcribe_all([u.audio for u in utts], stats=stats)
     p_len, eot = cb.plan.p_len, arch.eos_token_id
