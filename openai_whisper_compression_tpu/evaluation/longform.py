@@ -139,47 +139,70 @@ def segments_from_tokens(arch: WhisperArch,
     segments: [{"start", "end", "tokens", "tok_idx"}] with times in seconds
     relative to the window ("tok_idx" = each text token's position in
     `gen`, for aligning logprob traces).
-    Returns (segments, seek_seconds) where seek_seconds is the
-    end of the last COMPLETE segment (None when the stream has no closing
-    timestamp — caller then advances a full window). Mirrors OpenAI
-    whisper's transcribe() seek logic."""
-    from ..models.decode import timestamp_token_to_seconds
+
+    Slicing follows OpenAI transcribe() / HF `_retrieve_segment`
+    token-for-token (pinned by tests/test_hf_generate_parity.py):
+
+    * "end of segment" = a CONSECUTIVE timestamp pair; the stream is cut
+      after the pair's first token.
+    * single-timestamp ending ([..., text, ts]) closes the final segment
+      at that timestamp but the caller advances a FULL window
+      (seek_seconds=None) — the model saw the whole window out.
+    * a pair ending seeks to the pair's timestamp (seek_seconds=value).
+    * no pair at all: the whole window is ONE segment anchored at the
+      window start (start=0.0, not the first timestamp's value — OpenAI
+      semantics), ending at the last emitted timestamp when there is one
+      (and it isn't <|0.00|>), else end=None (caller uses the window
+      duration); full-window advance.
+
+    Divergence from HF (cosmetic): segments whose slice contains no text
+    tokens are dropped from the returned list — their boundaries still
+    participate in seek arithmetic exactly as in HF."""
+    from ..models.decode import timestamp_token_to_seconds as _tts
 
     ts_begin = arch.no_timestamps_token_id + 1
-    segments: list[dict] = []
-    start_tok: int | None = None
-    text: list[int] = []
-    idxs: list[int] = []     # gen-relative positions of the text tokens
-    last_end: float | None = None
-    for i, t in enumerate(np.asarray(gen).tolist()):
-        if t == arch.eos_token_id:
+    toks: list[int] = []
+    for t in np.asarray(gen).tolist():
+        if int(t) == arch.eos_token_id:
             break
-        if t >= ts_begin:
-            if start_tok is None:
-                start_tok = t
-            elif text:  # closing timestamp of a segment
-                segments.append({
-                    "start": timestamp_token_to_seconds(arch, start_tok),
-                    "end": timestamp_token_to_seconds(arch, t),
-                    "tokens": text,
-                    "tok_idx": idxs,
-                })
-                last_end = segments[-1]["end"]
-                start_tok = None
-                text = []
-                idxs = []
-            else:  # consecutive timestamps: pause; restart the segment
-                start_tok = t
-        elif start_tok is not None:
-            text.append(t)
-            idxs.append(i)
-    if text and start_tok is not None:
-        # trailing unterminated segment: keep the text, no seek anchor
-        segments.append({
-            "start": timestamp_token_to_seconds(arch, start_tok),
-            "end": None, "tokens": text, "tok_idx": idxs,
-        })
-    return segments, last_end
+        toks.append(int(t))
+    if not toks:
+        return [], None
+    mask = [t >= ts_begin for t in toks]
+    single_ending = len(toks) >= 2 and mask[-2:] == [False, True]
+    pairs = [i + 1 for i in range(len(toks) - 1) if mask[i] and mask[i + 1]]
+
+    def _seg(lo: int, hi: int, end_idx: int) -> dict:
+        text = [(i, t) for i, t in enumerate(toks[lo:hi], lo) if not mask[i]]
+        return {"start": _tts(arch, toks[lo]),
+                "end": _tts(arch, toks[end_idx]),
+                "tokens": [t for _, t in text],
+                "tok_idx": [i for i, _ in text]}
+
+    segments: list[dict] = []
+    if pairs:
+        slices = list(pairs)
+        if single_ending:
+            slices.append(len(toks))
+        else:
+            slices[-1] += 1
+        lo = 0
+        for n, cur in enumerate(slices):
+            is_last = n == len(slices) - 1
+            end_idx = cur - 1 if (not is_last or single_ending) else cur - 2
+            segments.append(_seg(lo, cur, end_idx))
+            lo = cur
+        seek = None if single_ending else _tts(arch, toks[lo - 2])
+    else:
+        text = [(i, t) for i, t in enumerate(toks) if not mask[i]]
+        ts_vals = [t for t, m in zip(toks, mask) if m]
+        end = (_tts(arch, ts_vals[-1])
+               if ts_vals and ts_vals[-1] != ts_begin else None)
+        segments = [{"start": 0.0, "end": end,
+                     "tokens": [t for _, t in text],
+                     "tok_idx": [i for i, _ in text]}]
+        seek = None
+    return [s for s in segments if s["tokens"]], seek
 
 
 def _parse_clips(clip_timestamps, total_s: float) -> list[tuple[float, float]]:
@@ -651,7 +674,7 @@ def transcribe_seek(params, arch: WhisperArch, wav: np.ndarray, tokenizer,
                 # skip detected silence/hallucination; min 0.1 s progress
                 pos = max(int(seek_override * 16000), pos + 1600)
                 continue
-            advance = (int(seek_s * 16000) if seek_s else n_samples)
+            advance = (n_samples if seek_s is None else int(seek_s * 16000))
             pos += max(advance, 1)  # never stall
             if len(piece) < n_samples:
                 break  # final (padded) window consumed the clip
@@ -759,7 +782,7 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
                     params, arch, enc[r: r + 1], tokens[r, : lengths[r]],
                     tokenizer, alignment_heads, len(pieces[s]), t0))
             win_count[s] += 1
-            advance = (int(seek_s * 16000) if seek_s else n_samples)
+            advance = (n_samples if seek_s is None else int(seek_s * 16000))
             pos[s] += max(advance, 1)
             if len(pieces[s]) < n_samples or pos[s] >= len(wavs[s]):
                 done[s] = True

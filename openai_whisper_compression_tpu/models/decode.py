@@ -268,15 +268,25 @@ def _apply_timestamp_rules(logits: jax.Array, tokens: jax.Array,
     inherits them through HF `generate`'s timestamp processor):
 
     1. <|notimestamps|> is never sampled.
-    2. After a lone timestamp, only a timestamp or EOT may follow (pairs);
-       after a timestamp pair, text must follow.
-    3. Timestamps are non-decreasing: ts < last emitted are suppressed.
+    2. After a LONE timestamp (one whose predecessor is a generated
+       non-timestamp), only a timestamp or EOT/special may follow — pairs.
+       After a completed pair — and after the INITIAL forced timestamp,
+       which HF/OpenAI treat identically ("len(seq) < 2" counts as
+       penultimate-was-timestamp) — text must follow.
+    3. Timestamps never decrease; once a pair completes (or after the
+       initial timestamp) the next timestamp must be STRICTLY greater
+       ("avoid emitting <|0.00|> again"). A lone timestamp's pair-mate may
+       repeat the same value.
     4. The first generated token is a timestamp, bounded by
        max_initial_timestamp_index.
-    5. If total timestamp probability beats the best text token, text is
-       suppressed.
+    5. If total timestamp probability beats the best text token, everything
+       below timestamp_begin (including EOT and specials) is suppressed.
 
-    tokens: (B, L) buffer; last_ts: (B,) highest emitted timestamp id.
+    Pinned token-exact against HF's WhisperTimeStampLogitsProcessor by
+    tests/test_hf_generate_parity.py (greedy + beam).
+
+    tokens: (B, L) buffer; last_ts: (B,) last emitted timestamp id, 0 when
+    none emitted yet.
     """
     ts_begin = arch.no_timestamps_token_id + 1
     vocab = arch.vocab_size
@@ -290,22 +300,28 @@ def _apply_timestamp_rules(logits: jax.Array, tokens: jax.Array,
     penult_idx = jnp.maximum(pos - 1, 0)
     penult = tokens[:, penult_idx]
     last_is_ts = jnp.logical_and(pos >= first_gen, last >= ts_begin)
-    penult_is_ts = jnp.logical_and(
-        jnp.logical_and(pos - 1 >= first_gen, pos >= 1), penult >= ts_begin)
+    # fewer than two generated tokens counts as penultimate-was-timestamp
+    # (HF WhisperTimeStampLogitsProcessor: `len(seq) < 2 or ...`)
+    penult_is_ts = jnp.logical_or(pos - 1 < first_gen, penult >= ts_begin)
 
-    # rule 2: lone timestamp -> suppress text (except EOT);
-    #         completed pair -> suppress timestamps
+    # rule 2: lone timestamp -> suppress plain text (ids < EOT; EOT and the
+    #         specials above it stay allowed, matching `scores[:eos] = -inf`);
+    #         completed pair / initial ts -> suppress timestamps
     force_ts = jnp.logical_and(last_is_ts, ~penult_is_ts)[:, None]
     block_ts = jnp.logical_and(last_is_ts, penult_is_ts)[:, None]
-    text_mask = jnp.logical_and(~is_ts_id, ids != eot)[None, :]
-    logits = logits + jnp.where(jnp.logical_and(force_ts, text_mask),
-                                NEG_INF, 0.0)
+    logits = logits + jnp.where(
+        jnp.logical_and(force_ts, (ids < eot)[None, :]), NEG_INF, 0.0)
     logits = logits + jnp.where(jnp.logical_and(block_ts, is_ts_id[None, :]),
                                 NEG_INF, 0.0)
 
-    # rule 3: non-decreasing timestamps
+    # rule 3: suppress ts ids < threshold; threshold is the last emitted
+    # timestamp while its pair is open, last+1 otherwise; no-op before the
+    # first timestamp (last_ts == 0)
+    has_ts = last_ts >= ts_begin
+    thresh = jnp.where(has_ts,
+                       jnp.where(force_ts[:, 0], last_ts, last_ts + 1), 0)
     logits = logits + jnp.where(
-        jnp.logical_and(is_ts_id[None, :], ids[None, :] < last_ts[:, None]),
+        jnp.logical_and(is_ts_id[None, :], ids[None, :] < thresh[:, None]),
         NEG_INF, 0.0)
 
     # rule 4: first generated token must be an (early) timestamp
@@ -314,14 +330,16 @@ def _apply_timestamp_rules(logits: jax.Array, tokens: jax.Array,
     init_bad = jnp.logical_or(~is_ts_id, ids > max_init)[None, :]
     logits = logits + jnp.where(jnp.logical_and(first, init_bad), NEG_INF, 0.0)
 
-    # rule 5: aggregated timestamp probability vs best text token
+    # rule 5: aggregated timestamp probability vs best sub-timestamp token;
+    # when timestamps win, EVERYTHING below ts_begin (EOT included) is
+    # suppressed, exactly like `scores[:, :timestamp_begin] = -inf`
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ts_logp = jax.nn.logsumexp(
         jnp.where(is_ts_id[None, :], logp, NEG_INF), axis=-1)   # (B,)
     max_text = jnp.max(jnp.where(is_ts_id[None, :], NEG_INF, logp), axis=-1)
     ts_wins = (ts_logp > max_text)[:, None]
     logits = logits + jnp.where(
-        jnp.logical_and(ts_wins, text_mask), NEG_INF, 0.0)
+        jnp.logical_and(ts_wins, (~is_ts_id)[None, :]), NEG_INF, 0.0)
     return logits
 
 
@@ -467,7 +485,7 @@ def greedy_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
     lp_trace0 = jnp.zeros((b, max_len if return_token_logprobs else 1),
                           jnp.float32)  # size-1 dummy keeps the carry static
     state = (tokens, cache, jnp.asarray(first_gen - 1), jnp.zeros((b,), bool),
-             jnp.full((b,), ts_begin, jnp.int32), jnp.zeros((b,), jnp.float32),
+             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32),
              lp_trace0)
     tokens, _, pos, _, _, sum_lp, lp_trace = lax.while_loop(cond, body, state)
     lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
@@ -641,7 +659,7 @@ def beam_decode(params: Params, arch: WhisperArch, enc_out: jax.Array,
         return tokens, cache, pos + 1, finished, top_scores.reshape(-1), last_ts
 
     state = (tokens, cache, jnp.asarray(first_gen - 1), finished, scores,
-             jnp.full((b * beam,), ts_begin, jnp.int32))
+             jnp.zeros((b * beam,), jnp.int32))
     tokens, _, pos, finished, scores, _ = lax.while_loop(cond, body, state)
 
     # pick best beam per batch with length penalty

@@ -14,8 +14,8 @@ from openai_whisper_compression_tpu.models import decode, params as P, whisper
 
 @pytest.fixture(scope="module")
 def ts_setup():
-    # carve a timestamp region out of the tiny vocab: ids 901..996
-    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
+    # proper OpenAI layout (text < eot 897 < sot 898 < nts 899 < ts 900..999)
+    arch = ARCHS["test2l-ts"]
     params = P.init_params(arch, jax.random.PRNGKey(21))
     g = np.random.default_rng(13)
     mel = jnp.asarray(g.standard_normal(
@@ -29,35 +29,36 @@ def _cfg(**kw):
                         max_initial_timestamp_index=20, **kw)
 
 
-def _ref_rules(logits, generated, last_ts, arch, cfg, is_first):
-    """Plain-Python ApplyTimestampRules on one row of logits."""
+def _ref_rules(logits, generated, arch, cfg, is_first):
+    """Plain-Python port of HF WhisperTimeStampLogitsProcessor.__call__
+    (itself OpenAI's ApplyTimestampRules) on one row of logits. The jitted
+    kernel is additionally pinned against the REAL HF processor end-to-end
+    in tests/test_hf_generate_parity.py."""
     ts_begin = arch.no_timestamps_token_id + 1
-    v = arch.vocab_size
     eot = arch.eos_token_id
     lg = np.array(logits, np.float32)
     NEG = -1e9
     lg[arch.no_timestamps_token_id] += NEG
     last_is_ts = len(generated) >= 1 and generated[-1] >= ts_begin
-    penult_is_ts = len(generated) >= 2 and generated[-2] >= ts_begin
-    if last_is_ts and not penult_is_ts:   # lone ts: ts or EOT only
-        for i in range(v):
-            if i < ts_begin and i != eot:
-                lg[i] += NEG
-    if last_is_ts and penult_is_ts:       # pair done: text only
-        lg[ts_begin:] += NEG
-    lg[ts_begin:last_ts] += NEG           # non-decreasing
+    penult_is_ts = len(generated) < 2 or generated[-2] >= ts_begin
+    if last_is_ts:
+        if penult_is_ts:          # pair done / initial ts: text must follow
+            lg[ts_begin:] += NEG
+        else:                     # lone ts: plain text suppressed
+            lg[:eot] += NEG
+    ts_seen = [t for t in generated if t >= ts_begin]
+    if ts_seen:                   # non-decreasing; strict once pair closed
+        lo = ts_seen[-1] if (last_is_ts and not penult_is_ts) \
+            else ts_seen[-1] + 1
+        lg[ts_begin:lo] += NEG
     if is_first:
-        for i in range(v):
-            if i < ts_begin or i > min(ts_begin + cfg.max_initial_timestamp_index,
-                                       v - 1):
-                lg[i] += NEG
+        lg[:ts_begin] += NEG
+        lg[ts_begin + cfg.max_initial_timestamp_index + 1:] += NEG
     logp = lg - (np.log(np.sum(np.exp(lg - lg.max()))) + lg.max())
     ts_lp = np.logaddexp.reduce(logp[ts_begin:])
     max_text = logp[:ts_begin].max()
     if ts_lp > max_text:
-        for i in range(v):
-            if i < ts_begin and i != eot:
-                lg[i] += NEG
+        lg[:ts_begin] += NEG
     return lg
 
 
@@ -67,10 +68,8 @@ def test_greedy_matches_python_reference(ts_setup):
     tokens, lengths = decode.greedy_decode(params, arch, enc, cfg)
     tokens, lengths = np.asarray(tokens), np.asarray(lengths)
 
-    ts_begin = arch.no_timestamps_token_id + 1
     for bi in range(enc.shape[0]):
         gen = []
-        last_ts = ts_begin
         done = False
         seq = [arch.decoder_start_token_id]
         for step in range(cfg.max_new_tokens):
@@ -78,13 +77,11 @@ def test_greedy_matches_python_reference(ts_setup):
                 break
             logits = whisper.decode_logits(params, arch, jnp.asarray([seq]),
                                            enc[bi:bi + 1])[0, -1]
-            lg = _ref_rules(np.asarray(logits, np.float32), gen, last_ts,
+            lg = _ref_rules(np.asarray(logits, np.float32), gen,
                             arch, cfg, is_first=(step == 0))
             nxt = int(lg.argmax())
             gen.append(nxt)
             seq.append(nxt)
-            if nxt >= ts_begin:
-                last_ts = nxt
             if nxt == arch.eos_token_id:
                 done = True
         got = tokens[bi, 1: lengths[bi]].tolist()
@@ -130,9 +127,11 @@ def test_segments_parser():
     from openai_whisper_compression_tpu.evaluation.longform import (
         segments_from_tokens)
 
-    arch = ARCHS["test2l"].replace(no_timestamps_token_id=900)
-    tb = 901  # <|0.00|>
-    # <|0.00|> w w <|0.40|> <|0.40|> w <|0.80|> eot
+    arch = ARCHS["test2l-ts"]
+    tb = 900  # <|0.00|>
+    # <|0.00|> w w <|0.40|> <|0.40|> w <|0.80|> eot — a single-timestamp
+    # ending: segments close at 0.8 s but the seek advances a FULL window
+    # (OpenAI/HF semantics; seek=None means caller-default advance)
     gen = [tb, 5, 6, tb + 20, tb + 20, 7, tb + 40, arch.eos_token_id]
     segs, seek = segments_from_tokens(arch, np.asarray(gen))
     assert len(segs) == 2
@@ -141,16 +140,25 @@ def test_segments_parser():
     assert segs[1]["tok_idx"] == [5]
     assert segs[1]["start"] == pytest.approx(0.4)
     assert segs[1]["end"] == pytest.approx(0.8)
+    assert seek is None
+
+    # pair ending: seek lands on the pair's timestamp
+    gen = [tb, 5, 6, tb + 20, tb + 20, 7, tb + 40, tb + 40]
+    segs, seek = segments_from_tokens(arch, np.asarray(gen))
+    assert len(segs) == 2
+    assert segs[1]["end"] == pytest.approx(0.8)
     assert seek == pytest.approx(0.8)
 
-    # unterminated trailing segment -> kept, but no seek anchor
+    # unterminated trailing text, no pair -> one whole-window segment
     segs, seek = segments_from_tokens(arch, np.asarray([tb, 5, 6]))
     assert len(segs) == 1 and segs[0]["end"] is None
     assert seek is None
 
-    # timestamps only, no text -> nothing
+    # timestamps only, no text -> no reportable segments; seek still obeys
+    # the pair arithmetic (pair at <|0.00|> -> seek 0.0, NOT a full window;
+    # the caller's stall guard turns a 0 advance into 1 sample)
     segs, seek = segments_from_tokens(arch, np.asarray([tb, tb + 3]))
-    assert segs == [] and seek is None
+    assert segs == [] and seek == pytest.approx(0.0)
 
 
 def test_transcribe_seek_end_to_end(ts_setup):
