@@ -32,8 +32,10 @@ from jax import lax
 
 from ..config import DecodeConfig, WhisperArch
 from . import cache as kv_cache
-from .decode import (NEG_INF, _auto_cache_len, _cross_window_t, _gen_lengths,
-                     _suppress_bias, decoder_step, forced_prefix, prefill)
+from .decode import (NEG_INF, _apply_timestamp_rules, _auto_cache_len,
+                     _cross_window_t, _gen_lengths, _suppress_bias,
+                     _timestamps_enabled, decoder_step, forced_prefix,
+                     prefill)
 from .whisper import (CrossKV, _num_heads, attention, cross_attention,
                       embed_tokens, layer_norm, linear, merge_heads, mlp,
                       precompute_cross_kv, precompute_cross_kv_t, project_out,
@@ -44,24 +46,35 @@ Params = dict[str, Any]
 
 def verify_window(params: Params, arch: WhisperArch, window: jax.Array,
                   pos: jax.Array, cache: list, cross_kvs: list,
-                  max_len: int) -> tuple[jax.Array, list]:
+                  max_len: int,
+                  start: jax.Array | None = None) -> tuple[jax.Array, list]:
     """Run a (B, W) token window at positions [pos, pos+W) through the
     decoder in one pass, attending to the existing cache below `pos` plus
     causally within the window. Returns (logits (B, W, V), updated cache).
+
+    start: optional (B,) first valid slot per sequence (left-padded prompt
+    masking + sequence-relative positions, exactly as in `prefill` /
+    `decoder_step`).
 
     This is chunked prefill at a dynamic offset — the target-model verify
     pass of speculative decoding."""
     dec = params["decoder"]
     b, w = window.shape
     x = embed_tokens(dec, window.reshape(-1)).reshape(b, w, -1)
-    prow = lax.dynamic_slice_in_dim(dec["pos"], pos, w, axis=0)
-    x = x + prow[None].astype(x.dtype)
+    if start is None:
+        prow = lax.dynamic_slice_in_dim(dec["pos"], pos, w, axis=0)
+        x = x + prow[None].astype(x.dtype)
+    else:
+        pidx = jnp.maximum(pos + jnp.arange(w)[None, :] - start[:, None], 0)
+        x = x + dec["pos"][pidx].astype(x.dtype)
 
     # mask over cache slots: row i may attend to slot s iff s <= pos + i
     slot = jnp.arange(max_len)[None, :]                  # (1, S)
     row = jnp.arange(w)[:, None]                         # (W, 1)
-    ok = slot <= (pos + row)                             # (W, S)
-    mask = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)[None, None]
+    ok = (slot <= (pos + row))[None]                     # (1, W, S)
+    if start is not None:
+        ok = jnp.logical_and(ok, slot[None] >= start[:, None, None])
+    mask = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)[:, None]
 
     new_cache = []
     for i, layer in enumerate(dec["layers"]):
@@ -257,6 +270,176 @@ def speculative_decode(params_t: Params, arch_t: WhisperArch,
 
     lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
     return tokens, lengths, rounds
+
+
+def _last_ts_table(draft: jax.Array, ts_begin: int) -> jax.Array:
+    """(B, G) draft -> (B, G+1) last-emitted-timestamp table: out[:, j] is
+    the LAST timestamp token among draft[:, :j] (0 when none) — the
+    `last_ts` greedy_decode's carry would hold when conditioning on the
+    first j draft tokens."""
+    b, g = draft.shape
+    is_ts = draft >= ts_begin
+    idx = jnp.where(is_ts, jnp.arange(g)[None, :], -1)
+    li = lax.cummax(idx, axis=1)                            # inclusive
+    li = jnp.concatenate([jnp.full((b, 1), -1, li.dtype), li], axis=1)
+    val = jnp.take_along_axis(draft, jnp.maximum(li, 0)[:, 1:], axis=1)
+    val = jnp.concatenate([jnp.zeros((b, 1), draft.dtype), val], axis=1)
+    return jnp.where(li >= 0, val, 0)
+
+
+def verified_greedy_decode(params: Params, arch: WhisperArch,
+                           enc_out: jax.Array, cfg: DecodeConfig,
+                           draft: jax.Array, draft_len: jax.Array,
+                           max_len: int | None = None,
+                           prompt_tokens: jax.Array | None = None,
+                           prompt_lens: jax.Array | None = None
+                           ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Greedy decode that consumes an EXTERNAL draft (self-speculation for
+    streaming re-decodes): verify the draft's generated tokens in ONE
+    windowed target pass, then continue ordinary greedy stepping from the
+    batch-min divergence point. Output is bit-identical to
+    `greedy_decode(params, arch, enc_out, cfg, prompt_tokens=...)` — the
+    draft only moves work from sequential steps into the verify pass
+    (tests/test_verified_decode.py pins equality; the draft may be
+    arbitrary junk).
+
+    Use case (streaming.py tick): consecutive 0.5 s ticks re-decode a 30 s
+    window whose hypothesis is almost unchanged — the previous tick's
+    tokens draft this tick, so per-tick sequential steps scale with the
+    NEW SUFFIX, not the window (VERDICT r3 next-step #4). Unlike
+    `speculative_decode` this supports the timestamp rules (they are pure
+    logit-space functions of the already-known window) and prompt
+    conditioning, and needs no second model.
+
+    draft: (B, G) int32 proposed GENERATED tokens (G static, <=
+    cfg.max_new_tokens); draft_len: (B,) valid counts (0 = no draft: the
+    verify pass contributes nothing and the loop runs exactly greedy).
+    Returns (tokens (B, max_len), lengths (B,), n_accepted (B,)).
+    """
+    cfg = cfg or DecodeConfig()
+    if cfg.beam_size > 1:
+        raise ValueError("verified decode is greedy-only")
+    b = enc_out.shape[0]
+    eot = arch.eos_token_id
+    g = draft.shape[1]
+    if g < 1 or g > cfg.max_new_tokens:
+        raise ValueError(f"draft width {g} must be in [1, max_new_tokens]")
+
+    prefix = forced_prefix(arch, cfg)
+    p_len = len(prefix)
+    pw = 0 if prompt_tokens is None else prompt_tokens.shape[1]
+    max_len = max_len or _auto_cache_len(arch, pw + p_len, cfg)
+    sup = jnp.asarray(_suppress_bias(arch, tuple(cfg.suppress_tokens)))
+    begin_sup = jnp.asarray(
+        _suppress_bias(arch, tuple(cfg.begin_suppress_tokens)))
+
+    if cfg.cross_kv_pool > 1 or cfg.cross_kv_merge > 0:
+        from .merge import merge_encoder_tokens
+
+        enc_out = merge_encoder_tokens(enc_out, pool=cfg.cross_kv_pool,
+                                       merge_r=cfg.cross_kv_merge)
+    cross_kvs = _make_cross_kvs(params, arch, enc_out, cfg)
+    cache = kv_cache.init_cache(params, arch, b, max_len,
+                                dtype=enc_out.dtype, int8=cfg.kv_int8)
+
+    # token buffer: [prompt | prefix | draft | EOT pad] — same layout as
+    # greedy_decode with the draft written into the generated region
+    tokens = jnp.full((b, max_len), eot, jnp.int32)
+    start = None
+    if pw:
+        tokens = tokens.at[:, :pw].set(prompt_tokens.astype(jnp.int32))
+        if prompt_lens is None:
+            prompt_lens = jnp.full((b,), pw, jnp.int32)
+        start = (pw - prompt_lens).astype(jnp.int32)
+    tokens = tokens.at[:, pw: pw + p_len].set(
+        jnp.asarray(prefix, jnp.int32)[None])
+    first_gen = pw + p_len
+    limit = min(max_len, first_gen + cfg.max_new_tokens)
+    # clip the draft so even a full accept never passes greedy's last
+    # written index (limit - 1)
+    g_eff = min(g, limit - 1 - first_gen + 1)  # tokens writable from first_gen
+    draft = draft[:, :g_eff].astype(jnp.int32)
+    draft_len = jnp.minimum(draft_len.astype(jnp.int32), g_eff)
+    keep = jnp.arange(g_eff)[None, :] < draft_len[:, None]
+    draft = jnp.where(keep, draft, eot)
+    tokens = lax.dynamic_update_slice(tokens, draft, (0, first_gen))
+
+    # ---- ONE verify pass over [prompt | prefix | draft] ----
+    w = first_gen + g_eff
+    logits_w, cache = verify_window(params, arch, tokens[:, :w],
+                                    jnp.asarray(0), cache, cross_kvs,
+                                    max_len, start=start)
+    use_ts = _timestamps_enabled(arch, cfg)
+    ts_begin = arch.no_timestamps_token_id + 1
+    # biased argmax predictions for the draft positions: conditioning
+    # position i = first_gen-1+j predicts draft[:, j]
+    lg = logits_w[:, first_gen - 1: w - 1] + sup          # (B, G, V)
+    lg = lg.at[:, 0].add(begin_sup)
+    if use_ts:
+        last_ts = _last_ts_table(draft, ts_begin)[:, :g_eff]   # (B, G)
+        pos_arr = first_gen - 1 + jnp.arange(g_eff)
+        lg = jax.vmap(
+            lambda l, p, lt: _apply_timestamp_rules(
+                l, tokens, p, first_gen, lt, arch, cfg),
+            in_axes=(1, 0, 1), out_axes=1)(lg, pos_arr, last_ts)
+    pred = jnp.argmax(lg, axis=-1).astype(jnp.int32)       # (B, G)
+
+    # greedy forces EOT after the first emitted EOT: positions after a
+    # draft EOT accept IFF the draft also holds EOT there (no pred check —
+    # and a pred match with a non-EOT draft token there must NOT accept)
+    after_eot = jnp.cumsum((draft == eot).astype(jnp.int32), axis=1) \
+        - (draft == eot).astype(jnp.int32) > 0
+    ok = jnp.where(after_eot, draft == eot, pred == draft)
+    ok = jnp.logical_and(ok, keep)
+    # n_acc = longest accepted prefix per row
+    n_acc = jnp.argmin(jnp.pad(ok, ((0, 0), (0, 1))), axis=1)
+    n_acc = jnp.where(ok.all(axis=1), g_eff, n_acc)        # (B,)
+
+    # ---- continue lockstep greedy from the batch-min divergence ----
+    n0 = jnp.min(n_acc)
+    pos0 = first_gen - 1 + n0
+    # carry state exactly as greedy would hold it at pos0: rows with longer
+    # accepts recompute their (identical) tokens, so state is min-relative
+    acc_keep = jnp.arange(g_eff)[None, :] < n0
+    acc_eot = jnp.logical_and(acc_keep, draft == eot).any(axis=1)
+    finished0 = acc_eot
+    last_ts0 = (_last_ts_table(draft, ts_begin)[
+        jnp.arange(b), jnp.minimum(n0, g_eff)] if use_ts
+        else jnp.zeros((b,), jnp.int32))
+    last_ts0 = jnp.asarray(last_ts0, jnp.int32)
+
+    step_fn = functools.partial(decoder_step, params, arch,
+                                cross_kvs=cross_kvs, max_len=max_len,
+                                start=start, self_pallas=cfg.self_pallas)
+
+    def cond(state):
+        return jnp.logical_and(state[2] < limit - 1, ~jnp.all(state[3]))
+
+    def body(state):
+        tokens, cache, pos, finished, last_ts = state
+        logits, cache = step_fn(tokens[:, pos], pos, cache)
+        logits = logits + sup
+        logits = jnp.where(pos == first_gen - 1, logits + begin_sup, logits)
+        if use_ts:
+            logits = _apply_timestamp_rules(logits, tokens, pos, first_gen,
+                                            last_ts, arch, cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, eot, nxt)
+        if use_ts:
+            last_ts = jnp.where(jnp.logical_and(~finished, nxt >= ts_begin),
+                                nxt, last_ts)
+        tokens = lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+        finished = jnp.logical_or(finished, nxt == eot)
+        return tokens, cache, pos + 1, finished, last_ts
+
+    state = (tokens, cache, pos0, finished0, last_ts0)
+    tokens, _, pos, _, _ = lax.while_loop(cond, body, state)
+
+    # greedy leaves EOT padding beyond its final position; the draft may
+    # have left junk there — scrub for bit-exact buffers
+    tokens = jnp.where(jnp.arange(max_len)[None, :] > pos, eot, tokens)
+    lengths = first_gen + _gen_lengths(tokens, first_gen, pos, eot)
+    return tokens, lengths, n_acc
 
 
 def self_speculative_draft(params: Params, arch: WhisperArch,

@@ -35,21 +35,34 @@ from .evaluation.longform import _seed_prompt, segments_from_tokens
 
 def _build_step(arch: WhisperArch, cfg: DecodeConfig, n_samples: int,
                 use_prompt: bool):
-    """One jitted preprocess→encode→beam_decode step (any batch size) —
-    shared by StreamingTranscriber (B=1) and StreamingPool (B=streams)."""
+    """One jitted preprocess→encode→decode step (any batch size) — shared
+    by StreamingTranscriber (B=1) and StreamingPool (B=streams).
+
+    Signature: step(params, wav, prompt, plen, draft, draft_len) ->
+    (tokens, lengths, n_accepted). Greedy configs (beam_size == 1) run
+    `verified_greedy_decode`: the caller's draft — the previous tick's
+    hypothesis — is verified in ONE windowed pass and sequential decode
+    steps only cover the new suffix, so a tick's decode cost scales with
+    what CHANGED since the last tick, not the window (bit-identical to
+    greedy; models/speculative.py). Beam configs ignore the draft and run
+    beam_decode (speculation is greedy-only)."""
     from .audio import features
     from .models.decode import beam_decode
+    from .models.speculative import verified_greedy_decode
     from .models.whisper import encode
 
     @jax.jit
-    def step(params, wav, prompt, plen):
+    def step(params, wav, prompt, plen, draft, draft_len):
         mel = features.preprocess(wav, arch.num_mel_bins,
                                   length=n_samples).astype(jnp.float32)
         enc = encode(params, arch, mel)
-        if use_prompt:
-            return beam_decode(params, arch, enc, cfg,
-                               prompt_tokens=prompt, prompt_lens=plen)
-        return beam_decode(params, arch, enc, cfg)
+        kw = (dict(prompt_tokens=prompt, prompt_lens=plen) if use_prompt
+              else {})
+        if cfg.beam_size > 1:
+            tokens, lengths = beam_decode(params, arch, enc, cfg, **kw)
+            return tokens, lengths, jnp.zeros(lengths.shape, jnp.int32)
+        return verified_greedy_decode(params, arch, enc, cfg, draft,
+                                      draft_len, **kw)
 
     return step
 
@@ -129,6 +142,11 @@ class StreamingTranscriber:
         self._total = 0                   # samples received all-time
         self._window_start = 0            # absolute sample of live window
         self._decoded_until = 0           # absolute sample of last decode
+        # self-draft for the verified decode: the previous decode's raw
+        # generated tokens over (almost) the same window; slides re-anchor
+        # its timestamps, resets clear it. Any content is CORRECT (the
+        # verify pass rejects wrong tokens) — staleness only costs steps.
+        self._draft: np.ndarray | None = None
         self._hyps: deque = deque(maxlen=self.agreement)
         self._win_segments: list[dict] = []   # last decode, absolute times
         # committed-but-not-finalized token ids. Commitment is stored as
@@ -174,9 +192,21 @@ class StreamingTranscriber:
             plen = np.zeros((1,), np.int32)
         return buf, prompt, plen
 
+    def _draft_inputs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(draft (1, G), draft_len (1,)) rows for the verified step: the
+        previous decode of (nearly) this window, EOT-padded."""
+        g = self.cfg.max_new_tokens
+        d = np.full((1, g), self.arch.eos_token_id, np.int32)
+        n = 0
+        if self._draft is not None:
+            n = min(len(self._draft), g)
+            d[0, :n] = self._draft[:n]
+        return d, np.asarray([n], np.int32)
+
     def _absorb(self, tokens: np.ndarray, length: int) -> None:
         """Ingest one decoded row (counterpart of _decode_inputs)."""
         gen = np.asarray(tokens)[self._first_gen: int(length)]
+        self._draft = gen.astype(np.int32)   # next tick's self-draft
         segments, _ = segments_from_tokens(self.arch, gen)
         t0 = self._window_start / SAMPLE_RATE
         self._win_segments = [{
@@ -197,8 +227,10 @@ class StreamingTranscriber:
 
     def _decode_window(self) -> None:
         buf, prompt, plen = self._decode_inputs()
-        tokens, lengths = self._step(self.params, jnp.asarray(buf),
-                                     jnp.asarray(prompt), jnp.asarray(plen))
+        draft, dlen = self._draft_inputs()
+        tokens, lengths, _ = self._step(
+            self.params, jnp.asarray(buf), jnp.asarray(prompt),
+            jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen))
         self._absorb(np.asarray(tokens)[0], int(np.asarray(lengths)[0]))
 
     def _complete_within(self, n_tokens: int) -> int:
@@ -238,11 +270,31 @@ class StreamingTranscriber:
             self._final_segments.extend(self._win_segments[:k])
             end_s = self._win_segments[k - 1]["end"]
             advance = max(int(end_s * SAMPLE_RATE) - self._window_start, 1)
+        carry = self._win_segments[k:] if k > 0 else []
         self._prompt_ids = (self._final_ids + self._exposed_ids
                             )[-(self.pw - 1):]
         self._window_start += min(advance, self.n_samples)
         self._trim_buffer()
         self._reset_window()
+        # re-anchor the surviving hypothesis tail as the new window's
+        # self-draft: same text tokens, timestamps shifted to the new
+        # window origin (a wrong guess only costs verify rejections)
+        if carry:
+            ts_begin = self.arch.no_timestamps_token_id + 1
+            hi = self.arch.vocab_size - 1
+            t0 = self._window_start / SAMPLE_RATE
+            draft: list[int] = []
+
+            def ts_tok(sec: float) -> int:
+                return min(max(ts_begin + round((sec - t0) / 0.02),
+                               ts_begin), hi)
+
+            for s in carry:
+                draft.append(ts_tok(s["start"]))
+                draft.extend(s["tokens"])
+                if s["end"] is not None:
+                    draft.append(ts_tok(s["end"]))
+            self._draft = np.asarray(draft, np.int32)
 
     def _trim_buffer(self) -> None:
         drop = min(self._window_start, self._total) - self._base
@@ -253,6 +305,7 @@ class StreamingTranscriber:
     def _reset_window(self) -> None:
         self._hyps.clear()
         self._win_segments = []
+        self._draft = None      # _slide re-anchors its own carry after this
 
     def _texts(self) -> dict:
         flat = self._flat()
@@ -390,7 +443,10 @@ class StreamingPool:
         batched_step = _build_step(arch, cfg, n_samples, use_prompt=pw > 0)
         self._batched_step = batched_step
 
-        def single_step(params_, wav, prompt, plen):
+        g_w = cfg.max_new_tokens
+        self._g = g_w
+
+        def single_step(params_, wav, prompt, plen, draft, dlen):
             # pad one session's row into the shared compiled program
             wavB = np.zeros((B, n_samples), np.float32)
             wavB[0] = np.asarray(wav)[0]
@@ -399,16 +455,24 @@ class StreamingPool:
             if pw:
                 pB[0] = np.asarray(prompt)[0]
                 lB[0] = np.asarray(plen)[0]
-            toks, lens = batched_step(params_, jnp.asarray(wavB),
-                                      jnp.asarray(pB), jnp.asarray(lB))
-            return toks[:1], lens[:1]
+            dB = np.full((B, g_w), arch.eos_token_id, np.int32)
+            dB[0] = np.asarray(draft)[0]
+            dlB = np.zeros((B,), np.int32)
+            dlB[0] = np.asarray(dlen)[0]
+            toks, lens, acc = batched_step(params_, jnp.asarray(wavB),
+                                           jnp.asarray(pB), jnp.asarray(lB),
+                                           jnp.asarray(dB), jnp.asarray(dlB))
+            return toks[:1], lens[:1], acc[:1]
 
         self._single_step = single_step
         self.sessions: dict = {}
-        # serving-style counters (≈ serving.ServiceStats for streams)
+        # serving-style counters (≈ serving.ServiceStats for streams);
+        # draft_proposed/accepted expose the self-draft hit rate (the
+        # verified decode's sequential steps scale with what it REJECTS)
         self._stats = {"ticks": 0, "batched_calls": 0, "decodes": 0,
                        "occupancy_sum": 0.0, "busy_seconds": 0.0,
-                       "audio_seconds": 0.0}
+                       "audio_seconds": 0.0,
+                       "draft_proposed": 0, "draft_accepted": 0}
 
     def reset_stats(self) -> None:
         """Zero the counters (e.g. to exclude a warmup/compile tick)."""
@@ -460,21 +524,31 @@ class StreamingPool:
             prompt = np.full((self.B, self._pw),
                              self.arch.eos_token_id, np.int32)
             plen = np.zeros((self.B,), np.int32)
+            draft = np.full((self.B, self._g),
+                            self.arch.eos_token_id, np.int32)
+            dlen = np.zeros((self.B,), np.int32)
             for i, (_, s) in enumerate(group):
                 w, p, l = s._decode_inputs()
                 wav[i] = w[0]
                 if self._pw:
                     prompt[i] = p[0]
                     plen[i] = l[0]
+                d, dl = s._draft_inputs()
+                draft[i] = d[0]
+                dlen[i] = dl[0]
             t0 = time.time()
-            toks, lens = self._batched_step(self.params, jnp.asarray(wav),
-                                            jnp.asarray(prompt),
-                                            jnp.asarray(plen))
+            toks, lens, acc = self._batched_step(
+                self.params, jnp.asarray(wav), jnp.asarray(prompt),
+                jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen))
             toks, lens = np.asarray(toks), np.asarray(lens)   # host fence
             self._stats["busy_seconds"] += time.time() - t0
             self._stats["batched_calls"] += 1
             self._stats["decodes"] += len(group)
             self._stats["occupancy_sum"] += len(group) / self.B
+            acc = np.asarray(acc)
+            self._stats["draft_proposed"] += int(dlen[:len(group)].sum())
+            self._stats["draft_accepted"] += int(
+                np.minimum(acc[:len(group)], dlen[:len(group)]).sum())
             for i, (_, s) in enumerate(group):
                 s._absorb(toks[i], int(lens[i]))
                 s._pump()

@@ -398,3 +398,75 @@ def test_vad_never_discards_decoded_speech(setup):
     st._pump()
     assert st._final_ids == [5, 6]                # slid + finalized
     assert st.flush()["committed"] == tok.decode([5, 6])
+
+
+def test_self_draft_mechanics(setup):
+    """The verified-decode self-draft: set after every decode, re-anchored
+    (timestamps shifted to the new origin) across a slide, cleared on a
+    draftless reset — and identical stream output either way (the draft
+    only moves work; equality is pinned by test_verified_decode.py)."""
+    params, arch, tok, cfg = setup
+    st = StreamingTranscriber(params, arch, tok, cfg, agreement=1,
+                              min_step_s=0.5)
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(3)
+    wav = (g.standard_normal(int(1.5 * n)) * 0.1).astype(np.float32)
+
+    st.feed(wav[: n // 2])
+    assert st._draft is not None and len(st._draft) > 0
+    d1 = st._draft.copy()
+    # drafts are the raw generated tokens of the last decode
+    ts_begin = arch.no_timestamps_token_id + 1
+    assert d1[0] >= ts_begin
+
+    st.feed(wav[n // 2: int(1.5 * n)])   # crosses a slide
+    assert st._window_start > 0
+    if st._draft is not None and len(st._draft):
+        # re-anchored carry: every timestamp token is in-vocab and the
+        # leading timestamp is near the new window origin
+        ts = [t for t in st._draft if t >= ts_begin]
+        assert all(int(t) < arch.vocab_size for t in ts)
+
+    # draftless decode (draft=None) must behave like a fresh transcriber:
+    # replay the same audio with drafts force-cleared before every decode
+    st2 = StreamingTranscriber(params, arch, tok, cfg, agreement=1,
+                               min_step_s=0.5)
+    orig = st2._decode_window
+
+    def no_draft():
+        st2._draft = None
+        orig()
+
+    st2._decode_window = no_draft
+    st3 = StreamingTranscriber(params, arch, tok, cfg, agreement=1,
+                               min_step_s=0.5)
+    chunk = n // 4
+    for i in range(0, len(wav), chunk):
+        a = st2.feed(wav[i: i + chunk])
+        b = st3.feed(wav[i: i + chunk])
+        assert a["committed"] == b["committed"]
+        assert a["pending"] == b["pending"]
+    assert st2.flush()["committed"] == st3.flush()["committed"]
+
+
+def test_pool_draft_acceptance_stats(setup):
+    """Pool stats expose draft_proposed/accepted; on a static window
+    re-decode (no new audio beyond min_step) the draft is accepted."""
+    from openai_whisper_compression_tpu.streaming import StreamingPool
+
+    params, arch, tok, cfg = setup
+    pool = StreamingPool(params, arch, tok, cfg, max_streams=2,
+                         agreement=2, min_step_s=0.25)
+    pool.open("a")
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(5)
+    wav = (g.standard_normal(n // 2) * 0.1).astype(np.float32)
+    pool.feed("a", wav[: n // 4])
+    pool.tick()
+    pool.feed("a", wav[n // 4:])
+    pool.tick()
+    s = pool.stats()
+    assert "draft_proposed" in s and "draft_accepted" in s
+    assert s["draft_proposed"] > 0          # second tick carried a draft
+    assert 0 <= s["draft_accepted"] <= s["draft_proposed"]
+    pool.close("a")
