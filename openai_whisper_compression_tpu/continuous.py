@@ -85,12 +85,21 @@ class ContinuousBatcher:
                  chunk: int = 16, admit_lanes: int = 4,
                  cache_len: int | None = None, fast_mel: bool = True,
                  fast_gelu: bool = False, merge_at: int | None = None,
-                 transfer: str = "float32", overlap: bool = False):
+                 transfer: str = "float32", overlap: bool = False,
+                 stage_encode: bool = True,
+                 stage_lanes: int | None = None):
         self.params = params
         self.arch = arch
         self.cfg = cfg or DecodeConfig()
         self.transfer = transfer
         self.overlap = overlap
+        # prefill disaggregation: encode arrivals in `stage_lanes`-wide
+        # blocks (default = the pool size) into a staging cross-KV, so
+        # admits are pure scatters. Measured 9.3 -> 4.1 ms of encoder per
+        # admitted request (the dominant engine cost). Costs one extra
+        # cross-KV-sized buffer in HBM — disable for memory-tight models.
+        self.stage_encode = stage_encode
+        self.stage_lanes = stage_lanes or batch
         self._wav_dtype = np.int16 if transfer == "int16" else np.float32
         self.plan, self.fns = make_cb_fns(
             arch, self.cfg, batch, chunk=chunk, admit_lanes=admit_lanes,
@@ -117,7 +126,13 @@ class ContinuousBatcher:
         host upload — the serving shape where audio already arrived over
         the wire (and the fair way to benchmark scheduling through a
         tunnelled backend, where per-admit uploads dominate wall)."""
-        return jnp.asarray(np.stack([self._pad_wav(w) for w in wavs]))
+        pool = jnp.asarray(np.stack([self._pad_wav(w) for w in wavs]))
+        # pre-compile the stage-width gather (an EAGER op: its first call
+        # otherwise pays a full tunnel compile inside the first timed
+        # top_up — observed 4.5 s charged to the first scheduler measured)
+        if self.stage_encode:
+            pool[jnp.zeros((self.stage_lanes,), jnp.int32)].block_until_ready()
+        return pool
 
     def warmup(self) -> None:
         """Compile all three programs (init + one admit + one chunk)."""
@@ -131,7 +146,15 @@ class ContinuousBatcher:
         caps = jnp.full((p.admit_lanes,), p.max_new, jnp.int32)
         self.state = self.fns["admit"](self.params, self.state, zeros,
                                        slots, mask, caps)
-        self.state = self.fns["chunk"](self.params, self.state)
+        if self.stage_encode:
+            block = self.fns["encode_stage"](
+                self.params, jnp.zeros((self.stage_lanes, p.n_samples),
+                                       jnp.int16 if self.transfer == "int16"
+                                       else jnp.float32))
+            self.state = self.fns["admit_from_stage"](
+                self.state, block, jnp.zeros((p.admit_lanes,), jnp.int32),
+                slots, mask, caps)
+        self.state, _ = self.fns["chunk"](self.params, self.state)
         self.state = self.fns["rebase"](self.state, jnp.asarray(0, jnp.int32))
         np.asarray(self.state["pos"])  # fence
 
@@ -141,7 +164,9 @@ class ContinuousBatcher:
                        stats: CBStats | None = None,
                        max_new: Sequence[int] | None = None,
                        wave: bool = False,
-                       overlap: bool | None = None) -> list[np.ndarray]:
+                       overlap: bool | None = None,
+                       durations: Sequence[float] | None = None
+                       ) -> list[np.ndarray]:
         """Run every request through the pool; returns per-request token
         sequences (prefix + generated, standalone greedy layout) in input
         order.
@@ -157,7 +182,12 @@ class ContinuousBatcher:
 
         `wavs` is either a sequence of 1-D waveforms (padded + uploaded
         per admit) or the device pool returned by `stage()` (admits
-        gather on-device, zero per-admit upload)."""
+        gather on-device, zero per-admit upload).
+        durations: true per-request audio seconds for stats accounting —
+        required for honest rtfx on staged pools, where true lengths are
+        unrecoverable from the padded rows (ADVICE r3 #4); without it a
+        staged run's audio_seconds credits the full padded window and the
+        snapshot labels its rtfx accordingly."""
         p, fns = self.plan, self.fns
         staged = wavs if not isinstance(wavs, (list, tuple)) else None
         eot = self.arch.eos_token_id
@@ -165,9 +195,13 @@ class ContinuousBatcher:
                     if max_new is not None else [p.max_new] * len(wavs))
         stats = stats if stats is not None else CBStats()
         stats.requests += len(wavs)
-        stats.audio_seconds += (len(wavs) * p.n_samples / 16000.0
-                                if staged is not None else
-                                sum(len(w) for w in wavs) / 16000.0)
+        if durations is not None:
+            stats.audio_seconds += float(sum(durations))
+        elif staged is not None:
+            stats.audio_seconds += len(wavs) * p.n_samples / 16000.0
+            stats.extra["audio_accounting"] = "padded_window"
+        else:
+            stats.audio_seconds += sum(len(w) for w in wavs) / 16000.0
         results: list[Any] = [None] * len(wavs)
         queue = deque(range(len(wavs)))
         slot_req: list[int | None] = [None] * p.batch
@@ -199,9 +233,54 @@ class ContinuousBatcher:
         margin = (2 * p.chunk if overlap else p.chunk) + 1
         inflight: dict | None = None
 
+        # host-phase wall decomposition (stats.extra): where the loop's
+        # wall actually goes — admit dispatches, chunk dispatches, the
+        # blocking sync readback — so scheduling-vs-overhead regressions
+        # are visible in every recorded run
+        t_admit = t_chunk = t_read = t_stage = 0.0
+
+        # prefill disaggregation: encode the NEXT block of queued arrivals
+        # in one large-batch pass into a staging cross-KV; admits then
+        # gather/scatter rows out of it. FIFO invariant: the block always
+        # covers the queue's head, and admits consume lanes in order.
+        use_stage = self.stage_encode
+        E = self.stage_lanes
+        stage_block = None
+        stage_reqs: list[int] = []
+        stage_next = 0
+
+        def top_up_stage() -> None:
+            nonlocal stage_block, stage_reqs, stage_next, t_stage
+            if not queue:
+                return
+            import itertools
+
+            nxt = list(itertools.islice(iter(queue), E))
+            ts_ = time.perf_counter()
+            if staged is not None:
+                idx = np.zeros((E,), np.int32)
+                idx[: len(nxt)] = nxt
+                wav_block = staged[jnp.asarray(idx)]
+            else:
+                wav_block = np.zeros((E, p.n_samples), self._wav_dtype)
+                for i, r in enumerate(nxt):
+                    wav_block[i] = self._pad_wav(wavs[r])
+                wav_block = jnp.asarray(wav_block)
+            stage_block = fns["encode_stage"](self.params, wav_block)
+            stage_reqs = nxt
+            stage_next = 0
+            stats.extra["stage_passes"] = (
+                stats.extra.get("stage_passes", 0) + 1)
+            t_stage += time.perf_counter() - ts_
+
+        if use_stage:
+            top_up_stage()
+
         def consume(rec) -> None:
-            nonlocal pos_h
-            sync = np.asarray(rec["state"]["sync"])
+            nonlocal pos_h, t_read
+            tr = time.perf_counter()
+            sync = np.asarray(rec["sync"])
+            t_read += time.perf_counter() - tr
             new_pos = int(sync[0]) - rec["shift"]
             steps = new_pos - pos_h
             pos_h = new_pos
@@ -259,15 +338,19 @@ class ContinuousBatcher:
             if wave:
                 # only refill an EMPTY pool, but then fill it completely
                 admit_ok = len(free) == p.batch
-            admit_min = max(1, p.admit_lanes // 2)
+            # staged admits are pure scatters, so no half-lane gating
+            admit_min = 1 if use_stage else max(1, p.admit_lanes // 2)
             while queue and free and (
                     admit_ok if wave
                     else (min(len(free), len(queue))
                           >= min(admit_min, len(queue)))):
-                if staged is None:
+                if use_stage and stage_next >= len(stage_reqs):
+                    top_up_stage()
+                if staged is None and not use_stage:
                     batch_wavs = np.zeros((p.admit_lanes, p.n_samples),
                                           self._wav_dtype)
                 lane_reqs = np.zeros((p.admit_lanes,), np.int32)
+                lanes = np.zeros((p.admit_lanes,), np.int32)  # stage rows
                 slots = np.zeros((p.admit_lanes,), np.int32)
                 mask = np.zeros((p.admit_lanes,), bool)
                 caps = np.full((p.admit_lanes,), p.max_new, np.int32)
@@ -275,9 +358,16 @@ class ContinuousBatcher:
                 for lane in range(min(p.admit_lanes, len(free))):
                     if not queue:
                         break
+                    if use_stage and stage_next >= len(stage_reqs):
+                        break  # queue head not yet staged
                     req = queue.popleft()
                     slot = free[lane]
-                    if staged is None:
+                    if use_stage:
+                        # FIFO invariant: block lanes mirror queue order
+                        assert req == stage_reqs[stage_next]
+                        lanes[lane] = stage_next
+                        stage_next += 1
+                    elif staged is None:
                         batch_wavs[lane] = self._pad_wav(wavs[req])
                     lane_reqs[lane] = req
                     slots[lane] = slot
@@ -287,6 +377,8 @@ class ContinuousBatcher:
                     start_h[slot] = pos_h
                     stats.admits += 1
                     n_real += 1
+                if n_real == 0:
+                    break
                 # padding lanes target DISTINCT unused slots: the device
                 # scatter must never see duplicate rows (admit_lanes <=
                 # batch guarantees enough remain)
@@ -294,21 +386,38 @@ class ContinuousBatcher:
                 others = (i for i in range(p.batch) if i not in taken)
                 for lane in range(n_real, p.admit_lanes):
                     slots[lane] = next(others)
-                wav_arg = (staged[jnp.asarray(lane_reqs)] if staged
-                           is not None else jnp.asarray(batch_wavs))
-                state = fns["admit"](self.params, state, wav_arg,
-                                     jnp.asarray(slots), jnp.asarray(mask),
-                                     jnp.asarray(caps))
+                ta = time.perf_counter()
+                if use_stage:
+                    state = fns["admit_from_stage"](
+                        state, stage_block, jnp.asarray(lanes),
+                        jnp.asarray(slots), jnp.asarray(mask),
+                        jnp.asarray(caps))
+                else:
+                    wav_arg = (staged[jnp.asarray(lane_reqs)] if staged
+                               is not None else jnp.asarray(batch_wavs))
+                    state = fns["admit"](self.params, state, wav_arg,
+                                         jnp.asarray(slots),
+                                         jnp.asarray(mask),
+                                         jnp.asarray(caps))
+                t_admit += time.perf_counter() - ta
                 stats.admit_passes += 1
                 free = [i for i in range(p.batch) if slot_req[i] is None]
+                if use_stage and stage_next >= len(stage_reqs):
+                    # dispatch the next block's encode as early as possible
+                    # (async; overlaps the coming chunks on the queue)
+                    top_up_stage()
 
-            # 3) dispatch one chunk of lockstep decode steps
-            rec = {"state": fns["chunk"](self.params, state),
+            # 3) dispatch one chunk of lockstep decode steps (the state is
+            # DONATED to the chunk program; only the fresh sync snapshot
+            # survives for the deferred readback)
+            tc = time.perf_counter()
+            state, sync = fns["chunk"](self.params, state)
+            rec = {"sync": sync,
                    "live": sum(r is not None for r in slot_req),
                    "occ": {i: r for i, r in enumerate(slot_req)
                            if r is not None},
                    "shift": 0}
-            state = rec["state"]
+            t_chunk += time.perf_counter() - tc
 
             # 4) consume a snapshot: retire finished slots via ONE packed
             # readback ([pos, finished..., start..., tokens...] — each
@@ -324,4 +433,13 @@ class ContinuousBatcher:
 
         self.state = state
         stats.wall_seconds += time.perf_counter() - t0
+        stats.extra["t_admit_s"] = round(
+            stats.extra.get("t_admit_s", 0.0) + t_admit, 4)
+        stats.extra["t_chunk_dispatch_s"] = round(
+            stats.extra.get("t_chunk_dispatch_s", 0.0) + t_chunk, 4)
+        stats.extra["t_readback_s"] = round(
+            stats.extra.get("t_readback_s", 0.0) + t_read, 4)
+        if use_stage:
+            stats.extra["t_stage_s"] = round(
+                stats.extra.get("t_stage_s", 0.0) + t_stage, 4)
         return results

@@ -77,6 +77,14 @@ def _check_cfg(arch: WhisperArch, cfg: DecodeConfig) -> None:
         raise ValueError(
             "continuous batching does not support timestamp decoding; it "
             "targets the short-utterance serving path (notimestamps=True)")
+    if not cfg.cross_pallas:
+        # admit_fn's per-slot scatter requires the transposed CrossKV
+        # dataclass layout (k_t/v_t rows per head); the XLA fallback's
+        # plain (k, v) tuples would fail opaquely at trace time
+        # (ADVICE r3 #3)
+        raise ValueError(
+            "continuous batching requires cross_pallas=True (the admit "
+            "scatter is laid out on the transposed CrossKV rows)")
 
 
 def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
@@ -91,9 +99,13 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
 
     Returns (plan, fns) where fns has:
       init(params)                          -> state
-      chunk(params, state)                  -> state
+      chunk(params, state)                  -> (state, sync)
       admit(params, state, wavs, slots, mask) -> state
       rebase(state, shift)                  -> state
+    chunk/admit/rebase DONATE their state argument (input->output buffer
+    aliasing: no per-call copies of the cross-KV/cache) — callers must
+    thread state linearly and never reuse a pre-call reference. `sync` is
+    a fresh packed host-readback snapshot that survives later donations.
     state is a pytree dict: {tokens (B, L) i32, cache, cross, pos () i32,
     start (B,) i32, cap (B,) i32, finished (B,) bool}. `finished` doubles
     as "slot free": unoccupied slots sit finished, feeding EOT (their
@@ -184,22 +196,25 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
             "start": jnp.zeros((batch,), jnp.int32),
             "cap": jnp.full((batch,), max_new, jnp.int32),
             "finished": jnp.ones((batch,), bool),
-            # [pos, finished..., start..., tokens...] packed for ONE host
-            # readback per chunk — each np.asarray pays a full tunnel RTT
-            # on remote backends, and the extra (B, L) i32 payload is KBs,
-            # so retirement token extraction rides the same readback free.
-            # start rides along so the snapshot is SELF-CONSISTENT: the
-            # overlapped host loop retires from a one-chunk-old snapshot
-            # whose coordinates may predate a later rebase
-            "sync": jnp.zeros((1 + 2 * batch + batch * cache_len,),
-                              jnp.int32),
         }
 
     step_fn = functools.partial(decoder_step, max_len=cache_len,
                                 self_pallas=cfg.self_pallas)
 
-    @jax.jit
+    # All three mutators DONATE the state: the ~GB-scale cross-KV + cache
+    # buffers alias input->output instead of being copied every call (the
+    # host threads state linearly; the packed sync snapshot is returned as
+    # a SEPARATE fresh array so the overlapped loop can hold it across the
+    # next donation).
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def chunk_fn(params, state):
+        # the cross-KV (the GB-scale buffer) is loop-INVARIANT: close over
+        # it instead of threading it through the while_loop carry, so the
+        # loop state stays small and XLA never materializes carry copies
+        # of it (measured: part of the 10.2 -> headline-parity ms/step gap)
+        cross = state["cross"]
+        state = {k: v for k, v in state.items() if k != "cross"}
+
         def cond(carry):
             n, st = carry
             return jnp.logical_and(n < chunk, ~jnp.all(st["finished"]))
@@ -209,7 +224,7 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
             tokens, cache, pos = st["tokens"], st["cache"], st["pos"]
             start, finished = st["start"], st["finished"]
             logits, cache = step_fn(params, arch, tokens[:, pos], pos, cache,
-                                    st["cross"], start=start)
+                                    cross, start=start)
             logits = logits + sup
             rel_next = pos + 1 - start                      # (B,)
             logits = jnp.where((rel_next == p_len)[:, None],
@@ -235,11 +250,20 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
 
         _, state = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
                                                state))
-        return dict(state, sync=jnp.concatenate(
+        state = dict(state, cross=cross)
+        # [pos, finished..., start..., tokens...] packed for ONE host
+        # readback per chunk — each np.asarray pays a full tunnel RTT on
+        # remote backends, and the extra (B, L) i32 payload is KBs, so
+        # retirement token extraction rides the same readback free. start
+        # rides along so the snapshot is SELF-CONSISTENT: the overlapped
+        # host loop retires from a one-chunk-old snapshot whose
+        # coordinates may predate a later rebase.
+        sync = jnp.concatenate(
             [state["pos"][None], state["finished"].astype(jnp.int32),
-             state["start"], state["tokens"].reshape(-1)]))
+             state["start"], state["tokens"].reshape(-1)])
+        return state, sync
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def admit_fn(params, state, wavs, slots, mask, caps):
         """Admit up to A requests: wavs (A, n_samples) f32, slots (A,) i32
         DISTINCT slot indices (host-guaranteed), mask (A,) bool — masked-off
@@ -280,6 +304,54 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
                     cap=cap, finished=finished)
 
     @jax.jit
+    def encode_stage_fn(params, wavs):
+        """Prefill disaggregation (the big admit win): encode a STAGE
+        block of up to E arrivals in ONE large-batch pass — measured
+        4.07 ms/lane at 96 lanes vs 9.3 ms/lane at the 12-lane per-admit
+        encodes — into a staging cross-KV; admits then become pure
+        row scatters (admit_from_stage)."""
+        return _cross_of(params, _encode(params, wavs))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def admit_from_stage_fn(state, stage, lanes, slots, mask, caps):
+        """Admit up to A requests whose cross-KV already sits in `stage`
+        (encode_stage_fn output): lanes (A,) i32 stage block-row indices,
+        slots (A,) i32 DISTINCT live slot indices, mask (A,) bool, caps
+        (A,) i32. Pure gather+scatter — no encoder work."""
+        pos = state["pos"]
+        cross = []
+        for kv, skv in zip(state["cross"], stage):
+            h = kv.k_t.shape[0] // batch
+            rows = (slots[:, None] * h + jnp.arange(h)[None, :]).reshape(-1)
+            srows = (lanes[:, None] * h + jnp.arange(h)[None, :]).reshape(-1)
+            mrep = jnp.repeat(mask, h)
+
+            def scat(cur, new):
+                if cur is None:
+                    return None
+                val = jnp.where(
+                    mrep.reshape((-1,) + (1,) * (cur.ndim - 1)),
+                    new[srows], cur[rows])
+                return cur.at[rows].set(val)
+
+            cross.append(dataclasses.replace(
+                kv, k_t=scat(kv.k_t, skv.k_t), v_t=scat(kv.v_t, skv.v_t),
+                k_scale=scat(kv.k_scale, skv.k_scale),
+                v_scale=scat(kv.v_scale, skv.v_scale)))
+        tokens, start, finished = (state["tokens"], state["start"],
+                                   state["finished"])
+        cur_tok = tokens[slots, pos]
+        tokens = tokens.at[slots, pos].set(
+            jnp.where(mask, prefix_arr[0], cur_tok))
+        start = start.at[slots].set(jnp.where(mask, pos, start[slots]))
+        cap = state["cap"].at[slots].set(
+            jnp.where(mask, jnp.clip(caps, 1, max_new), state["cap"][slots]))
+        finished = finished.at[slots].set(
+            jnp.where(mask, False, finished[slots]))
+        return dict(state, tokens=tokens, cross=cross, start=start,
+                    cap=cap, finished=finished)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def rebase_fn(state, shift):
         """Shift the global window down by `shift` (host-computed: the
         minimum start over OCCUPIED slots). Rolled-in tail garbage is never
@@ -292,7 +364,8 @@ def make_cb_fns(arch: WhisperArch, cfg: DecodeConfig, batch: int,
                     start=jnp.maximum(state["start"] - shift, 0))
 
     return plan, {"init": init_fn, "chunk": chunk_fn, "admit": admit_fn,
-                  "rebase": rebase_fn}
+                  "rebase": rebase_fn, "encode_stage": encode_stage_fn,
+                  "admit_from_stage": admit_from_stage_fn}
 
 
 def gen_tokens_of_row(row: np.ndarray, start: int, p_len: int, cap: int,
