@@ -292,7 +292,8 @@ def verified_greedy_decode(params: Params, arch: WhisperArch,
                            draft: jax.Array, draft_len: jax.Array,
                            max_len: int | None = None,
                            prompt_tokens: jax.Array | None = None,
-                           prompt_lens: jax.Array | None = None
+                           prompt_lens: jax.Array | None = None,
+                           rounds: int = 2
                            ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy decode that consumes an EXTERNAL draft (self-speculation for
     streaming re-decodes): verify the draft's generated tokens in ONE
@@ -314,6 +315,8 @@ def verified_greedy_decode(params: Params, arch: WhisperArch,
     draft: (B, G) int32 proposed GENERATED tokens (G static, <=
     cfg.max_new_tokens); draft_len: (B,) valid counts (0 = no draft: the
     verify pass contributes nothing and the loop runs exactly greedy).
+    rounds: verify/Jacobi passes before sequential continuation (see the
+    round-loop comment below; >=1).
     Returns (tokens (B, max_len), lengths (B,), n_accepted (B,)).
     """
     cfg = cfg or DecodeConfig()
@@ -364,36 +367,60 @@ def verified_greedy_decode(params: Params, arch: WhisperArch,
     draft = jnp.where(keep, draft, eot)
     tokens = lax.dynamic_update_slice(tokens, draft, (0, first_gen))
 
-    # ---- ONE verify pass over [prompt | prefix | draft] ----
+    # ---- verify rounds over [prompt | prefix | draft] ----
+    # Round 1 verifies the caller's draft. Later rounds are JACOBI
+    # iterations (lookahead decoding): the round's own predictions become
+    # the next draft beyond the committed prefix, so a mid-sequence
+    # rejection whose tail still matches (e.g. a bf16 argmax tie-flip
+    # between the windowed and stepped compute paths) re-commits in one
+    # more cheap parallel pass instead of falling back to sequential
+    # steps. Each round's committed prefix is exact greedy by induction
+    # (committed positions see identical context, so their argmax is
+    # deterministic and the prefix only grows).
     w = first_gen + g_eff
-    logits_w, cache = verify_window(params, arch, tokens[:, :w],
-                                    jnp.asarray(0), cache, cross_kvs,
-                                    max_len, start=start)
     use_ts = _timestamps_enabled(arch, cfg)
     ts_begin = arch.no_timestamps_token_id + 1
-    # biased argmax predictions for the draft positions: conditioning
-    # position i = first_gen-1+j predicts draft[:, j]
-    lg = logits_w[:, first_gen - 1: w - 1] + sup          # (B, G, V)
-    lg = lg.at[:, 0].add(begin_sup)
-    if use_ts:
-        last_ts = _last_ts_table(draft, ts_begin)[:, :g_eff]   # (B, G)
-        pos_arr = first_gen - 1 + jnp.arange(g_eff)
-        lg = jax.vmap(
-            lambda l, p, lt: _apply_timestamp_rules(
-                l, tokens, p, first_gen, lt, arch, cfg),
-            in_axes=(1, 0, 1), out_axes=1)(lg, pos_arr, last_ts)
-    pred = jnp.argmax(lg, axis=-1).astype(jnp.int32)       # (B, G)
+    jcol = jnp.arange(g_eff)[None, :]
 
-    # greedy forces EOT after the first emitted EOT: positions after a
-    # draft EOT accept IFF the draft also holds EOT there (no pred check —
-    # and a pred match with a non-EOT draft token there must NOT accept)
-    after_eot = jnp.cumsum((draft == eot).astype(jnp.int32), axis=1) \
-        - (draft == eot).astype(jnp.int32) > 0
-    ok = jnp.where(after_eot, draft == eot, pred == draft)
-    ok = jnp.logical_and(ok, keep)
-    # n_acc = longest accepted prefix per row
-    n_acc = jnp.argmin(jnp.pad(ok, ((0, 0), (0, 1))), axis=1)
-    n_acc = jnp.where(ok.all(axis=1), g_eff, n_acc)        # (B,)
+    def verify_round(tokens, cache, draft, keep):
+        logits_w, cache = verify_window(params, arch, tokens[:, :w],
+                                        jnp.asarray(0), cache, cross_kvs,
+                                        max_len, start=start)
+        # biased argmax predictions for the draft positions: conditioning
+        # position i = first_gen-1+j predicts draft[:, j]
+        lg = logits_w[:, first_gen - 1: w - 1] + sup      # (B, G, V)
+        lg = lg.at[:, 0].add(begin_sup)
+        if use_ts:
+            last_ts = _last_ts_table(draft, ts_begin)[:, :g_eff]  # (B, G)
+            pos_arr = first_gen - 1 + jnp.arange(g_eff)
+            lg = jax.vmap(
+                lambda l, p, lt: _apply_timestamp_rules(
+                    l, tokens, p, first_gen, lt, arch, cfg),
+                in_axes=(1, 0, 1), out_axes=1)(lg, pos_arr, last_ts)
+        pred = jnp.argmax(lg, axis=-1).astype(jnp.int32)   # (B, G)
+
+        # greedy forces EOT after the first emitted EOT: positions after a
+        # draft EOT accept IFF the draft also holds EOT there (no pred
+        # check — and a pred match with a non-EOT draft token there must
+        # NOT accept)
+        after_eot = jnp.cumsum((draft == eot).astype(jnp.int32), axis=1) \
+            - (draft == eot).astype(jnp.int32) > 0
+        ok = jnp.where(after_eot, draft == eot, pred == draft)
+        ok = jnp.logical_and(ok, keep)
+        # n_acc = longest accepted prefix per row
+        n_acc = jnp.argmin(jnp.pad(ok, ((0, 0), (0, 1))), axis=1)
+        n_acc = jnp.where(ok.all(axis=1), g_eff, n_acc)    # (B,)
+        return cache, pred, n_acc
+
+    for r in range(max(int(rounds), 1)):
+        cache, pred, n_acc = verify_round(tokens, cache, draft, keep)
+        if r + 1 < rounds:
+            # Jacobi update: keep the committed prefix, draft the round's
+            # own predictions beyond it (full width — junk-conditioned
+            # tail positions just fail the next round's prefix check)
+            draft = jnp.where(jcol < n_acc[:, None], draft, pred)
+            keep = jnp.ones_like(keep)
+            tokens = lax.dynamic_update_slice(tokens, draft, (0, first_gen))
 
     # ---- continue lockstep greedy from the batch-min divergence ----
     n0 = jnp.min(n_acc)

@@ -60,9 +60,15 @@ def _build_step(arch: WhisperArch, cfg: DecodeConfig, n_samples: int,
               else {})
         if cfg.beam_size > 1:
             tokens, lengths = beam_decode(params, arch, enc, cfg, **kw)
-            return tokens, lengths, jnp.zeros(lengths.shape, jnp.int32)
-        return verified_greedy_decode(params, arch, enc, cfg, draft,
-                                      draft_len, **kw)
+            acc = jnp.zeros(lengths.shape, jnp.int32)
+        else:
+            tokens, lengths, acc = verified_greedy_decode(
+                params, arch, enc, cfg, draft, draft_len, **kw)
+        # ONE packed output = ONE host readback per tick (each np.asarray
+        # pays a full tunnel RTT on remote backends): [tokens | len | acc]
+        return jnp.concatenate(
+            [tokens, lengths[:, None].astype(jnp.int32),
+             acc[:, None].astype(jnp.int32)], axis=1)
 
     return step
 
@@ -228,10 +234,10 @@ class StreamingTranscriber:
     def _decode_window(self) -> None:
         buf, prompt, plen = self._decode_inputs()
         draft, dlen = self._draft_inputs()
-        tokens, lengths, _ = self._step(
+        packed = np.asarray(self._step(
             self.params, jnp.asarray(buf), jnp.asarray(prompt),
-            jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen))
-        self._absorb(np.asarray(tokens)[0], int(np.asarray(lengths)[0]))
+            jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen)))
+        self._absorb(packed[0, :-2], int(packed[0, -2]))
 
     def _complete_within(self, n_tokens: int) -> int:
         """Index AFTER the last window segment that is fully inside the
@@ -459,10 +465,10 @@ class StreamingPool:
             dB[0] = np.asarray(draft)[0]
             dlB = np.zeros((B,), np.int32)
             dlB[0] = np.asarray(dlen)[0]
-            toks, lens, acc = batched_step(params_, jnp.asarray(wavB),
-                                           jnp.asarray(pB), jnp.asarray(lB),
-                                           jnp.asarray(dB), jnp.asarray(dlB))
-            return toks[:1], lens[:1], acc[:1]
+            packed = batched_step(params_, jnp.asarray(wavB),
+                                  jnp.asarray(pB), jnp.asarray(lB),
+                                  jnp.asarray(dB), jnp.asarray(dlB))
+            return packed[:1]
 
         self._single_step = single_step
         self.sessions: dict = {}
@@ -537,15 +543,14 @@ class StreamingPool:
                 draft[i] = d[0]
                 dlen[i] = dl[0]
             t0 = time.time()
-            toks, lens, acc = self._batched_step(
+            packed = np.asarray(self._batched_step(   # ONE readback fence
                 self.params, jnp.asarray(wav), jnp.asarray(prompt),
-                jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen))
-            toks, lens = np.asarray(toks), np.asarray(lens)   # host fence
+                jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen)))
+            toks, lens, acc = packed[:, :-2], packed[:, -2], packed[:, -1]
             self._stats["busy_seconds"] += time.time() - t0
             self._stats["batched_calls"] += 1
             self._stats["decodes"] += len(group)
             self._stats["occupancy_sum"] += len(group) / self.B
-            acc = np.asarray(acc)
             self._stats["draft_proposed"] += int(dlen[:len(group)].sum())
             self._stats["draft_accepted"] += int(
                 np.minimum(acc[:len(group)], dlen[:len(group)]).sum())

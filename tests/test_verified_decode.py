@@ -79,10 +79,13 @@ def test_verified_equals_greedy(ts_setup, mode, timestamps):
     np.testing.assert_array_equal(got_t, ref_t)
     if mode == "exact":
         # a fully correct draft accepts (almost) everything: every row's
-        # accept count equals its draft length
-        assert (n_acc == dlen).all()
+        # accept count is at least its draft length (the Jacobi round may
+        # legitimately commit beyond it)
+        assert (n_acc >= dlen).all()
     if mode == "empty":
-        assert (n_acc == 0).all()
+        # even with nothing proposed, the Jacobi round self-drafts: at
+        # least the first greedy token commits parallel-ly
+        assert (n_acc >= 1).all()
 
 
 def test_verified_with_prompt(ts_setup):
