@@ -356,6 +356,18 @@ def _transcribe_continuous(args):
                            chunk=args.cb_chunk,
                            admit_lanes=max(2, args.cb_slots // 2),
                            overlap=jax.default_backend() != "cpu")
+    # the slot pool decodes single 30 s windows (plan.n_samples); longer
+    # recordings would be silently truncated by the padder — route users
+    # to the chunking TranscriptionService / longform path instead
+    # (ADVICE r3 #2)
+    too_long = [u.uid for u in utts if len(u.audio) > cb.plan.n_samples]
+    if too_long:
+        cap_s = cb.plan.n_samples / 16000.0
+        print(f"# WARNING: {len(too_long)} file(s) exceed the {cap_s:.0f}s "
+              f"continuous-batching window and will be truncated "
+              f"(first: {too_long[0]}); use `transcribe` without "
+              f"--continuous (longform seek) for long recordings",
+              file=sys.stderr)
     stats = CBStats()
     seqs = cb.transcribe_all([u.audio for u in utts], stats=stats)
     p_len, eot = cb.plan.p_len, arch.eos_token_id

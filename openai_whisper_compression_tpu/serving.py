@@ -387,6 +387,13 @@ class TranscriptionService:
                 # pipeline-1 outstanding while the next batch assembles
                 while len(inflight) >= self.pipeline:
                     self._finalize(inflight.popleft())
+                # trickle load (e.g. one closed-loop client): nothing is
+                # waiting to pipeline with — finalize now instead of
+                # letting the dispatched batch's futures sit until the
+                # next _take_batch poll times out (~50 ms) (ADVICE r3 #5)
+                if self._queue.empty():
+                    while inflight:
+                        self._finalize(inflight.popleft())
             else:
                 while inflight:  # low load / draining: retire everything
                     self._finalize(inflight.popleft())

@@ -95,6 +95,31 @@ def ladder(quant: str = "int8") -> list[tuple[str, Transform, bool, dict]]:
     ]
 
 
+def _recovery_pool(teacher, arch: WhisperArch, agree_cfg: DecodeConfig,
+                   n_samples: int, pool: int = 32, seq_len: int = 16):
+    """(mels (P, M, F), tokens (P, L)) distillation pool: fresh
+    same-distribution synthetic mels (seed distinct from the agreement
+    set's) + the dense teacher's greedy rollouts over them (prefix +
+    generated), truncated to seq_len conditioning positions."""
+    import jax.numpy as jnp
+
+    from ..audio import features
+    from ..models.decode import greedy_decode
+    from ..models.whisper import encode
+
+    rng = np.random.default_rng(1234)
+    mels = features.preprocess(
+        jnp.asarray(rng.standard_normal((pool, n_samples)) * 0.1,
+                    jnp.float32), arch.num_mel_bins,
+        length=n_samples).astype(jnp.float32)
+    toks = []
+    for i in range(0, pool, 8):
+        enc = encode(teacher, arch, mels[i: i + 8])
+        t, _ = greedy_decode(teacher, arch, enc, agree_cfg)
+        toks.append(np.asarray(t)[:, :seq_len])
+    return np.asarray(mels), np.concatenate(toks, axis=0)
+
+
 def _measure_rtfx(params, arch, cfg, batch: int, iters: int = 3,
                   avg_utt_s: float = 7.42) -> float:
     """Fenced fixed-token decode throughput (bench.py accounting): EOT
@@ -180,11 +205,27 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
             from ..distill import distill
 
             # physical surgery leaves no masks to preserve; recovery is
-            # plain KL distillation toward the dense teacher (decode-time
-            # cfg_kw rungs have no weights to recover)
-            dense_rec, _ = distill(p2, params, a2, steps=recover_steps,
-                                   lr=3e-5, batch=2, seq_len=8,
-                                   preserve_sparsity=False)
+            # KL distillation toward the dense teacher ON-TRAJECTORY:
+            # minibatches pair fresh same-distribution mels with the
+            # TEACHER'S OWN greedy rollouts, so the loss concentrates on
+            # exactly the contexts greedy agreement is scored on (random
+            # token contexts — the default — spend capacity on states the
+            # decode never visits). Decode-time cfg_kw rungs have no
+            # weights to recover.
+            pool_m, pool_t = _recovery_pool(params, arch, agree_cfg, n,
+                                            pool=32, seq_len=16)
+            def batch_fn(r, _m=pool_m, _t=pool_t):
+                idx = r.integers(0, _m.shape[0], size=8)
+                return _m[idx], _t[idx]
+
+            dense_rec, hist = distill(p2, params, a2,
+                                      steps=recover_steps, lr=1e-4,
+                                      temperature=1.0,
+                                      batch_fn=batch_fn,
+                                      preserve_sparsity=False)
+            progress(f"# curve {name}+recover: distill loss "
+                     f"{hist[0]:.4f} -> {hist[-1]:.4f} "
+                     f"({recover_steps} steps)")
             variants.append(("+recover", dense_rec))
         base_entry = None
         for suffix, pv in variants:

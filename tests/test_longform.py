@@ -630,3 +630,56 @@ def test_seek_initial_prompt_without_conditioning_first_window_only():
     if seeded["num_windows"] == plain["num_windows"] and \
             len(seeded["segments"]) and len(plain["segments"]):
         assert seeded["segments"][-1]["text"] == plain["segments"][-1]["text"]
+
+
+def test_crafted_ts_fixture_advances():
+    """bench._craft_ts_embeddings (the longform bench fixture): closing
+    timestamps land deep in the window, vary per stream (audio-dependent
+    through the model's own cross-attention response), and seeks are
+    NON-degenerate — the r3 bench's tiny-hop pathology is gone."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+    import jax.numpy as jnp
+
+    from openai_whisper_compression_tpu.config import ARCHS
+    from openai_whisper_compression_tpu.models import params as P
+
+    from openai_whisper_compression_tpu.audio import features
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek_batch)
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        WordTokenizer)
+
+    arch = ARCHS["test2l-ts"]
+    params = P.init_params(arch, jax.random.PRNGKey(0))
+    tok = WordTokenizer(arch.vocab_size, special_start=897)
+    cfg = DecodeConfig(max_new_tokens=20, notimestamps=False,
+                       language_token_id=None, task_token_id=None,
+                       max_initial_timestamp_index=20)
+    n_win = arch.max_source_positions * 2 * 160
+    rng = np.random.default_rng(3)
+    wavs = [rng.standard_normal(int(3.0 * n_win)).astype(np.float32) * 0.1
+            for _ in range(4)]
+    probe = jnp.asarray(np.stack([w[:n_win] for w in wavs]))
+    pm = features.preprocess(probe, arch.num_mel_bins, length=n_win,
+                             use_pallas=False)
+    # peak=1.0 -> k* ~ half the band, inside the tiny arch's 1.3 s window
+    # (the band spans 2 s; on real vocabs band == window)
+    lf = bench._craft_ts_embeddings(params, arch, pm, peak=1.0)
+    res = transcribe_seek_batch(lf, arch, wavs, tok, cfg, batch_size=4)
+    win_s = n_win / 16000.0
+    all_ends = []
+    for r in res:
+        # non-degenerate: a stream never needs more than ~2x the minimum
+        # window count (r3 pathology: 0.02 s hops -> hundreds of windows)
+        assert r["num_windows"] <= 8, r["num_windows"]
+        ends = [s["end"] for s in r["segments"] if s["end"] is not None]
+        assert ends, "windows must close segments"
+        # closing times sit deep in the window, not at the 0.02 s floor
+        assert max(e % win_s if e % win_s > 1e-6 else win_s
+                   for e in ends) > 0.3 * win_s
+        all_ends.append(tuple(round(e, 2) for e in ends))
+    # audio dependence: not every stream produces the identical cut list
+    assert len(set(all_ends)) > 1, all_ends

@@ -98,22 +98,64 @@ def resolve_audio_dir(audio_dir: str | None) -> str:
 
 
 def run_eval(params, arch, dataset, tok, batch_size, max_new_tokens,
-             label):
+             label, **cfg_kw):
     from openai_whisper_compression_tpu.config import (DecodeConfig,
                                                        EvalConfig)
     from openai_whisper_compression_tpu.evaluation import harness
     from openai_whisper_compression_tpu.evaluation.memory import (
         MemoryTracker)
 
-    cfg = DecodeConfig(
-        max_new_tokens=max_new_tokens,
-        notimestamps=arch.no_timestamps_token_id < arch.vocab_size)
+    cfg_kw.setdefault(
+        "notimestamps", arch.no_timestamps_token_id < arch.vocab_size)
+    cfg = DecodeConfig(max_new_tokens=max_new_tokens, **cfg_kw)
     scores, _ = harness.evaluate_model(
         params, arch, dataset, tok,
         eval_cfg=EvalConfig(batch_size=batch_size, split="test_clean",
                             normalizer="whisper"),
         decode_cfg=cfg, memory_tracker=MemoryTracker(label))
     return scores
+
+
+def run_longform(params, arch, dataset, tok, batch_size, max_new_tokens,
+                 group: int):
+    """Long-form config: concatenate `group` consecutive utterances per
+    stream (0.2 s gaps, references joined) and score the timestamp-seek
+    loop (evaluation/longform.py) — the reference has no >30 s path at
+    all; this proves ours on real data the day weights arrive."""
+    import numpy as np
+
+    from openai_whisper_compression_tpu.config import DecodeConfig
+    from openai_whisper_compression_tpu.evaluation import metrics
+    from openai_whisper_compression_tpu.evaluation.longform import (
+        transcribe_seek_batch)
+
+    sr = 16000
+    gap = np.zeros(int(0.2 * sr), np.float32)
+    ds = list(dataset)
+    wavs, refs = [], []
+    for i in range(0, len(ds) - len(ds) % group, group):
+        g = ds[i: i + group]
+        parts = []
+        for u in g:
+            parts.append(np.asarray(u.audio, np.float32))
+            parts.append(gap)
+        wavs.append(np.concatenate(parts[:-1]))
+        refs.append(" ".join(u.text for u in g))
+    if not wavs:
+        return {"num_streams": 0}
+    cfg = DecodeConfig(max_new_tokens=max_new_tokens, notimestamps=False)
+    t0 = time.time()
+    res = transcribe_seek_batch(params, arch, wavs, tok, cfg,
+                                batch_size=min(batch_size, len(wavs)))
+    dt = time.time() - t0
+    hyps = [r["text"] for r in res]
+    norm = metrics.resolve_normalizer("whisper")
+    audio_s = sum(len(w) for w in wavs) / sr
+    return {"num_streams": len(wavs), "utts_per_stream": group,
+            "wer": metrics.wer(refs, hyps, norm is not None, norm),
+            "windows": sum(r["num_windows"] for r in res),
+            "audio_s": round(audio_s, 1),
+            "rtfx": round(audio_s / max(dt, 1e-9), 2)}
 
 
 def main() -> int:
@@ -128,6 +170,8 @@ def main() -> int:
                     help="compressed variant for the delta row "
                          "('' skips it)")
     ap.add_argument("--out", default="WER_REAL.json")
+    ap.add_argument("--no-full", dest="full", action="store_false",
+                    help="skip the beam5/timestamps/longform matrix rows")
     ap.add_argument("--rehearse", action="store_true",
                     help="zero-egress end-to-end rehearsal on fake "
                          "checkpoints in all three formats")
@@ -198,6 +242,26 @@ def build_artifact(args, params, arch, dataset, tok, quantize_params, *,
             "pass": bool(delta <= NORTH_STAR_ABS_WER
                          and (comp.get("rtfx") or 0) > 10),
         }
+    if getattr(args, "full", True):
+        # the full reference-comparable option matrix in the same command
+        # (VERDICT r3 next-step #8): beam-5 with HF length-penalty
+        # semantics, timestamp decoding, and one long-form config — each
+        # oracle-pinned offline by tests/test_hf_generate_parity.py
+        beam = run_eval(params, arch, dataset, tok,
+                        max(args.batch_size // 2, 1), args.max_new_tokens,
+                        f"{arch.name}_beam5", beam_size=5,
+                        length_penalty=1.0)
+        row["beam5"] = {k: beam[k] for k in
+                        ("wer", "cer", "rtfx", "num_samples")}
+        if arch.no_timestamps_token_id + 1 < arch.vocab_size:
+            ts = run_eval(params, arch, dataset, tok, args.batch_size,
+                          args.max_new_tokens, f"{arch.name}_timestamps",
+                          notimestamps=False)
+            row["timestamps"] = {k: ts[k] for k in
+                                 ("wer", "cer", "rtfx", "num_samples")}
+            row["longform"] = run_longform(
+                params, arch, dataset, tok, args.batch_size,
+                args.max_new_tokens, group=2 if rehearsal else 4)
     row["wall_seconds"] = round(time.time() - t0, 1)
     return row
 
@@ -221,7 +285,9 @@ def rehearse(args) -> int:
     from openai_whisper_compression_tpu.models import convert, params as P
     from openai_whisper_compression_tpu.quant.api import quantize_params
 
-    arch = ARCHS["test2l"]
+    # ts-capable tiny arch so the timestamps + longform matrix
+    # rows rehearse too (VERDICT r3 next-step #8)
+    arch = ARCHS["test2l-ts"]
     params = P.init_params(arch, jax.random.PRNGKey(0))
     sd = convert.to_hf_state_dict(params)
     formats = {}
