@@ -77,7 +77,10 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
     """KL-distill `student` toward `teacher` (same arch) on synthetic audio.
 
     batch_fn: optional (rng) -> (mel (B, M, F), tokens (B, L)) supplier to
-    distill on real data instead of noise.
+    distill on real data instead of noise; may return a third element —
+    precomputed teacher logits (B, L, V) — to skip the per-step teacher
+    forward entirely (right when the pool is small and fixed, e.g. the
+    curve's recovery rungs).
 
     sparsity_ref: when preserve_sparsity is on, compute the frozen-zero
     masks from THIS pytree instead of `student`. Pass the pre-quantization
@@ -118,11 +121,21 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
     opt = optax.adamw(lr)
     opt_state = opt.init(student)
 
+    # The teacher is FROZEN, so its logits are data, not graph: computing
+    # them in a separate jit keeps the step graph to student fwd+bwd+adamw
+    # only. Fusing the teacher forward into the step's graph ballooned the
+    # whisper-small f32 compile past 24 min on this host; split, the step
+    # compiles in ~30 s and the teacher forward (compiled once) amortizes
+    # across every step that reuses a (mel, tokens) pair.
     @jax.jit
-    def step(student, opt_state, mel, tokens):
-        t_logits = jax.lax.stop_gradient(
-            decode_logits(teacher, arch, tokens,
-                          encode(teacher, arch, mel)))
+    def teacher_fwd(mel, tokens):
+        return decode_logits(teacher, arch, tokens,
+                             encode(teacher, arch, mel))
+
+    @jax.jit
+    def step(student, opt_state, mel, tokens, t_logits):
+        t_logits = jax.lax.stop_gradient(t_logits)
+
         def loss_fn(s):
             if param_transform is not None:
                 s = param_transform(s)
@@ -140,8 +153,14 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
     rng = np.random.default_rng(seed)
     history: list[float] = []
     for _ in range(steps):
+        t_logits = None
         if batch_fn is not None:
-            mel, tokens = batch_fn(rng)
+            out = batch_fn(rng)
+            if len(out) == 3:     # (mel, tokens, teacher_logits): caller
+                mel, tokens, t_logits = out  # precomputed the frozen pool
+                t_logits = jnp.asarray(t_logits)
+            else:
+                mel, tokens = out
             mel = jnp.asarray(mel)
             tokens = jnp.asarray(tokens, jnp.int32)
         else:
@@ -157,7 +176,10 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
         if batch_sharding is not None:
             mel = jax.device_put(mel, batch_sharding)
             tokens = jax.device_put(tokens, batch_sharding)
-        student, opt_state, loss = step(student, opt_state, mel, tokens)
+        if t_logits is None:
+            t_logits = teacher_fwd(mel, tokens)
+        student, opt_state, loss = step(student, opt_state, mel, tokens,
+                                        t_logits)
         history.append(float(loss))
     return student, history
 

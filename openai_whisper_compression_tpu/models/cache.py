@@ -33,7 +33,10 @@ def init_cache(params: Params, arch: WhisperArch, batch: int,
 
     int8=True stores keys/values as int8 with per-position absmax scales
     (the int8 KV cache of BASELINE.json config 4; the reference has no KV
-    compression — HF generate keeps fp caches)."""
+    compression — HF generate keeps fp caches). Scales are (B, H, S) —
+    position on the MINOR dim, matching the (B·H, S) score layout the fused
+    step kernel multiplies them into (a trailing unit dim would lane-pad
+    64× in VMEM and force a sublane→lane relayout per kernel block)."""
     max_len = max_len or arch.max_target_positions
     cache = []
     for layer in params["decoder"]["layers"]:
@@ -43,8 +46,8 @@ def init_cache(params: Params, arch: WhisperArch, batch: int,
             cache.append({
                 "k": jnp.zeros(shape, jnp.int8),
                 "v": jnp.zeros(shape, jnp.int8),
-                "k_scale": jnp.zeros((batch, h, max_len, 1), jnp.float32),
-                "v_scale": jnp.zeros((batch, h, max_len, 1), jnp.float32),
+                "k_scale": jnp.zeros((batch, h, max_len), jnp.float32),
+                "v_scale": jnp.zeros((batch, h, max_len), jnp.float32),
             })
         else:
             cache.append({"k": jnp.zeros(shape, dtype),
@@ -70,8 +73,10 @@ def update(entry: dict[str, jax.Array], k_new: jax.Array, v_new: jax.Array,
         return {
             "k": lax.dynamic_update_slice(entry["k"], kq, zeros),
             "v": lax.dynamic_update_slice(entry["v"], vq, zeros),
-            "k_scale": lax.dynamic_update_slice(entry["k_scale"], ks, zeros),
-            "v_scale": lax.dynamic_update_slice(entry["v_scale"], vs, zeros),
+            "k_scale": lax.dynamic_update_slice(entry["k_scale"], ks[..., 0],
+                                                zeros[:3]),
+            "v_scale": lax.dynamic_update_slice(entry["v_scale"], vs[..., 0],
+                                                zeros[:3]),
         }
     return {
         "k": lax.dynamic_update_slice(entry["k"], k_new.astype(entry["k"].dtype), zeros),
@@ -82,7 +87,9 @@ def update(entry: dict[str, jax.Array], k_new: jax.Array, v_new: jax.Array,
 def read(entry: dict[str, jax.Array], dtype) -> tuple[jax.Array, jax.Array]:
     """Dequantize (if int8) and return (k, v) in compute dtype."""
     if "k_scale" in entry:
-        k = (entry["k"].astype(jnp.float32) * entry["k_scale"]).astype(dtype)
-        v = (entry["v"].astype(jnp.float32) * entry["v_scale"]).astype(dtype)
+        k = (entry["k"].astype(jnp.float32)
+             * entry["k_scale"][..., None]).astype(dtype)
+        v = (entry["v"].astype(jnp.float32)
+             * entry["v_scale"][..., None]).astype(dtype)
         return k, v
     return entry["k"].astype(dtype), entry["v"].astype(dtype)

@@ -140,14 +140,14 @@ def decoder_step(params: Params, arch: WhisperArch, tok: jax.Array,
                 qf, k.reshape(bh, dh), v.reshape(bh, dh),
                 cache[i]["k"].reshape(bh, max_len, dh),
                 cache[i]["v"].reshape(bh, max_len, dh),
-                cache[i]["k_scale"].reshape(bh, max_len, 1),
-                cache[i]["v_scale"].reshape(bh, max_len, 1),
+                cache[i]["k_scale"].reshape(bh, max_len),
+                cache[i]["v_scale"].reshape(bh, max_len),
                 pos, start=start_bh)
             new_cache.append({
                 "k": kc.reshape(b, h, max_len, dh),
                 "v": vc.reshape(b, h, max_len, dh),
-                "k_scale": ksc.reshape(b, h, max_len, 1),
-                "v_scale": vsc.reshape(b, h, max_len, 1)})
+                "k_scale": ksc.reshape(b, h, max_len),
+                "v_scale": vsc.reshape(b, h, max_len)})
             o_merged = o_flat.reshape(b, 1, h * dh)
         else:
             entry = kv_cache.update(cache[i], k, v, pos)

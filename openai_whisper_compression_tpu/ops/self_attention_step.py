@@ -72,7 +72,7 @@ def _core(pos_ref, q_ref, start_ref, kc_ref, vc_ref, ks_ref, vs_ref, o_ref):
         q[:, None, :], kc, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]
     if ks_ref is not None:                         # int8 cache: fold k scale
-        scores = scores * ks_ref[:, :, 0]
+        scores = scores * ks_ref[:]                # (G, S), same layout
 
     g, s_pad = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (g, s_pad), 1)
@@ -85,7 +85,7 @@ def _core(pos_ref, q_ref, start_ref, kc_ref, vc_ref, ks_ref, vs_ref, o_ref):
     p = jnp.exp(scores - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     if vs_ref is not None:                         # fold v dequant scale
-        p = p * vs_ref[:, :, 0]
+        p = p * vs_ref[:]
     vc = vc_ref[:].astype(jnp.float32)             # (G, S, Dh)
     out = jax.lax.dot_general(                     # (G, Dh); batched dot
         p[:, None, :], vc, (((2,), (1,)), ((0,), (0,))),
@@ -166,44 +166,51 @@ def _kernel_upd_i8(pos_ref, q_ref, k_ref, v_ref, start_ref,
                    o_ref, krow_ref, ksrow_ref, vrow_ref, vsrow_ref):
     """int8-cache variant of _kernel_upd: quantizes this step's row
     in-kernel (per-(g,pos) absmax scale), writes int8 row + scale through
-    aliased window blocks, and attends with per-position dequant folded
-    into the score/probability vectors (matching cache.update + read)."""
+    aliased blocks, and attends with per-position dequant folded into the
+    score/probability vectors (matching cache.update + read).
+
+    Scales are (G, S) — position on LANES, the same layout as the score
+    vector they multiply, so the fold is a plain elementwise multiply and
+    the blocks cost S*4 bytes per group row in VMEM (the previous (G, S, 1)
+    layout lane-padded 64× and needed a sublane→lane relayout per block,
+    which inverted kv_int8 vs bf16 on short caches — DESIGN §8). The scale
+    write-back is a full-block where(col==pos): S*4*2 bytes per group row
+    of extra write traffic, ~1.5% of the int8 cache stream."""
     pos = pos_ref[0]
     k_new = k_ref[:, 0, :].astype(jnp.float32)     # (G, Dh)
     v_new = v_ref[:, 0, :].astype(jnp.float32)
-    ks_new = jnp.maximum(jnp.max(jnp.abs(k_ref[:].astype(jnp.float32)),
-                                 axis=2, keepdims=True), 1e-12) / 127.0
-    vs_new = jnp.maximum(jnp.max(jnp.abs(v_ref[:].astype(jnp.float32)),
-                                 axis=2, keepdims=True), 1e-12) / 127.0
-    kq_new = jnp.clip(jnp.round(k_ref[:].astype(jnp.float32) / ks_new),
-                      -127, 127)                   # (G, 1, Dh)
-    vq_new = jnp.clip(jnp.round(v_ref[:].astype(jnp.float32) / vs_new),
-                      -127, 127)
+    ks_new = jnp.maximum(jnp.max(jnp.abs(k_new), axis=1, keepdims=True),
+                         1e-12) / 127.0            # (G, 1)
+    vs_new = jnp.maximum(jnp.max(jnp.abs(v_new), axis=1, keepdims=True),
+                         1e-12) / 127.0
+    kq_new = jnp.clip(jnp.round(k_new / ks_new), -127, 127)   # (G, Dh)
+    vq_new = jnp.clip(jnp.round(v_new / vs_new), -127, 127)
 
     base = pl.multiple_of((pos // 8) * 8, 8)
     krow_ref[:] = kc_ref[:, pl.ds(base, 8), :]
     vrow_ref[:] = vc_ref[:, pl.ds(base, 8), :]
-    ksrow_ref[:] = ks_ref[:, pl.ds(base, 8), :]
-    vsrow_ref[:] = vs_ref[:, pl.ds(base, 8), :]
     for r in range(8):
         @pl.when(base + r == pos)
         def _write(r=r):
-            krow_ref[:, r:r + 1, :] = kq_new.astype(krow_ref.dtype)
-            vrow_ref[:, r:r + 1, :] = vq_new.astype(vrow_ref.dtype)
-            ksrow_ref[:, r:r + 1, :] = ks_new.astype(ksrow_ref.dtype)
-            vsrow_ref[:, r:r + 1, :] = vs_new.astype(vsrow_ref.dtype)
+            krow_ref[:, r:r + 1, :] = kq_new[:, None, :].astype(
+                krow_ref.dtype)
+            vrow_ref[:, r:r + 1, :] = vq_new[:, None, :].astype(
+                vrow_ref.dtype)
 
     q = q_ref[:].astype(jnp.float32)               # (G, Dh)
     kc = kc_ref[:].astype(jnp.float32)             # (G, S, Dh) int8 stale
     scores = jax.lax.dot_general(
         q[:, None, :], kc, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]  # (G, S)
-    scores = scores * ks_ref[:, :, 0]              # stale per-pos scales
+    scores = scores * ks_ref[:]                    # stale per-pos scales
     # fresh row attends at its quantized-then-dequantized value (XLA parity)
-    s_new = jnp.sum(q * (kq_new[:, 0, :] * ks_new[:, 0, :]), axis=1)
+    s_new = jnp.sum(q * (kq_new * ks_new), axis=1)
 
     g, s_pad = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (g, s_pad), 1)
+    # scale write-back: whole (G, S) block with the fresh scale at `pos`
+    ksrow_ref[:] = jnp.where(col == pos, ks_new, ks_ref[:])
+    vsrow_ref[:] = jnp.where(col == pos, vs_new, vs_ref[:])
     scores = jnp.where(col == pos, s_new[:, None], scores)
     ok = col <= pos
     if start_ref is not None:
@@ -215,9 +222,9 @@ def _kernel_upd_i8(pos_ref, q_ref, k_ref, v_ref, start_ref,
     l = jnp.sum(p, axis=-1, keepdims=True)
     p_pos = jnp.exp(s_new[:, None] - m)            # (G, 1)
     p = jnp.where(col == pos, 0.0, p)
-    p = p * vs_ref[:, :, 0]                        # fold stale v scales
+    p = p * vs_ref[:]                              # fold stale v scales
     vc = vc_ref[:].astype(jnp.float32)
-    v_deq_new = vq_new[:, 0, :] * vs_new[:, 0, :]
+    v_deq_new = vq_new * vs_new
     out = (jax.lax.dot_general(
         p[:, None, :], vc, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)[:, 0, :]
@@ -322,8 +329,9 @@ def decode_self_attention(q: jax.Array,
     q: (BH, Dh) — pre-scaled by Dh**-0.5.
     k_cache/v_cache: (BH, S, Dh) — row `pos` must already hold this step's
     key/value (write it with `cache.update` before calling). int8 caches
-    pass per-position absmax scales k_scale/v_scale (BH, S, 1) fp32; the
-    dequant folds into the score/probability vectors.
+    pass per-position absmax scales k_scale/v_scale (BH, S) fp32 — position
+    on LANES, matching the score layout — and the dequant folds into the
+    score/probability vectors.
     pos: scalar int32 position to attend up to (inclusive).
     start: optional (BH,) int32 first valid position (left-padded prompts).
 
@@ -337,7 +345,7 @@ def decode_self_attention(q: jax.Array,
     row = pl.BlockSpec((g, dh), lambda i, sp: (i, 0), memory_space=pltpu.VMEM)
     cache = pl.BlockSpec((g, s, dh), lambda i, sp: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    scale = pl.BlockSpec((g, s, 1), lambda i, sp: (i, 0, 0),
+    scale = pl.BlockSpec((g, s), lambda i, sp: (i, 0),
                          memory_space=pltpu.VMEM)
     int8 = k_scale is not None
     in_specs = [row]
@@ -384,18 +392,22 @@ def decode_self_attention_update_int8(q: jax.Array, k_new: jax.Array,
                                       block_g: int = 256):
     """int8-cache fused row-quantize + update + attend (see _kernel_upd_i8).
 
-    k_cache/v_cache: (BH, S, Dh) int8; k_scale/v_scale: (BH, S, 1) f32
-    per-position absmax scales — all four donated/aliased.
+    k_cache/v_cache: (BH, S, Dh) int8; k_scale/v_scale: (BH, S) f32
+    per-position absmax scales, position on LANES — all four donated/aliased.
     Returns (out (BH, Dh), k_cache', v_cache', k_scale', v_scale')."""
     bh, dh = q.shape
     s = k_cache.shape[1]
     g = block_g
-    # int8 blocks + f32 working copies + the (g, s, 1) f32 scale blocks,
-    # whose unit lane dim tiles to 128 lanes (the dominant scoped-vmem cost)
-    while g > 8 and g * s * dh * 48 > 10 * 1024 * 1024:
+    # int8 cache blocks lane-pad Dh=64 -> 128 (x2 for double buffering) plus
+    # their f32 in-kernel working copies; the lane-major (g, s) scale blocks
+    # are now noise (s*4 B per group row). Calibrated alongside the fp
+    # kernels' 5x rule: int8 bytes x (2 buffered + 4 f32 copy) x 2 lane pad.
+    while g > 8 and g * s * max(dh, 128) * 12 > 14 * 1024 * 1024:
         g //= 2
     while bh % g:
         g //= 2
+    if g % 8 and g != bh:
+        g = bh
 
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     row = pl.BlockSpec((g, dh), lambda i, sp: (i, 0), memory_space=pltpu.VMEM)
@@ -403,12 +415,11 @@ def decode_self_attention_update_int8(q: jax.Array, k_new: jax.Array,
                         memory_space=pltpu.VMEM)
     cache = pl.BlockSpec((g, s, dh), lambda i, sp: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    scale = pl.BlockSpec((g, s, 1), lambda i, sp: (i, 0, 0),
+    scale = pl.BlockSpec((g, s), lambda i, sp: (i, 0),
                          memory_space=pltpu.VMEM)
     cache_row = pl.BlockSpec((g, 8, dh), lambda i, sp: (i, sp[0] // 8, 0),
                              memory_space=pltpu.VMEM)
-    scale_row = pl.BlockSpec((g, 8, 1), lambda i, sp: (i, sp[0] // 8, 0),
-                             memory_space=pltpu.VMEM)
+    scale_row = scale
     in_specs = [row, row3, row3]
     operands = [q, k_new.reshape(bh, 1, dh), v_new.reshape(bh, 1, dh)]
     kernel = _kernel_upd_i8_nostart

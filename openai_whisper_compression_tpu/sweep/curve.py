@@ -97,27 +97,37 @@ def ladder(quant: str = "int8") -> list[tuple[str, Transform, bool, dict]]:
 
 def _recovery_pool(teacher, arch: WhisperArch, agree_cfg: DecodeConfig,
                    n_samples: int, pool: int = 32, seq_len: int = 16):
-    """(mels (P, M, F), tokens (P, L)) distillation pool: fresh
-    same-distribution synthetic mels (seed distinct from the agreement
-    set's) + the dense teacher's greedy rollouts over them (prefix +
-    generated), truncated to seq_len conditioning positions."""
+    """(mels (P, M, F), tokens (P, L), teacher_logits (P, L, V))
+    distillation pool: fresh same-distribution synthetic mels (seed
+    distinct from the agreement set's) + the dense teacher's greedy
+    rollouts over them (prefix + generated), truncated to seq_len
+    conditioning positions. Teacher logits are precomputed HERE, once for
+    the whole pool — the teacher is frozen across every rung and step, so
+    re-deriving its forward inside each distill step would pay its
+    compile + run cost hundreds of times for identical values."""
+    import jax
     import jax.numpy as jnp
 
     from ..audio import features
     from ..models.decode import greedy_decode
-    from ..models.whisper import encode
+    from ..models.whisper import decode_logits, encode
 
     rng = np.random.default_rng(1234)
     mels = features.preprocess(
         jnp.asarray(rng.standard_normal((pool, n_samples)) * 0.1,
                     jnp.float32), arch.num_mel_bins,
         length=n_samples).astype(jnp.float32)
-    toks = []
+    tfwd = jax.jit(lambda m, t: decode_logits(
+        teacher, arch, t, encode(teacher, arch, m)))
+    toks, logits = [], []
     for i in range(0, pool, 8):
         enc = encode(teacher, arch, mels[i: i + 8])
         t, _ = greedy_decode(teacher, arch, enc, agree_cfg)
-        toks.append(np.asarray(t)[:, :seq_len])
-    return np.asarray(mels), np.concatenate(toks, axis=0)
+        t16 = jnp.asarray(np.asarray(t)[:, :seq_len], jnp.int32)
+        toks.append(np.asarray(t16))
+        logits.append(np.asarray(tfwd(mels[i: i + 8], t16), np.float32))
+    return (np.asarray(mels), np.concatenate(toks, axis=0),
+            np.concatenate(logits, axis=0))
 
 
 def _measure_rtfx(params, arch, cfg, batch: int, iters: int = 3,
@@ -189,6 +199,7 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
                              notimestamps=False)
 
     points: list[dict] = []
+    pool = None  # teacher-only; built once, shared by every recovery rung
     for name, transform, lossy, cfg_kw in ladder(quant):
         if rungs is not None and not any(r in name for r in rungs):
             continue
@@ -212,11 +223,13 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
             # token contexts — the default — spend capacity on states the
             # decode never visits). Decode-time cfg_kw rungs have no
             # weights to recover.
-            pool_m, pool_t = _recovery_pool(params, arch, agree_cfg, n,
-                                            pool=32, seq_len=16)
-            def batch_fn(r, _m=pool_m, _t=pool_t):
+            if pool is None:
+                pool = _recovery_pool(params, arch, agree_cfg, n,
+                                      pool=32, seq_len=16)
+            pool_m, pool_t, pool_l = pool
+            def batch_fn(r, _m=pool_m, _t=pool_t, _l=pool_l):
                 idx = r.integers(0, _m.shape[0], size=8)
-                return _m[idx], _t[idx]
+                return _m[idx], _t[idx], _l[idx]
 
             dense_rec, hist = distill(p2, params, a2,
                                       steps=recover_steps, lr=1e-4,

@@ -78,13 +78,17 @@ BASELINE_PRESETS: list[Preset] = [
     # capacity-driven configs (VERDICT r2 #4, measured on v5e-1, r3):
     # int4 cross-KV halves the per-item decode stream so batch rises to
     # the throughput plateau — medium 16->96 (275->382 RTFx), large-v3
-    # 8->48 (244->347). kv_int8 stays OFF for large-v3: at the 64-slot
-    # decode cache the int8 convert overhead exceeds the bandwidth saved
-    # (measured 347 -> 313 at b48; DESIGN.md §8).
+    # 8->48 (244->347). kv_int8 is ON everywhere since r4: the lane-major
+    # (BH, S) scale re-layout took it from a measured loser (347 -> 313 at
+    # large-v3 b48; the old (BH, S, 1) scales lane-padded 64x in VMEM and
+    # relaid out per block) to parity/slightly-faster (346.7 vs 346.6 at
+    # b48, 1410 vs 1399 small b96), so the halved cache is free capacity
+    # (DESIGN.md §8).
     Preset("medium_int4_kv8", "medium", "bfloat16", _quant("int4"),
            decode={"kv_int8": True, "cross_kv_int4": True}),
     Preset("largev3_structured50_int8", "large-v3", "bfloat16",
-           _structured50_int8, decode={"cross_kv_int4": True}),
+           _structured50_int8,
+           decode={"kv_int8": True, "cross_kv_int4": True}),
 ]
 
 # Lossy capacity variants (opt-in via `cli presets --preset <name>`; not in
@@ -99,7 +103,8 @@ EXTRA_PRESETS: list[Preset] = [
                    "cross_kv_pool": 2}),
     Preset("largev3_structured50_int8_pool2", "large-v3", "bfloat16",
            _structured50_int8,
-           decode={"cross_kv_int4": True, "cross_kv_pool": 2}),
+           decode={"kv_int8": True, "cross_kv_int4": True,
+                   "cross_kv_pool": 2}),
 ]
 
 PRESETS = {p.name: p for p in BASELINE_PRESETS + EXTRA_PRESETS}

@@ -60,14 +60,15 @@ def test_int8_cache_scales():
     rng = np.random.default_rng(3)
     kq = rng.integers(-127, 128, (bh, s, dh)).astype(np.int8)
     vq = rng.integers(-127, 128, (bh, s, dh)).astype(np.int8)
-    ks = (rng.random((bh, s, 1)) * 0.02 + 1e-3).astype(np.float32)
-    vs = (rng.random((bh, s, 1)) * 0.02 + 1e-3).astype(np.float32)
+    ks = (rng.random((bh, s)) * 0.02 + 1e-3).astype(np.float32)
+    vs = (rng.random((bh, s)) * 0.02 + 1e-3).astype(np.float32)
     q = jnp.asarray(rng.standard_normal((bh, dh)), jnp.float32) * dh ** -0.5
     out = decode_self_attention(jnp.asarray(q), jnp.asarray(kq),
                                 jnp.asarray(vq), jnp.int32(9),
                                 k_scale=jnp.asarray(ks),
                                 v_scale=jnp.asarray(vs), block_g=8)
-    ref = _ref(q, kq.astype(np.float32) * ks, vq.astype(np.float32) * vs, 9)
+    ref = _ref(q, kq.astype(np.float32) * ks[..., None],
+               vq.astype(np.float32) * vs[..., None], 9)
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
