@@ -293,7 +293,8 @@ def verified_greedy_decode(params: Params, arch: WhisperArch,
                            max_len: int | None = None,
                            prompt_tokens: jax.Array | None = None,
                            prompt_lens: jax.Array | None = None,
-                           rounds: int = 2
+                           rounds: int = 2,
+                           active: jax.Array | None = None
                            ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Greedy decode that consumes an EXTERNAL draft (self-speculation for
     streaming re-decodes): verify the draft's generated tokens in ONE
@@ -317,6 +318,14 @@ def verified_greedy_decode(params: Params, arch: WhisperArch,
     verify pass contributes nothing and the loop runs exactly greedy).
     rounds: verify/Jacobi passes before sequential continuation (see the
     round-loop comment below; >=1).
+    active: optional (B,) bool — False rows are PADDING lanes (a
+    StreamingPool batches a partial group into its fixed-width program):
+    they are treated as fully accepted + finished so they never constrain
+    the batch-min continuation point or the sequential loop's
+    termination. Without this, one padding lane (draft_len=0 → n_acc=0)
+    forced a FULL sequential re-decode of every row in the batch — the
+    r4 streaming rows measured exactly that (VERDICT r4 #5). Outputs of
+    inactive rows are unspecified; callers must ignore them.
     Returns (tokens (B, max_len), lengths (B,), n_accepted (B,)).
     """
     cfg = cfg or DecodeConfig()
@@ -423,6 +432,8 @@ def verified_greedy_decode(params: Params, arch: WhisperArch,
             tokens = lax.dynamic_update_slice(tokens, draft, (0, first_gen))
 
     # ---- continue lockstep greedy from the batch-min divergence ----
+    if active is not None:
+        n_acc = jnp.where(active, n_acc, g_eff)
     n0 = jnp.min(n_acc)
     pos0 = first_gen - 1 + n0
     # carry state exactly as greedy would hold it at pos0: rows with longer
@@ -430,6 +441,10 @@ def verified_greedy_decode(params: Params, arch: WhisperArch,
     acc_keep = jnp.arange(g_eff)[None, :] < n0
     acc_eot = jnp.logical_and(acc_keep, draft == eot).any(axis=1)
     finished0 = acc_eot
+    if active is not None:
+        # padding lanes decode nothing: born finished, they emit EOT in
+        # the sequential loop and never hold `jnp.all(finished)` open
+        finished0 = jnp.logical_or(finished0, ~active)
     last_ts0 = (_last_ts_table(draft, ts_begin)[
         jnp.arange(b), jnp.minimum(n0, g_eff)] if use_ts
         else jnp.zeros((b,), jnp.int32))

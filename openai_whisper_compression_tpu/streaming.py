@@ -22,6 +22,7 @@ single compile.
 
 from __future__ import annotations
 
+import functools
 from collections import deque
 
 import jax
@@ -38,8 +39,11 @@ def _build_step(arch: WhisperArch, cfg: DecodeConfig, n_samples: int,
     """One jitted preprocess→encode→decode step (any batch size) — shared
     by StreamingTranscriber (B=1) and StreamingPool (B=streams).
 
-    Signature: step(params, wav, prompt, plen, draft, draft_len) ->
-    (tokens, lengths, n_accepted). Greedy configs (beam_size == 1) run
+    Signature: step(params, wav, prompt, plen, draft, draft_len, active) ->
+    (tokens, lengths, n_accepted). `active` (B,) bool marks real rows —
+    padding lanes in a partial pool batch must not constrain the verified
+    decode's batch-min continuation (models/speculative.py). Greedy
+    configs (beam_size == 1) run
     `verified_greedy_decode`: the caller's draft — the previous tick's
     hypothesis — is verified in ONE windowed pass and sequential decode
     steps only cover the new suffix, so a tick's decode cost scales with
@@ -52,7 +56,7 @@ def _build_step(arch: WhisperArch, cfg: DecodeConfig, n_samples: int,
     from .models.whisper import encode
 
     @jax.jit
-    def step(params, wav, prompt, plen, draft, draft_len):
+    def step(params, wav, prompt, plen, draft, draft_len, active):
         mel = features.preprocess(wav, arch.num_mel_bins,
                                   length=n_samples).astype(jnp.float32)
         enc = encode(params, arch, mel)
@@ -63,7 +67,8 @@ def _build_step(arch: WhisperArch, cfg: DecodeConfig, n_samples: int,
             acc = jnp.zeros(lengths.shape, jnp.int32)
         else:
             tokens, lengths, acc = verified_greedy_decode(
-                params, arch, enc, cfg, draft, draft_len, **kw)
+                params, arch, enc, cfg, draft, draft_len, active=active,
+                **kw)
         # ONE packed output = ONE host readback per tick (each np.asarray
         # pays a full tunnel RTT on remote backends): [tokens | len | acc]
         return jnp.concatenate(
@@ -182,20 +187,24 @@ class StreamingTranscriber:
         flat = self._flat() if flat is None else flat
         return _lcp([tuple(self._exposed_ids), flat])
 
+    def _prompt_inputs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(prompt (1, pw), plen (1,)) rows for the jitted step — split
+        out so a StreamingPool (whose audio rides its device mirror) can
+        batch prompts without materializing host window copies."""
+        ids = self._prompt_ids if self.condition else []
+        if ids:
+            return _seed_prompt(ids, self.pw, self.arch.eos_token_id,
+                                self.arch.vocab_size)
+        # no context: plen=0, no dangling <|startofprev|>
+        return (np.full((1, self.pw), self.arch.eos_token_id, np.int32),
+                np.zeros((1,), np.int32))
+
     def _decode_inputs(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(window, prompt, plen) rows for the jitted step — split out so a
-        StreamingPool can batch many sessions into one call."""
+        """(window, prompt, plen) rows for the jitted step."""
         piece = self._window()
         buf = np.zeros((1, self.n_samples), np.float32)
         buf[0, : len(piece)] = piece
-        ids = self._prompt_ids if self.condition else []
-        if ids:
-            prompt, plen = _seed_prompt(ids, self.pw,
-                                        self.arch.eos_token_id,
-                                        self.arch.vocab_size)
-        else:  # no context: plen=0, no dangling <|startofprev|>
-            prompt = np.full((1, self.pw), self.arch.eos_token_id, np.int32)
-            plen = np.zeros((1,), np.int32)
+        prompt, plen = self._prompt_inputs()
         return buf, prompt, plen
 
     def _draft_inputs(self) -> tuple[np.ndarray, np.ndarray]:
@@ -236,7 +245,8 @@ class StreamingTranscriber:
         draft, dlen = self._draft_inputs()
         packed = np.asarray(self._step(
             self.params, jnp.asarray(buf), jnp.asarray(prompt),
-            jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen)))
+            jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen),
+            jnp.ones((1,), bool)))
         self._absorb(packed[0, :-2], int(packed[0, -2]))
 
     def _complete_within(self, n_tokens: int) -> int:
@@ -452,7 +462,7 @@ class StreamingPool:
         g_w = cfg.max_new_tokens
         self._g = g_w
 
-        def single_step(params_, wav, prompt, plen, draft, dlen):
+        def single_step(params_, wav, prompt, plen, draft, dlen, _active):
             # pad one session's row into the shared compiled program
             wavB = np.zeros((B, n_samples), np.float32)
             wavB[0] = np.asarray(wav)[0]
@@ -465,13 +475,52 @@ class StreamingPool:
             dB[0] = np.asarray(draft)[0]
             dlB = np.zeros((B,), np.int32)
             dlB[0] = np.asarray(dlen)[0]
+            actB = np.zeros((B,), bool)
+            actB[0] = True
             packed = batched_step(params_, jnp.asarray(wavB),
                                   jnp.asarray(pB), jnp.asarray(lB),
-                                  jnp.asarray(dB), jnp.asarray(dlB))
+                                  jnp.asarray(dB), jnp.asarray(dlB),
+                                  jnp.asarray(actB))
             return packed[:1]
 
         self._single_step = single_step
         self.sessions: dict = {}
+        # Device-resident window mirror: one (B, n_samples) f32 pool row
+        # per session holding EXACTLY its current live window (zero-padded
+        # past the valid length). Before this, every tick re-built and
+        # re-uploaded the full window batch from the host (~61 MB at B=32
+        # — 1.3 s/tick through a tunnelled backend, the dominant recorded
+        # streaming cost, VERDICT r4 #5); now the host uploads only the
+        # NEW audio since the last tick (~32 KB/s/stream) and one jitted
+        # shift+append per batched call keeps the mirror current. Sessions
+        # are PINNED to rows for their lifetime (open/close allocate).
+        self._mirror = jnp.zeros((B, n_samples), jnp.float32)
+        self._mstart = [0] * B        # abs sample index of row[0]
+        self._mlen = [0] * B          # valid samples in the row
+        self._row_of: dict = {}       # sid -> pinned row
+        self._free_rows = list(range(B - 1, -1, -1))
+        self._mzero: set = set()      # rows needing a zero-flush on reuse
+        self._append_w = min(max(2 * SAMPLE_RATE, 1), n_samples)
+        A = self._append_w
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _advance(buf, shifts, chunk, offs, nvalid):
+            """Per-row: drop `shifts` samples from the front (zero-fill the
+            tail) then write chunk[:nvalid] at offset `offs`. Full-width
+            masked writes (no dynamic_update_slice) so offsets near the
+            window end never clamp-shift the write location."""
+            def one(row, s, ch, off, nv):
+                row = jax.lax.dynamic_slice(
+                    jnp.concatenate([row, jnp.zeros_like(row)]),
+                    (s,), (n_samples,))
+                idx = jnp.arange(n_samples, dtype=jnp.int32)
+                sel = jnp.logical_and(idx >= off, idx < off + nv)
+                chv = ch[jnp.clip(idx - off, 0, A - 1)]
+                return jnp.where(sel, chv, row)
+
+            return jax.vmap(one)(buf, shifts, chunk, offs, nvalid)
+
+        self._advance = _advance
         # serving-style counters (≈ serving.ServiceStats for streams);
         # draft_proposed/accepted expose the self-draft hit rate (the
         # verified decode's sequential steps scale with what it REJECTS)
@@ -500,11 +549,65 @@ class StreamingPool:
     def open(self, sid) -> None:
         if sid in self.sessions:
             raise KeyError(f"session {sid!r} already open")
-        if len(self.sessions) >= self.B:
+        if not self._free_rows:
             raise RuntimeError(f"pool full ({self.B} streams)")
+        row = self._free_rows.pop()
+        self._row_of[sid] = row
+        self._mstart[row] = 0
+        self._mlen[row] = 0
+        self._mzero.add(row)    # reused rows carry stale audio: zero first
         self.sessions[sid] = StreamingTranscriber(
             self.params, self.arch, self.tokenizer, self.cfg,
             step_fn=self._single_step, **self.session_kw)
+
+    def _sync_mirrors(self, rows_needed) -> None:
+        """Bring each (sid, row)'s device window mirror current: shift out
+        samples the session's window slid past, then upload+append only
+        the audio the host buffer holds beyond the mirror. Fixed-width
+        append rounds keep the program shape-static; the common case (≤2 s
+        new audio per tick) is ONE `_advance` call moving ~KBs instead of
+        the full 30 s window batch."""
+        n, A = self._n_samples, self._append_w
+        round0 = True
+        while True:
+            shifts = np.zeros((self.B,), np.int32)
+            offs = np.zeros((self.B,), np.int32)
+            nvalid = np.zeros((self.B,), np.int32)
+            chunk = np.zeros((self.B, A), np.float32)
+            work = False
+            for sid, r in rows_needed:
+                s = self.sessions[sid]
+                ws = s._window_start
+                if round0:
+                    if r in self._mzero:
+                        sh = n          # flush stale reused-row audio
+                        self._mzero.discard(r)
+                        self._mlen[r] = 0
+                    else:
+                        sh = ws - self._mstart[r]
+                        if sh < 0 or sh > self._mlen[r]:
+                            sh = self._mlen[r]   # rewound/overrun: rebuild
+                        self._mlen[r] = max(self._mlen[r] - sh, 0)
+                    shifts[r] = sh
+                    self._mstart[r] = ws
+                    if sh:
+                        work = True
+                want = min(s._total - ws, n)
+                missing = want - self._mlen[r]
+                if missing > 0:
+                    take = min(missing, A)
+                    lo = ws - s._base + self._mlen[r]
+                    chunk[r, :take] = s._buf[lo: lo + take]
+                    offs[r] = self._mlen[r]
+                    nvalid[r] = take
+                    self._mlen[r] += take
+                    work = True
+            if not work:
+                return
+            self._mirror = self._advance(
+                self._mirror, jnp.asarray(shifts), jnp.asarray(chunk),
+                jnp.asarray(offs), jnp.asarray(nvalid))
+            round0 = False
 
     def feed(self, sid, samples: np.ndarray) -> dict:
         """Buffer audio for one session WITHOUT decoding (decode-free
@@ -526,40 +629,50 @@ class StreamingPool:
                      if s.wants_decode()]
             if not group:
                 break
-            wav = np.zeros((self.B, self._n_samples), np.float32)
+            # audio rides the device mirror (rows pinned per session);
+            # the host sends only prompts/drafts + the new-audio appends
+            self._sync_mirrors([(sid, self._row_of[sid])
+                                for sid, _ in group])
             prompt = np.full((self.B, self._pw),
                              self.arch.eos_token_id, np.int32)
             plen = np.zeros((self.B,), np.int32)
             draft = np.full((self.B, self._g),
                             self.arch.eos_token_id, np.int32)
             dlen = np.zeros((self.B,), np.int32)
-            for i, (_, s) in enumerate(group):
-                w, p, l = s._decode_inputs()
-                wav[i] = w[0]
+            active = np.zeros((self.B,), bool)
+            for sid, s in group:
+                r = self._row_of[sid]
+                active[r] = True
                 if self._pw:
-                    prompt[i] = p[0]
-                    plen[i] = l[0]
+                    p, l = s._prompt_inputs()
+                    prompt[r] = p[0]
+                    plen[r] = l[0]
                 d, dl = s._draft_inputs()
-                draft[i] = d[0]
-                dlen[i] = dl[0]
+                draft[r] = d[0]
+                dlen[r] = dl[0]
             t0 = time.time()
             packed = np.asarray(self._batched_step(   # ONE readback fence
-                self.params, jnp.asarray(wav), jnp.asarray(prompt),
-                jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen)))
+                self.params, self._mirror, jnp.asarray(prompt),
+                jnp.asarray(plen), jnp.asarray(draft), jnp.asarray(dlen),
+                jnp.asarray(active)))
             toks, lens, acc = packed[:, :-2], packed[:, -2], packed[:, -1]
             self._stats["busy_seconds"] += time.time() - t0
             self._stats["batched_calls"] += 1
             self._stats["decodes"] += len(group)
             self._stats["occupancy_sum"] += len(group) / self.B
-            self._stats["draft_proposed"] += int(dlen[:len(group)].sum())
+            self._stats["draft_proposed"] += int(dlen[active].sum())
             self._stats["draft_accepted"] += int(
-                np.minimum(acc[:len(group)], dlen[:len(group)]).sum())
-            for i, (_, s) in enumerate(group):
-                s._absorb(toks[i], int(lens[i]))
+                np.minimum(acc[active], dlen[active]).sum())
+            for sid, s in group:
+                r = self._row_of[sid]
+                s._absorb(toks[r], int(lens[r]))
                 s._pump()
         return {sid: s._texts() for sid, s in self.sessions.items()}
 
     def close(self, sid) -> dict:
         """Flush and remove a session; returns its final transcript."""
         s = self.sessions.pop(sid)
+        row = self._row_of.pop(sid)
+        self._free_rows.append(row)
+        self._mlen[row] = 0
         return s.flush()

@@ -170,3 +170,63 @@ def test_verified_jit_compiles_once(ts_setup):
                         jnp.int32)
     t1, l1, n1 = fn(params, enc, draft, jnp.full((b,), 10, jnp.int32))
     np.testing.assert_array_equal(np.asarray(t1), ref_t)
+
+
+def test_active_mask_padding_lanes_do_not_constrain(ts_setup):
+    """Padding lanes (active=False, draft_len=0) must not drag the
+    batch-min continuation to zero: active rows' outputs stay bit-exact
+    greedy when junk/empty padding rows share the batch (the StreamingPool
+    pads partial groups into its fixed-width program; VERDICT r4 #5)."""
+    arch, params, enc = ts_setup
+    cfg = DecodeConfig(notimestamps=False, max_new_tokens=10,
+                       max_initial_timestamp_index=20)
+    ref_t, ref_l = _greedy(params, arch, enc, cfg)
+    first_gen = len(decode.forced_prefix(arch, cfg))
+    b = enc.shape[0]
+    eot = arch.eos_token_id
+
+    # batch = [real rows | one zero-audio padding lane]
+    encB = jnp.concatenate([enc, jnp.zeros_like(enc[:1])], axis=0)
+    draft = np.full((b + 1, 10), eot, np.int32)
+    dlen = np.zeros((b + 1,), np.int32)
+    for i in range(b):  # perfect drafts for the real rows
+        gen = ref_t[i, first_gen: ref_l[i]][:10]
+        draft[i, : len(gen)] = gen
+        dlen[i] = len(gen)
+    active = np.asarray([True] * b + [False])
+    got_t, got_l, n_acc = _verified(params, arch, encB, cfg, draft, dlen,
+                                    active=jnp.asarray(active))
+    np.testing.assert_array_equal(got_t[:b], ref_t)
+    assert got_l[:b].tolist() == ref_l.tolist()
+    # the padding lane reports full acceptance (it must not be the min)
+    assert int(n_acc[b]) == 10
+
+
+def test_pool_partial_group_matches_standalone():
+    """A pool batch with REAL rows < pool width produces the exact
+    standalone transcript for each open session (padding-lane inertness
+    end-to-end through StreamingPool.tick)."""
+    from openai_whisper_compression_tpu.evaluation.tokenizer import (
+        default_tokenizer)
+    from openai_whisper_compression_tpu.streaming import (StreamingPool,
+                                                          StreamingTranscriber)
+
+    arch = ARCHS["test2l-ts"]
+    params = P.init_params(arch, jax.random.PRNGKey(7))
+    tok = default_tokenizer(arch)
+    cfg = DecodeConfig(notimestamps=False, max_new_tokens=8,
+                       max_initial_timestamp_index=20)
+    rng = np.random.default_rng(5)
+    wav = rng.standard_normal((3 * 16000 // 10,)).astype(np.float32) * 0.1
+
+    solo = StreamingTranscriber(params, arch, tok, cfg, min_step_s=0.05)
+    solo.feed(wav)
+    ref = solo.flush()
+
+    pool = StreamingPool(params, arch, tok, cfg, max_streams=4,
+                         min_step_s=0.05)
+    pool.open("a")          # 1 real row, 3 padding lanes
+    pool.feed("a", wav)
+    pool.tick()
+    got = pool.close("a")
+    assert got["committed"] == ref["committed"]
