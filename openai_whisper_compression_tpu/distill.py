@@ -155,12 +155,13 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
     for _ in range(steps):
         t_logits = None
         if batch_fn is not None:
-            out = batch_fn(rng)
-            if len(out) == 3:     # (mel, tokens, teacher_logits): caller
-                mel, tokens, t_logits = out  # precomputed the frozen pool
-                t_logits = jnp.asarray(t_logits)
-            else:
-                mel, tokens = out
+            # batch_fn returns (mel, tokens) or (mel, tokens,
+            # teacher_logits) — star-unpack so any iterable works and a
+            # wrong arity raises a clear ValueError, not len()'s TypeError
+            # on generators (ADVICE r4 #3)
+            mel, tokens, *rest = batch_fn(rng)
+            if rest:              # caller precomputed the frozen pool
+                t_logits = jnp.asarray(rest[0])
             mel = jnp.asarray(mel)
             tokens = jnp.asarray(tokens, jnp.int32)
         else:
@@ -176,6 +177,11 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
         if batch_sharding is not None:
             mel = jax.device_put(mel, batch_sharding)
             tokens = jax.device_put(tokens, batch_sharding)
+            if t_logits is not None:
+                # precomputed teacher logits must land on the same dp
+                # sharding as mel/tokens, or GSPMD replicates/reshards the
+                # (B, L, V) array every step (ADVICE r4 #1)
+                t_logits = jax.device_put(t_logits, batch_sharding)
         if t_logits is None:
             t_logits = teacher_fwd(mel, tokens)
         student, opt_state, loss = step(student, opt_state, mel, tokens,

@@ -706,6 +706,16 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
     one call, and advances every stream's seek independently. Idle slots
     are zero-padded (shape-static program, one compile).
 
+    The stream audio is STAGED ON-DEVICE once up front (one padded
+    (N, max_len + window) pool) and each iteration's window batch is cut
+    by a jitted per-row `dynamic_slice` — the host sends only the seek
+    offsets. Before this, every iteration re-built and re-uploaded the
+    full (B, 30 s) f32 window batch from the host (~61 MB at B=32), which
+    dominated the wall through a tunnelled backend (VERDICT r4 #7:
+    window_rtfx 282 vs a ~1400-RTFx headline). The pool is right-padded
+    by one window of zeros so end-of-stream slices zero-pad instead of
+    clamping.
+
     Per-stream results match `transcribe_seek` (each batch row is
     independent under the batched model). Word timestamps are supported
     (batched encoder pass + per-row DTW); for
@@ -749,15 +759,30 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
     words: list[list[dict]] = [[] for _ in range(n)]
     win_count = [0] * n
 
+    # one-time device staging + jitted window cut (host sends offsets only)
+    max_len = max((len(w) for w in wavs), default=0)
+    pool = np.zeros((n, max_len + n_samples), np.float32)
+    for i, w in enumerate(wavs):
+        pool[i, : len(w)] = w
+    jpool = jnp.asarray(pool)
+
+    @jax.jit
+    def cut_windows(pl, idx, off):
+        def one(i, o):
+            return jax.lax.dynamic_slice(pl, (i, o), (1, n_samples))[0]
+
+        return jax.vmap(one)(idx, off)
+
     while not all(done):
         rows = [s for s in range(n) if not done[s]][:batch_size]
-        buf = np.zeros((batch_size, n_samples), np.float32)
-        pieces = {}
+        idx = np.zeros((batch_size,), np.int32)
+        off = np.zeros((batch_size,), np.int32)
+        piece_len = {}
         for r, s in enumerate(rows):
-            piece = wavs[s][pos[s]: pos[s] + n_samples]
-            pieces[s] = piece
-            buf[r, : len(piece)] = piece
-        jbuf = jnp.asarray(buf)
+            idx[r] = s
+            off[r] = pos[s]
+            piece_len[s] = min(len(wavs[s]) - pos[s], n_samples)
+        jbuf = cut_windows(jpool, jnp.asarray(idx), jnp.asarray(off))
         outs = transcribe_fn(params, jbuf)   # (tokens, lengths[, lp][, enc])
         tokens, lengths = np.asarray(outs[0]), np.asarray(outs[1])
         token_lps = np.asarray(outs[2]) if own_lp else None
@@ -780,11 +805,11 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
             if word_timestamps:
                 words[s].extend(_align_window_words(
                     params, arch, enc[r: r + 1], tokens[r, : lengths[r]],
-                    tokenizer, alignment_heads, len(pieces[s]), t0))
+                    tokenizer, alignment_heads, piece_len[s], t0))
             win_count[s] += 1
             advance = (n_samples if seek_s is None else int(seek_s * 16000))
             pos[s] += max(advance, 1)
-            if len(pieces[s]) < n_samples or pos[s] >= len(wavs[s]):
+            if piece_len[s] < n_samples or pos[s] >= len(wavs[s]):
                 done[s] = True
 
     out = []

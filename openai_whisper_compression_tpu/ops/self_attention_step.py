@@ -407,7 +407,16 @@ def decode_self_attention_update_int8(q: jax.Array, k_new: jax.Array,
     while bh % g:
         g //= 2
     if g % 8 and g != bh:
+        # Mosaic sublane fallback (same argument as _fit_block_g): only
+        # reachable when bh has 2-adic valuation < 3, i.e. bh is a small
+        # odd multiple of 1/2/4 — but unlike the fp path this was
+        # unguarded against re-inflating past the VMEM budget the halving
+        # loop enforced (ADVICE r4 #2), so re-check the bound explicitly.
         g = bh
+        assert g * s * max(dh, 128) * 12 <= 14 * 1024 * 1024, (
+            f"decode_self_attention_update_int8: bh={bh} (2-adic valuation "
+            f"< 3) forces a full-array block over the 14 MB scoped-VMEM "
+            f"budget at s={s}, dh={dh}; pad bh to a multiple of 8")
 
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     row = pl.BlockSpec((g, dh), lambda i, sp: (i, 0), memory_space=pltpu.VMEM)
