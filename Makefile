@@ -36,3 +36,8 @@ check:
 	python -m compileall -q openai_whisper_compression_tpu bench.py __graft_entry__.py
 	python tools/astlint.py
 	@echo "check OK"
+
+# every performance number README/STATUS quote must exist in a committed
+# artifact (tools/claims_check.py pins doc regex -> artifact JSON path)
+claims:
+	python tools/claims_check.py

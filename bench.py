@@ -458,7 +458,8 @@ def _cb_bench(params, arch, args) -> None:
 
 def _stream_measure(params, arch, args, n_streams: int | None = None,
                     seconds: float | None = None,
-                    churn: bool | None = None) -> dict:
+                    churn: bool | None = None,
+                    min_step_s: float = 1.0) -> dict:
     """Live-streaming throughput rows: N concurrent sessions through the
     StreamingPool's ONE batched decode per tick (streaming.py). Feeds
     each stream `seconds` of synthetic audio in 0.5 s chunks, round-robin,
@@ -480,8 +481,12 @@ def _stream_measure(params, arch, args, n_streams: int | None = None,
                        cross_kv_int8=args.cross_kv_int8,
                        cross_kv_int4=args.cross_kv_int4)
     tok = default_tokenizer(arch)
+    # decode cadence: the tick is ENCODE-bound (the 30 s window encoder
+    # measured ~288 ms at B=32, nearly flat in batch — see DESIGN §8), so
+    # aggregate throughput scales ~linearly with min_step_s at a
+    # proportional commitment-latency cost; rows label their cadence
     pool = StreamingPool(params, arch, tok, cfg, max_streams=n_streams,
-                         agreement=2, min_step_s=1.0)
+                         agreement=2, min_step_s=min_step_s)
     rng = np.random.default_rng(0)
     chunk = int(0.5 * 16000)
     total_chunks = int(seconds / 0.5)
@@ -546,6 +551,7 @@ def _stream_measure(params, arch, args, n_streams: int | None = None,
            if stats.get("draft_proposed") else 0.0)
     return {"aggregate_rtfx": round(rtfx, 2),
             "sessions": n_streams, "seconds_per_stream": fed_s,
+            "min_step_s": min_step_s,
             "churn": bool(churn_every),
             "occupancy": round(stats["mean_batch_occupancy"], 3),
             "device_rtfx": round(stats["rtfx"], 2),
@@ -1029,8 +1035,13 @@ def main() -> None:
                          "opt-in; measured 3.8x the bf16 matmul rate)")
     ap.add_argument("--fuse", action=argparse.BooleanOptionalAction,
                     default=True, help="fuse decoder qkv projections")
-    ap.add_argument("--kv-int8", action="store_true",
-                    help="int8 self-attn KV cache")
+    ap.add_argument("--kv-int8", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="int8 self-attn KV cache (default ON since r5: "
+                         "lane-major scales made it a wash-or-win at every "
+                         "measured config — small b96 1410 vs 1399, "
+                         "large-v3 b48 346.7 vs 346.6 — and it halves the "
+                         "self-KV HBM footprint)")
     ap.add_argument("--cross-kv-int8", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="int8 cross-attn K/V (dequant fused into the Pallas "
@@ -1319,6 +1330,13 @@ def main() -> None:
                                                 n_streams=32, seconds=60.0,
                                                 churn=False),
                         est_s=150)
+            # same compiled program, half the decode cadence: the
+            # throughput end of the cadence/latency frontier (labeled)
+            art.run_row("streaming_steady_2s",
+                        lambda: _stream_measure(params, arch, args,
+                                                n_streams=32, seconds=60.0,
+                                                churn=False, min_step_s=2.0),
+                        est_s=80)
             art.run_row("streaming_churn",
                         lambda: _stream_measure(params, arch, args,
                                                 n_streams=32, seconds=10.0,
