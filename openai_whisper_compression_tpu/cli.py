@@ -549,7 +549,9 @@ def cmd_presets(args):
     for preset in presets:
         params, arch, dcfg = preset.build(arch_override=args.arch_override,
                                           seed=args.seed)
-        dcfg.max_new_tokens = args.max_new_tokens
+        import dataclasses
+
+        dcfg = dataclasses.replace(dcfg, max_new_tokens=args.max_new_tokens)
         datasets, tok = _load_data(args, arch)
         tracker = MemoryTracker(preset.name)
         scores, _ = harness.evaluate_model(

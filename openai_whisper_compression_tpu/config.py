@@ -202,10 +202,16 @@ N_SAMPLES = SAMPLE_RATE * CHUNK_SECONDS      # 480_000
 N_FRAMES = N_SAMPLES // HOP_LENGTH           # 3000 mel frames
 
 
-@dataclass
+@dataclass(frozen=True)
 class DecodeConfig:
     """Generation settings (reference relies on HF `generate` defaults at
-    `data_utils.py:152`)."""
+    `data_utils.py:152`).
+
+    Frozen (hashable) so decode entry points can be jitted with the cfg
+    as a STATIC argument — eager encode/greedy dispatch through a
+    tunnelled backend is ~100x slower than one compiled program (the
+    r4 curve-recovery path measured exactly that). Derive variants with
+    `dataclasses.replace`."""
 
     max_new_tokens: int = 445
     beam_size: int = 1  # 1 = greedy

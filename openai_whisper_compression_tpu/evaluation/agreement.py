@@ -12,6 +12,7 @@ LibriSpeech, `quantization.py:149-208`.)
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -21,6 +22,25 @@ import numpy as np
 from ..config import DecodeConfig, WhisperArch
 from ..models import decode
 from ..models.whisper import decode_logits, encode
+
+# Jitted entry points with STATIC arch/cfg (DecodeConfig is frozen):
+# the eager calls these replace dispatch hundreds of per-op executions
+# through a tunnelled backend (~100x one compiled program — the same
+# trap the verify notes document). jax.jit's cache keys on the params
+# pytree SHAPE, so repeated rungs of one sweep reuse their compiles.
+@functools.partial(jax.jit, static_argnums=(1,))
+def _encode_j(params, arch, mel):
+    return encode(params, arch, mel)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _logits_j(params, arch, tokens, enc):
+    return decode_logits(params, arch, tokens, enc)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3))
+def _greedy_j(params, arch, enc_out, cfg):
+    return decode.greedy_decode(params, arch, enc_out, cfg)
 
 
 def model_agreement(base_params: Any, comp_params: Any, arch: WhisperArch,
@@ -37,8 +57,8 @@ def model_agreement(base_params: Any, comp_params: Any, arch: WhisperArch,
         notimestamps=False)
     comp_cfg = comp_cfg or decode_cfg
 
-    enc_b = encode(base_params, arch, mels)
-    enc_c = encode(comp_params, arch, mels)
+    enc_b = _encode_j(base_params, arch, mels)
+    enc_c = _encode_j(comp_params, arch, mels)
     # teacher-forced comp logits must see the same merged sequence the
     # comp decode attends to (greedy_decode merges internally from cfg)
     enc_c_tf = enc_c
@@ -48,8 +68,8 @@ def model_agreement(base_params: Any, comp_params: Any, arch: WhisperArch,
         enc_c_tf = merge_encoder_tokens(enc_c, pool=comp_cfg.cross_kv_pool,
                                         merge_r=comp_cfg.cross_kv_merge)
 
-    t_b, l_b = decode.greedy_decode(base_params, arch, enc_b, decode_cfg)
-    t_c, l_c = decode.greedy_decode(comp_params, arch, enc_c, comp_cfg)
+    t_b, l_b = _greedy_j(base_params, arch, enc_b, decode_cfg)
+    t_c, l_c = _greedy_j(comp_params, arch, enc_c, comp_cfg)
     t_b, t_c = np.asarray(t_b), np.asarray(t_c)
     l_b, l_c = np.asarray(l_b), np.asarray(l_c)
     agree = []
@@ -61,9 +81,10 @@ def model_agreement(base_params: Any, comp_params: Any, arch: WhisperArch,
     if teacher_tokens is None:
         width = min(8, t_b.shape[1])
         teacher_tokens = jnp.asarray(t_b[:, :width].astype(np.int32))
-    lg_b = decode_logits(base_params, arch, teacher_tokens, enc_b).astype(jnp.float32)
-    lg_c = decode_logits(comp_params, arch, teacher_tokens,
-                         enc_c_tf).astype(jnp.float32)
+    lg_b = _logits_j(base_params, arch, teacher_tokens,
+                     enc_b).astype(jnp.float32)
+    lg_c = _logits_j(comp_params, arch, teacher_tokens,
+                     enc_c_tf).astype(jnp.float32)
     p = jax.nn.log_softmax(lg_b, axis=-1)
     q = jax.nn.log_softmax(lg_c, axis=-1)
     kl = jnp.sum(jnp.exp(p) * (p - q), axis=-1)

@@ -117,12 +117,18 @@ def _recovery_pool(teacher, arch: WhisperArch, agree_cfg: DecodeConfig,
         jnp.asarray(rng.standard_normal((pool, n_samples)) * 0.1,
                     jnp.float32), arch.num_mel_bins,
         length=n_samples).astype(jnp.float32)
+    # ONE jitted program per phase: the old eager encode/greedy loop
+    # dispatched hundreds of per-op executions through the tunnel per
+    # pool slice (~100x one compiled call — the verify-notes trap), which
+    # is why the r4 "wiring exists" never actually regenerated the
+    # artifact on-chip.
     tfwd = jax.jit(lambda m, t: decode_logits(
         teacher, arch, t, encode(teacher, arch, m)))
+    roll = jax.jit(lambda m: greedy_decode(
+        teacher, arch, encode(teacher, arch, m), agree_cfg)[0])
     toks, logits = [], []
     for i in range(0, pool, 8):
-        enc = encode(teacher, arch, mels[i: i + 8])
-        t, _ = greedy_decode(teacher, arch, enc, agree_cfg)
+        t = roll(mels[i: i + 8])
         t16 = jnp.asarray(np.asarray(t)[:, :seq_len], jnp.int32)
         toks.append(np.asarray(t16))
         logits.append(np.asarray(tfwd(mels[i: i + 8], t16), np.float32))
