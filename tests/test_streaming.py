@@ -470,3 +470,31 @@ def test_pool_draft_acceptance_stats(setup):
     assert s["draft_proposed"] > 0          # second tick carried a draft
     assert 0 <= s["draft_accepted"] <= s["draft_proposed"]
     pool.close("a")
+
+
+def test_pool_row_reuse_zero_flush(setup):
+    """A session opened on a previously-used row must see a ZEROED device
+    mirror beyond its own audio — stale samples from the row's previous
+    owner must not leak into the zero-padded window (the pool's _mzero
+    flush on row reuse)."""
+    from openai_whisper_compression_tpu.streaming import StreamingPool
+
+    params, arch, tok, cfg = setup
+    n = samples_for_arch(arch)
+    g = np.random.default_rng(11)
+    pool = StreamingPool(params, arch, tok, cfg, max_streams=1,
+                         min_step_s=0.25)
+    loud = (g.standard_normal(n) * 0.5).astype(np.float32)
+    pool.open("a")
+    pool.feed("a", loud)
+    pool.tick()
+    pool.close("a")
+
+    short = (g.standard_normal(n // 4) * 0.1).astype(np.float32)
+    solo = StreamingTranscriber(params, arch, tok, cfg, min_step_s=0.25)
+    ref = solo.feed(short.copy())
+    pool.open("b")                    # same pinned row as "a"
+    pool.feed("b", short)
+    got = pool.tick()["b"]
+    assert got["committed"] == ref["committed"]
+    assert got["pending"] == ref["pending"]
