@@ -586,7 +586,8 @@ def cmd_curve(args):
                        batch=args.batch_size, tokens=args.max_new_tokens,
                        iters=args.iters, recover_steps=args.recover_steps)
     out = {"model": arch.name, "batch": args.batch_size,
-           "quant": args.quant or "int8", "points": points}
+           "quant": args.quant or "int8", "dtype": args.dtype,
+           "points": points}
     if args.save_path:
         import os
 

@@ -73,7 +73,7 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
             sparsity_ref: Params | None = None,
             batch_fn: Callable[[np.random.Generator], tuple] | None = None,
             param_transform: Callable[[Params], Params] | None = None,
-            mesh=None) -> tuple[Params, list[float]]:
+            mesh=None, compute_dtype=None) -> tuple[Params, list[float]]:
     """KL-distill `student` toward `teacher` (same arch) on synthetic audio.
 
     batch_fn: optional (rng) -> (mel (B, M, F), tokens (B, L)) supplier to
@@ -101,6 +101,12 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
     fake-quant transform (`quant.qat.make_ste_transform`) so the optimizer
     sees quantization error every step.
 
+    compute_dtype: optional dtype (e.g. jnp.float32) the OPTIMIZATION runs
+    in — float student leaves are cast up at entry and back to their
+    original dtype at exit. Use when distilling a bf16 model: adamw
+    updates at lr ~1e-4 sit below bf16 resolution, and f32 keeps the
+    step program small (the teacher forward stays hoisted either way).
+
     Returns (recovered student, per-step loss history). Quantized leaves
     (QTensor) are frozen — dequantize first for fake-quant fine-tuning.
     """
@@ -109,6 +115,12 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
         raise ValueError("student has quantized leaves; distill the dense "
                          "(or dequantized fake-quant) model, then requantize")
     n_samples = samples_for_arch(arch)
+    orig_dtypes = None
+    if compute_dtype is not None:
+        orig_dtypes = jax.tree.map(lambda a: jnp.asarray(a).dtype, student)
+        student = jax.tree.map(
+            lambda a: a.astype(compute_dtype) if jnp.issubdtype(
+                jnp.asarray(a).dtype, jnp.floating) else a, student)
     masks = (sparsity_masks(student if sparsity_ref is None else sparsity_ref)
              if preserve_sparsity else None)
     batch_sharding = None
@@ -187,6 +199,10 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
         student, opt_state, loss = step(student, opt_state, mel, tokens,
                                         t_logits)
         history.append(float(loss))
+    if orig_dtypes is not None:
+        student = jax.tree.map(
+            lambda a, d: a.astype(d) if jnp.issubdtype(d, jnp.floating)
+            else a, student, orig_dtypes)
     return student, history
 
 

@@ -237,11 +237,19 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
                 idx = r.integers(0, _m.shape[0], size=8)
                 return _m[idx], _t[idx], _l[idx]
 
+            # compute_dtype=f32: adamw at lr 1e-4 underflows bf16 weight
+            # updates, and the f32 STEP program stays small (teacher
+            # hoisted) — unlike f32 rollout/measure programs, whose giant
+            # compiles the remote compile service breaks on (measured
+            # twice this session: "remote_compile: Broken pipe" ~20+ min
+            # into the f32 greedy compile). The curve therefore measures
+            # in the caller's dtype (bf16 recommended) and optimizes f32.
             dense_rec, hist = distill(p2, params, a2,
                                       steps=recover_steps, lr=1e-4,
                                       temperature=1.0,
                                       batch_fn=batch_fn,
-                                      preserve_sparsity=False)
+                                      preserve_sparsity=False,
+                                      compute_dtype=jnp.float32)
             progress(f"# curve {name}+recover: distill loss "
                      f"{hist[0]:.4f} -> {hist[-1]:.4f} "
                      f"({recover_steps} steps)")
