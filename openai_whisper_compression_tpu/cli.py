@@ -582,9 +582,27 @@ def cmd_curve(args):
     from .sweep.curve import plot_curve, run_curve
 
     params, arch = _load_model(args)
+
+    on_point = None
+    if args.save_path:
+        import os
+
+        os.makedirs(args.save_path, exist_ok=True)
+
+        def on_point(pts):
+            # incremental write: a tunnel drop late in the sweep must not
+            # lose the completed rungs (same policy as bench.py's
+            # incremental artifact)
+            with open(os.path.join(args.save_path, "curve.json"), "w") as f:
+                json.dump({"model": arch.name, "batch": args.batch_size,
+                           "quant": args.quant or "int8",
+                           "dtype": args.dtype, "partial": True,
+                           "points": pts}, f, indent=2)
+
     points = run_curve(params, arch, quant=args.quant or "int8",
                        batch=args.batch_size, tokens=args.max_new_tokens,
-                       iters=args.iters, recover_steps=args.recover_steps)
+                       iters=args.iters, recover_steps=args.recover_steps,
+                       on_point=on_point)
     out = {"model": arch.name, "batch": args.batch_size,
            "quant": args.quant or "int8", "dtype": args.dtype,
            "points": points}

@@ -162,7 +162,7 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
               agreement_samples: int = 8, recover_steps: int = 0,
               kv_int8: bool = True, cross_kv_int8: bool = True,
               rungs: list[str] | None = None,
-              progress=print) -> list[dict]:
+              progress=print, on_point=None) -> list[dict]:
     """Measure every ladder rung on the attached backend.
 
     rungs: optional name filter (substring match) selecting a subset of
@@ -176,16 +176,58 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
     import jax.numpy as jnp
 
     from ..audio import features
-    from ..evaluation.agreement import model_agreement
     from ..evaluation.harness import samples_for_arch
-    import jax
 
+    n = samples_for_arch(arch)
+    rng = np.random.default_rng(1)
+    mels = features.preprocess(
+        jnp.asarray(rng.standard_normal((agreement_samples, n)) * 0.1,
+                    jnp.float32), arch.num_mel_bins,
+        length=n).astype(jnp.float32)
+    # notimestamps: the timestamp-rules decode graph compiles
+    # pathologically slowly through the remote compile service (the only
+    # programs whose compiles exceeded ~25 min this session all contained
+    # it, and the tunnel drops connections at that horizon); plain
+    # transcription agreement measures the same compression fidelity
+    agree_cfg = DecodeConfig(max_new_tokens=min(tokens, 16),
+                             language_token_id=None, task_token_id=None,
+                             notimestamps=True)
+
+    points: list[dict] = []
+    # teacher-only recovery pool; built once, shared by every recovery
+    # rung (boxed so _run_rung can fill it lazily)
+    _pool_box: list = [None]
+    for name, transform, lossy, cfg_kw in ladder(quant):
+        if rungs is not None and not any(r in name for r in rungs):
+            continue
+        try:
+            _run_rung(name, transform, lossy, cfg_kw, params, arch, quant,
+                      batch, tokens, iters, recover_steps, kv_int8,
+                      cross_kv_int8, agree_cfg, mels, n, points, progress,
+                      _pool_box)
+        except Exception as e:  # noqa: BLE001 — rung fault isolation:
+            # one flaky rung (tunnel drop, OOM) must not lose the sweep
+            progress(f"# curve {name}: FAILED {e!r}")
+            points.append({"name": name, "error": repr(e)})
+        if on_point is not None:
+            on_point(points)
+    return points
+
+
+def _run_rung(name, transform, lossy, cfg_kw, params, arch, quant, batch,
+              tokens, iters, recover_steps, kv_int8, cross_kv_int8,
+              agree_cfg, mels, n, points, progress, _pool_box) -> None:
+    import jax.numpy as jnp
+
+    from ..evaluation.agreement import model_agreement
     from ..evaluation.memory import analytic_hbm_mb
     from ..models.params import size_in_mb
     from ..quant.api import quantize_params
 
     def count_params(p):
         from ..ops.qtensor import QTensor
+
+        import jax
 
         total = 0
         for leaf in jax.tree.leaves(
@@ -194,21 +236,7 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
                       else int(np.prod(np.shape(leaf))))
         return total
 
-    n = samples_for_arch(arch)
-    rng = np.random.default_rng(1)
-    mels = features.preprocess(
-        jnp.asarray(rng.standard_normal((agreement_samples, n)) * 0.1,
-                    jnp.float32), arch.num_mel_bins,
-        length=n).astype(jnp.float32)
-    agree_cfg = DecodeConfig(max_new_tokens=min(tokens, 16),
-                             language_token_id=None, task_token_id=None,
-                             notimestamps=False)
-
-    points: list[dict] = []
-    pool = None  # teacher-only; built once, shared by every recovery rung
-    for name, transform, lossy, cfg_kw in ladder(quant):
-        if rungs is not None and not any(r in name for r in rungs):
-            continue
+    if True:
         p2, a2 = transform(params, arch)
         ckw = dict(cfg_kw)
         frac = ckw.pop("cross_kv_merge_frac", None)
@@ -229,10 +257,10 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
             # token contexts — the default — spend capacity on states the
             # decode never visits). Decode-time cfg_kw rungs have no
             # weights to recover.
-            if pool is None:
-                pool = _recovery_pool(params, arch, agree_cfg, n,
-                                      pool=32, seq_len=16)
-            pool_m, pool_t, pool_l = pool
+            if _pool_box[0] is None:
+                _pool_box[0] = _recovery_pool(params, arch, agree_cfg, n,
+                                              pool=32, seq_len=16)
+            pool_m, pool_t, pool_l = _pool_box[0]
             def batch_fn(r, _m=pool_m, _t=pool_t, _l=pool_l):
                 idx = r.integers(0, _m.shape[0], size=8)
                 return _m[idx], _t[idx], _l[idx]
@@ -293,7 +321,6 @@ def run_curve(params, arch: WhisperArch, *, quant: str = "int8",
                 points.append(entry)
             else:
                 base_entry["recovered"] = entry
-    return points
 
 
 def plot_curve(points: list[dict], path: str) -> None:
@@ -304,6 +331,7 @@ def plot_curve(points: list[dict], path: str) -> None:
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(7, 4.5))
+    points = [p for p in points if "error" not in p]  # fault-isolated rungs
     xs = [p["size_mb"] for p in points]
     ys = [p["rtfx"] for p in points]
     cs = [p["token_agreement"] for p in points]
