@@ -139,10 +139,13 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
     # whisper-small f32 compile past 24 min on this host; split, the step
     # compiles in ~30 s and the teacher forward (compiled once) amortizes
     # across every step that reuses a (mel, tokens) pair.
+    # teacher params as an ARGUMENT, never a closure: closed-over pytrees
+    # bake into the program as constants, inflating the remote-compile
+    # request by the full model size (measured: HTTP 413 / broken-pipe
+    # tunnel failures at whisper-small scale)
     @jax.jit
-    def teacher_fwd(mel, tokens):
-        return decode_logits(teacher, arch, tokens,
-                             encode(teacher, arch, mel))
+    def teacher_fwd(tp, mel, tokens):
+        return decode_logits(tp, arch, tokens, encode(tp, arch, mel))
 
     @jax.jit
     def step(student, opt_state, mel, tokens, t_logits):
@@ -195,7 +198,7 @@ def distill(student: Params, teacher: Params, arch: WhisperArch,
                 # (B, L, V) array every step (ADVICE r4 #1)
                 t_logits = jax.device_put(t_logits, batch_sharding)
         if t_logits is None:
-            t_logits = teacher_fwd(mel, tokens)
+            t_logits = teacher_fwd(teacher, mel, tokens)
         student, opt_state, loss = step(student, opt_state, mel, tokens,
                                         t_logits)
         history.append(float(loss))

@@ -117,21 +117,24 @@ def _recovery_pool(teacher, arch: WhisperArch, agree_cfg: DecodeConfig,
         jnp.asarray(rng.standard_normal((pool, n_samples)) * 0.1,
                     jnp.float32), arch.num_mel_bins,
         length=n_samples).astype(jnp.float32)
-    # ONE jitted program per phase: the old eager encode/greedy loop
+    # ONE jitted program per phase (the old eager encode/greedy loop
     # dispatched hundreds of per-op executions through the tunnel per
-    # pool slice (~100x one compiled call — the verify-notes trap), which
-    # is why the r4 "wiring exists" never actually regenerated the
-    # artifact on-chip.
-    tfwd = jax.jit(lambda m, t: decode_logits(
-        teacher, arch, t, encode(teacher, arch, m)))
-    roll = jax.jit(lambda m: greedy_decode(
-        teacher, arch, encode(teacher, arch, m), agree_cfg)[0])
+    # pool slice — the verify-notes trap). The teacher params MUST be an
+    # ARGUMENT, not a closure: closed-over pytrees bake into the program
+    # as constants, and a 461 MB-of-constants compile request is exactly
+    # what the remote compile service rejects (measured: "HTTP 413:
+    # length limit exceeded") or times out on ("Broken pipe" ~25 min in).
+    tfwd = jax.jit(lambda tp, m, t: decode_logits(
+        tp, arch, t, encode(tp, arch, m)))
+    roll = jax.jit(lambda tp, m: greedy_decode(
+        tp, arch, encode(tp, arch, m), agree_cfg)[0])
     toks, logits = [], []
     for i in range(0, pool, 8):
-        t = roll(mels[i: i + 8])
+        t = roll(teacher, mels[i: i + 8])
         t16 = jnp.asarray(np.asarray(t)[:, :seq_len], jnp.int32)
         toks.append(np.asarray(t16))
-        logits.append(np.asarray(tfwd(mels[i: i + 8], t16), np.float32))
+        logits.append(np.asarray(tfwd(teacher, mels[i: i + 8], t16),
+                                 np.float32))
     return (np.asarray(mels), np.concatenate(toks, axis=0),
             np.concatenate(logits, axis=0))
 
