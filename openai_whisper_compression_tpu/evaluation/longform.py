@@ -768,10 +768,14 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
 
     @jax.jit
     def cut_windows(pl, idx, off):
-        def one(i, o):
-            return jax.lax.dynamic_slice(pl, (i, o), (1, n_samples))[0]
-
-        return jax.vmap(one)(idx, off)
+        # UNROLLED per-row dynamic_slice, not vmap: vmapping a
+        # dynamic_slice over traced (row, offset) pairs lowers to an
+        # element-strided gather — measured ~10 s per (32, 30 s) window
+        # batch, the same gather trap the mel frontend hit in r2
+        # (DESIGN §8). Each unrolled slice is one contiguous DMA.
+        return jnp.concatenate(
+            [jax.lax.dynamic_slice(pl, (idx[r], off[r]), (1, n_samples))
+             for r in range(idx.shape[0])], axis=0)
 
     while not all(done):
         rows = [s for s in range(n) if not done[s]][:batch_size]

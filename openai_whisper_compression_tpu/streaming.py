@@ -506,19 +506,27 @@ class StreamingPool:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def _advance(buf, shifts, chunk, offs, nvalid):
             """Per-row: drop `shifts` samples from the front (zero-fill the
-            tail) then write chunk[:nvalid] at offset `offs`. Full-width
-            masked writes (no dynamic_update_slice) so offsets near the
-            window end never clamp-shift the write location."""
-            def one(row, s, ch, off, nv):
+            tail) then write chunk[:nvalid] at offset `offs`. UNROLLED
+            contiguous dynamic slices/updates, never vmapped — vmapping
+            dynamic_slice over traced per-row offsets lowers to an
+            element-strided gather (measured ~10 s/61 MB on the longform
+            window cutter; DESIGN §8's r2 mel-gather trap). The update
+            target is padded by one append width so offsets near the
+            window end never clamp-shift the write."""
+            idx = jnp.arange(n_samples, dtype=jnp.int32)
+            zrow = jnp.zeros((n_samples,), buf.dtype)
+            zpad = jnp.zeros((n_samples + A,), buf.dtype)
+            rows = []
+            for r in range(B):
                 row = jax.lax.dynamic_slice(
-                    jnp.concatenate([row, jnp.zeros_like(row)]),
-                    (s,), (n_samples,))
-                idx = jnp.arange(n_samples, dtype=jnp.int32)
-                sel = jnp.logical_and(idx >= off, idx < off + nv)
-                chv = ch[jnp.clip(idx - off, 0, A - 1)]
-                return jnp.where(sel, chv, row)
-
-            return jax.vmap(one)(buf, shifts, chunk, offs, nvalid)
+                    jnp.concatenate([buf[r], zrow]), (shifts[r],),
+                    (n_samples,))
+                sel = jnp.logical_and(idx >= offs[r],
+                                      idx < offs[r] + nvalid[r])
+                padded = jax.lax.dynamic_update_slice(
+                    zpad, chunk[r], (offs[r],))[:n_samples]
+                rows.append(jnp.where(sel, padded, row))
+            return jnp.stack(rows)
 
         self._advance = _advance
         # serving-style counters (≈ serving.ServiceStats for streams);
