@@ -156,9 +156,10 @@ def _serve_measure(params, arch, cfg, fn, args, batch: int | None = None,
     else:
         payloads = wavs
         submit = svc.submit
-    # warmup (first call compiles; remote-TPU compiles take minutes —
-    # transcribe's auto-timeout assumes a compiled program, so pin one
-    # long enough for a cold tunnel compile)
+    # warmup: compile every dispatch bucket, then one end-to-end request
+    # to warm the native loader/wire path (remote-TPU compiles take
+    # minutes — transcribe's auto-timeout assumes a compiled program)
+    svc.warmup()
     svc.transcribe(wavs[0], timeout=900.0)
     svc.stats = type(svc.stats)()  # exclude warmup/compile from stats
     t0 = time.perf_counter()

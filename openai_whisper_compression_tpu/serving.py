@@ -184,6 +184,16 @@ class TranscriptionService:
         # batch i, the same overlap that recovered the ~30 ms tunnel tax in
         # bench.py's pipelined accounting (DESIGN.md §8). 1 = fenced.
         self.pipeline = max(1, int(pipeline))
+        # Bucketed dispatch: a partially-filled batch runs the SMALLEST
+        # compiled batch that covers it instead of padding to batch_size.
+        # The full padded program costs the same device time at occupancy
+        # 0.2 as at 1.0 (~0.53 s at batch 32), so under paced (open-loop)
+        # load the pad-to-full design couldn't serve ANY arrival rate
+        # below full-batch capacity stably — measured: 60x offered, 49x
+        # served, queue growing. jit caches one executable per bucket
+        # shape; warmup() pre-compiles them all.
+        self.buckets = tuple(sorted({max(1, batch_size // 4),
+                                     max(1, batch_size // 2), batch_size}))
         self._busy_mark = 0.0  # merged-interval device-busy accounting
         self._loader = BatchLoader(batch_size, self.n_samples)
         self._queue: queue.Queue = queue.Queue()
@@ -193,6 +203,18 @@ class TranscriptionService:
         self._worker.start()
 
     # ------------------------------------------------------------------ API
+    def warmup(self) -> None:
+        """Compile every bucket's program before serving traffic — the
+        first live batch of each size otherwise pays its compile inside a
+        request's latency."""
+        import jax.numpy as jnp
+
+        dt = (jnp.int16 if self.transfer == "int16"
+              else jnp.uint8 if self.transfer == "mulaw" else jnp.float32)
+        for b in self.buckets:
+            out = self._fn(self.params, jnp.zeros((b, self.n_samples), dt))
+            np.asarray(out[0])
+
     def submit(self, wav: np.ndarray, sample_rate: int = 16000) -> Future:
         """Enqueue one utterance; resolves to
         {"text", "tokens", "audio_seconds", "latency_s"}.
@@ -374,9 +396,11 @@ class TranscriptionService:
                     elif self.transfer == "mulaw":
                         buf = mulaw_encode(buf)
 
+                    bucket = next(b for b in self.buckets
+                                  if b >= len(items))
                     t0 = time.perf_counter()
                     tokens, lengths = self._fn(self.params,
-                                               jnp.asarray(buf))
+                                               jnp.asarray(buf[:bucket]))
                     inflight.append((items, failed, tokens, lengths, t0))
                 except Exception as e:  # fail the batch, keep serving
                     for _, _, fut, _, _ in items:

@@ -402,3 +402,25 @@ def test_close_drains_inflight_batches(svc_setup):
     svc.close(timeout=300)
     for f in futs:
         assert f.result(timeout=1)["tokens"] is not None
+
+
+def test_bucketed_dispatch_partial_batches(svc_setup):
+    """A partial batch rides the smallest compiled bucket, and results
+    match full-batch serving — the pad-to-full design ran ~0.53 s of
+    device time per batch regardless of occupancy, so open-loop arrival
+    rates below full-batch capacity could never be served stably."""
+    arch, params, tok, cfg = svc_setup
+    svc = TranscriptionService(params, arch, tok, cfg, batch_size=8,
+                               max_wait_ms=5)
+    assert svc.buckets == (2, 4, 8)
+    svc.warmup()
+    rng = np.random.default_rng(3)
+    wav = rng.standard_normal(8000).astype(np.float32) * 0.1
+    ref = svc.transcribe(wav)            # rides the bucket-2 program
+    svc2 = TranscriptionService(params, arch, tok, cfg, batch_size=2,
+                                max_wait_ms=5)
+    got = svc2.transcribe(wav)
+    assert ref["text"] == got["text"]
+    assert ref["tokens"] == got["tokens"]
+    svc.close()
+    svc2.close()
