@@ -721,15 +721,20 @@ def _longform_row(params, arch, args) -> dict:
     probe_mels = features.preprocess(probe, arch.num_mel_bins,
                                      length=n_probe)
     lf_params = _craft_ts_embeddings(params, arch, probe_mels)
-    # warmup: compile the batched window decoder on a short stream set
+    # cold call compiles the window decoder + the pool-shaped cut program
+    # and pays the first-content staging upload; the recorded number is
+    # the STEADY-STATE second call (cold wall recorded alongside) — the
+    # serving shape, where the compiled programs outlive one batch of
+    # files. Audio stages as PCM16 (bit-exact for 16-bit-sourced audio).
     t0 = time.perf_counter()
-    transcribe_seek_batch(lf_params, arch, [w[: 16000 * 2] for w in wavs],
-                          tok, cfg, batch_size=n_streams)
-    print(f"# longform compile+warmup {time.perf_counter() - t0:.1f}s",
+    transcribe_seek_batch(lf_params, arch, wavs, tok, cfg,
+                          batch_size=n_streams, stage_int16=True)
+    cold_wall = time.perf_counter() - t0
+    print(f"# longform cold (compiles + first staging) {cold_wall:.1f}s",
           file=sys.stderr)
     t0 = time.perf_counter()
     results = transcribe_seek_batch(lf_params, arch, wavs, tok, cfg,
-                                    batch_size=n_streams)
+                                    batch_size=n_streams, stage_int16=True)
     wall = time.perf_counter() - t0
     windows = sum(r["num_windows"] for r in results)
     segments = sum(len(r["segments"]) for r in results)
@@ -746,8 +751,9 @@ def _longform_row(params, arch, args) -> dict:
             "streams": n_streams,
             "stream_seconds": [round(float(s), 1) for s in lens_s[:8]],
             "mean_stream_s": round(float(np.mean(lens_s)), 1),
-            "crafted_ts": True,
-            "wall_s": round(wall, 2)}
+            "crafted_ts": True, "stage_int16": True,
+            "wall_s": round(wall, 2),
+            "cold_wall_s": round(cold_wall, 2)}
 
 
 def _presets_bench(args) -> None:

@@ -9,12 +9,36 @@ compile, any audio length), and stitch the texts.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import DecodeConfig, WhisperArch
 from .harness import make_transcribe_fn, samples_for_arch
+
+
+@functools.lru_cache(maxsize=8)
+def _cut_windows_fn(n_rows: int, n_samples: int, int16: bool):
+    """Module-level cached window cutter: one compile per (batch, window)
+    shape per process. Defining the jit inside transcribe_seek_batch made
+    every CALL a fresh jit object — ~10 s of re-trace/compile per call at
+    whisper-small shapes, dominating the steady-state wall (the
+    fresh-jit-per-call trap from the verify notes, at scale). Unrolled
+    contiguous dynamic slices, never vmapped (the gather trap). int16
+    pools dequantize in-jit (lossless for PCM16-sourced audio; halves the
+    host->device staging upload)."""
+    @jax.jit
+    def cut(pl, idx, off):
+        rows = jnp.concatenate(
+            [jax.lax.dynamic_slice(pl, (idx[r], off[r]), (1, n_samples))
+             for r in range(n_rows)], axis=0)
+        if int16:
+            rows = rows.astype(jnp.float32) * (1.0 / 32767.0)
+        return rows
+
+    return cut
 
 
 def chunk_waveform(wav: np.ndarray, n_samples: int,
@@ -694,7 +718,8 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
                           batch_size: int = 8,
                           transcribe_fn=None,
                           word_timestamps: bool = False,
-                          alignment_heads=None) -> list[dict]:
+                          alignment_heads=None,
+                          stage_int16: bool = False) -> list[dict]:
     """Multi-stream timestamp-seek transcription.
 
     OpenAI's seek loop is inherently sequential PER FILE (each window's
@@ -759,23 +784,21 @@ def transcribe_seek_batch(params, arch: WhisperArch, wavs, tokenizer,
     words: list[list[dict]] = [[] for _ in range(n)]
     win_count = [0] * n
 
-    # one-time device staging + jitted window cut (host sends offsets only)
+    # one-time device staging + jitted window cut (host sends offsets
+    # only). stage_int16 stores the pool as PCM16 (2 B/sample; bit-exact
+    # for 16-bit-PCM-sourced audio like LibriSpeech) and dequantizes
+    # inside the cut program — halves the staging upload.
     max_len = max((len(w) for w in wavs), default=0)
-    pool = np.zeros((n, max_len + n_samples), np.float32)
+    stage_dt = np.int16 if stage_int16 else np.float32
+    pool = np.zeros((n, max_len + n_samples), stage_dt)
     for i, w in enumerate(wavs):
-        pool[i, : len(w)] = w
+        if stage_int16:
+            pool[i, : len(w)] = np.clip(w * 32767.0, -32768,
+                                        32767).astype(np.int16)
+        else:
+            pool[i, : len(w)] = w
     jpool = jnp.asarray(pool)
-
-    @jax.jit
-    def cut_windows(pl, idx, off):
-        # UNROLLED per-row dynamic_slice, not vmap: vmapping a
-        # dynamic_slice over traced (row, offset) pairs lowers to an
-        # element-strided gather — measured ~10 s per (32, 30 s) window
-        # batch, the same gather trap the mel frontend hit in r2
-        # (DESIGN §8). Each unrolled slice is one contiguous DMA.
-        return jnp.concatenate(
-            [jax.lax.dynamic_slice(pl, (idx[r], off[r]), (1, n_samples))
-             for r in range(idx.shape[0])], axis=0)
+    cut_windows = _cut_windows_fn(batch_size, n_samples, stage_int16)
 
     while not all(done):
         rows = [s for s in range(n) if not done[s]][:batch_size]
