@@ -1271,6 +1271,21 @@ def main() -> None:
     # lands even if the run is cut short (VERDICT r4 next-step #1).
     art = Artifact(budget_s=args.budget_s)
     art.install_handlers()
+
+    def _link_mbps() -> float:
+        """Measured host->device upload bandwidth for FRESH content (the
+        tunnel content-caches repeats). Rows whose wall includes uploads
+        (serve batches, longform staging) swing with this — measured
+        24 MB/s to 1.4 GB/s across one session — so every artifact
+        carries the link state it was recorded under."""
+        x = np.random.default_rng(int(time.time())).standard_normal(
+            (8, 480_000)).astype(np.float32)
+        t0 = time.perf_counter()
+        jax.device_put(x).block_until_ready()
+        return round(x.nbytes / 1e6 / (time.perf_counter() - t0), 1)
+
+    art.rows["link_mbps_start"] = _link_mbps()
+    print(f"# link {art.rows['link_mbps_start']} MB/s", file=sys.stderr)
     rtfx, ms_batch = _measure_pipelined(fn, params, wavs, args, args.iters)
     print(f"# pipelined: depth={args.pipeline} "
           f"{ms_batch:.1f}ms/batch effective peak_hbm={hbm:.0f}MB "
@@ -1402,6 +1417,7 @@ def main() -> None:
 
             art.run_row("cross_kv_pool2_lossy", _pool2_row, est_s=45)
 
+    art.rows["link_mbps_end"] = _link_mbps()
     art.rows["total_wall_s"] = round(art.elapsed(), 1)
     art.emit()
 
