@@ -1362,11 +1362,14 @@ def main() -> None:
                                                 n_streams=32, seconds=60.0,
                                                 churn=False, min_step_s=2.0),
                         est_s=80)
+            # churn on 30 s streams: long enough that the row measures
+            # serving-with-churn rather than pure session ramp (the r4
+            # 10 s-stream config measured mostly ramp; VERDICT r4 #5)
             art.run_row("streaming_churn",
                         lambda: _stream_measure(params, arch, args,
-                                                n_streams=32, seconds=10.0,
+                                                n_streams=32, seconds=30.0,
                                                 churn=True),
-                        est_s=40)
+                        est_s=70)
 
         art.run_row("longform", lambda: _longform_row(params, arch, args),
                     est_s=70)
