@@ -21,34 +21,50 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (doc, regex, artifact, dotted_path)
 # Keep every README/STATUS headline-ish number here. When a bench re-run
 # moves a number, regenerate the artifact AND the doc together.
+BENCH = "artifacts/bench_r5.json"
+PRESETS = "artifacts/presets.json"
 CLAIMS: list[tuple[str, str, str, str]] = [
-    # headline
-    ("README.md", r"pipelined depth-2[^|]*\|\s*96\s*\|\s*\*\*(\d+)\*\*",
-     "artifacts/bench_r5.json", "value"),
-    # serve closed-loop burst
-    ("README.md", r"serve burst[^:]*: e2e \*\*([\d.]+)\*\*",
-     "artifacts/bench_r5.json", "rows.serve.e2e_rtfx"),
-    ("README.md", r"serve burst[^:]*: e2e \*\*[\d.]+\*\* / busy ([\d.]+)",
-     "artifacts/bench_r5.json", "rows.serve.busy_rtfx"),
-    # serve open-loop
-    ("README.md", r"open-loop [\d.]+x offered: e2e ([\d.]+)",
-     "artifacts/bench_r5.json", "rows.serve_openloop.e2e_rtfx"),
-    ("README.md", r"open-loop [\d.]+x offered: e2e [\d.]+, p95 ([\d.]+) s",
-     "artifacts/bench_r5.json", "rows.serve_openloop.latency_p95_s"),
-    # continuous batching
-    ("README.md", r"\*\*([\d.]+)x\*\* over wave scheduling",
-     "artifacts/bench_r5.json",
-     "rows.continuous_batching.overlap_speedup_vs_sync"),
-    ("README.md", r"([\d.]+)x? of the length-matched fixed-token",
-     "artifacts/bench_r5.json", "rows.continuous_batching.overlap_vs_equiv"),
-    # streaming
-    ("README.md", r"steady state \*\*([\d.]+)\*\* aggregate",
-     "artifacts/bench_r5.json", "rows.streaming_steady.aggregate_rtfx"),
-    ("README.md", r"2 s cadence \*\*([\d.]+)\*\*",
-     "artifacts/bench_r5.json", "rows.streaming_steady_2s.aggregate_rtfx"),
-    # longform
-    ("README.md", r"longform \*\*([\d.]+)\*\* RTFx",
-     "artifacts/bench_r5.json", "rows.longform.rtfx"),
+    ("README.md", r"Headline[^|]*\| \*\*(\d+)\*\* RTFx", BENCH, "value"),
+    ("README.md", r"per-batch fenced, batch 96 \| (\d+) RTFx",
+     BENCH, "rows.fenced.rtfx"),
+    ("README.md", r"to EOT[^|]*\| (\d+) RTFx",
+     BENCH, "rows.real_decode.rtfx"),
+    ("README.md", r"overlapped host loop \| (\d+) RTFx",
+     BENCH, "rows.continuous_batching.cb_overlap_rtfx"),
+    ("README.md", r"\*\*([\d.]+)×\*\* over wave scheduling",
+     BENCH, "rows.continuous_batching.overlap_speedup_vs_sync"),
+    ("README.md", r"([\d.]+) of the length-matched fixed-token",
+     BENCH, "rows.continuous_batching.overlap_vs_equiv"),
+    ("README.md", r"`fixed_equiv_rtfx` (\d+)",
+     BENCH, "rows.continuous_batching.fixed_equiv_rtfx"),
+    ("README.md", r"steady state \*\*([\d.]+)\*\* aggregate RTFx",
+     BENCH, "rows.streaming_steady.aggregate_rtfx"),
+    ("README.md", r"tick p50 (\d+) ms",
+     BENCH, "rows.streaming_steady.tick_p50_ms"),
+    ("README.md", r"2 s cadence \*\*([\d.]+)\*\* aggregate",
+     BENCH, "rows.streaming_steady_2s.aggregate_rtfx"),
+    ("README.md", r"longform \*\*([\d.]+)\*\* RTFx recorded",
+     BENCH, "rows.longform.rtfx"),
+    ("README.md", r"e2e \*\*([\d.]+)\*\* / busy",
+     BENCH, "rows.serve.e2e_rtfx"),
+    ("README.md", r"e2e \*\*[\d.]+\*\* / busy ([\d.]+) RTFx",
+     BENCH, "rows.serve.busy_rtfx"),
+    ("README.md", r"open-loop 60x offered: e2e ([\d.]+)",
+     BENCH, "rows.serve_openloop.e2e_rtfx"),
+    ("README.md", r"open-loop 60x offered: e2e [\d.]+, p50 (\d+) ms",
+     BENCH, "rows.serve_openloop.latency_p50_ms"),
+    ("README.md", r"p50 \d+ ms, p95 (\d+) ms",
+     BENCH, "rows.serve_openloop.latency_p95_ms"),
+    ("README.md", r"\| (\d+) RTFx = [\d.]+× headline",
+     BENCH, "rows.cross_kv_pool2_lossy.rtfx"),
+    ("README.md", r"\| \d+ RTFx = ([\d.]+)× headline",
+     BENCH, "rows.cross_kv_pool2_lossy.vs_headline"),
+    ("README.md", r"presets\.json: ([\d.]+)\) \| 64 \| 439",
+     PRESETS, "rows.medium_int4_kv8.rtfx"),
+    ("README.md", r"presets\.json: ([\d.]+)\) \| 48 \| 347",
+     PRESETS, "rows.largev3_s50_int8_ckv4.rtfx"),
+    ("README.md", r"presets\.json: ([\d.]+)\) \| 64 \| 357",
+     PRESETS, "rows.turbo_int8.rtfx"),
 ]
 
 
